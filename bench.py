@@ -1,0 +1,78 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes via collect-to-count (df.count() after a cache-free
+plan) so the full pipeline — scan, shuffle, agg — runs; times are
+wall-clock per query after a session warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from graphdbetl_spark.plans.registry import all_queries
+from graphdbetl_spark.session import get_spark
+
+# Headline set: scan-heavy agg, multi-join, window, as-of, graph build,
+# streaming windows, dedup/similarity/text (one per operator family).
+HEADLINE = [
+    "agg_hash",
+    "join_bridge",
+    "join_fk_inner",
+    "join_asof",
+    "win_rank",
+    "topk_per_group",
+    "dedup_first_wins",
+    "node_build_party",
+    "rel_join_table",
+    "stream_session",
+    "stream_tumbling",
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_cosine_topk",
+    "text_tfidf_top_term",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("graphdbetl-bench")
+    qs = all_queries()
+
+    # warmup: JVM/codegen/parquet footer caches
+    qs["schema_peek"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr, flush=True)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Deduplication operators: exact, merge-by-id, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+Grounding: the reference *declares* dedup/merge on load — "maintains a
+record of already-seen nodes (based on the primary ID) and either
+merges data ... or creates a new entry" (``graph_db_builder.py:
+493-497``, id_key semantics ``:463-467``) — but never implements it
+(D1 in SURVEY.md §2A). The near-dup family is the north-star
+LLM-pipeline extension: at 100 TB, exact dedup is one hash shuffle on a
+64-bit digest; near-dup must avoid the quadratic pair space via
+banding (MinHash-LSH) or fingerprint equality (SimHash), never a cross
+join.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def dedup_merge_first_wins(
+    df: DataFrame, id_col: str, order_by: list[str] | None = None
+) -> DataFrame:
+    """Collapse duplicate ids into one row, first non-null value per
+    column wins (the reference's "merge data into an existing record"
+    intent, graph_db_builder.py:463-467).
+
+    With ``order_by``, "first" is deterministic: the value from the
+    lowest-ordered row that has the column non-null. Implemented as a
+    single hash aggregation — ``min(struct(order, value))`` over
+    non-null rows — one shuffle on the id, no window sort, partial
+    aggregation map-side. Without ``order_by``, falls back to Spark's
+    ``first(ignorenulls=True)`` (arbitrary winner, like the reference).
+    """
+    value_cols = [c for c in df.columns if c != id_col]
+    if not order_by:
+        aggs = [F.first(c, ignorenulls=True).alias(c) for c in value_cols]
+        return df.groupBy(id_col).agg(*aggs)
+    order_cols = [F.col(c) for c in order_by]
+    aggs = []
+    for c in value_cols:
+        picked = F.min(F.when(F.col(c).isNotNull(), F.struct(*order_cols, F.col(c).alias("__v"))))
+        aggs.append(picked.getField("__v").alias(c))
+    return df.groupBy(id_col).agg(*aggs)
+
+
+def dedup_exact_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content digest: keep the minimum id per sha256(text).
+
+    One shuffle on a 32-byte key regardless of document size; at scale
+    the digest is computed in the scan projection so only (digest, id)
+    ever shuffles.
+    """
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams via n-1 shifted-array zip_withs — O(len) per doc.
+    (A transform that slices per position is O(len²) and dominated the
+    whole LSH pipeline at bench scale.)"""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, m)
+        grams = F.zip_with(grams, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return grams
+
+
+def _shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    return F.array_distinct(_word_ngrams(_tokens(text_col), n))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH over n-gram shingles,
+    built entirely from DataFrame built-ins (no cross join anywhere):
+
+    shingle → k minhash values (min of a seeded xxhash64 per shingle)
+    → b bands of r=k/b rows → band-bucket equi-join for candidates
+    (AND-OR construction: a pair collides iff some band matches on all
+    r rows, P = 1-(1-j^r)^b) → exact Jaccard verification on the
+    candidates → filter ≥ threshold.
+
+    Spark ML's MinHashLSH is OR-only (any single hash match is a
+    candidate), which degenerates to ~all-pairs on corpora with shared
+    vocabulary; the AND-banding here keeps the candidate set near the
+    true near-dup set — the property that survives 100 TB. Returned
+    pairs are exact-verified (jaccard column is exact over shingle
+    sets); recall < 1 per the collision curve.
+    """
+    r = num_hashes // bands
+    # Repartition by id before the (CPU-heavy) k×|shingles| hashing:
+    # test inputs arrive as one parquet file = one partition, which
+    # would serialize the signature computation on a single core.
+    sh = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+    # k minhashes. Hash each shingle to an integer ONCE (string hashing
+    # dominates cost), then derive the k functions with the classic
+    # universal family h_i(x) = (a_i·x + b_i) mod p over a 31-bit prime
+    # — products stay < 2^62, so no ANSI long overflow, and the ops are
+    # cheap long arithmetic inside codegen.
+    p = (1 << 31) - 1  # Mersenne prime
+    rng = random.Random(42)
+    coeffs = [(rng.randrange(1, p), rng.randrange(p)) for _ in range(num_hashes)]
+    hashed = sh.withColumn("hs", F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(p))))
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("hs"), lambda h: (h * F.lit(a) + F.lit(b)) % p))
+        for a, b in coeffs
+    ])
+    with_sig = hashed.withColumn("sig", sig)
+
+    # explode into (band_idx, hash-of-r-rows) bucket keys
+    band_cols = F.array(*[
+        F.struct(F.lit(b).alias("band"), F.hash(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"))
+        for b in range(bands)
+    ])
+    buckets = with_sig.select(id_col, F.explode(band_cols).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # exact Jaccard verification over shingle sets
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per document, built from built-ins.
+
+    Token → xxhash64 → per-bit ±1 votes → sign of vote sum per bit →
+    fingerprint. Entirely JVM-side: explode + groupBy(id) with 64
+    conditional sums would shuffle wide, so instead the vote loop runs
+    as a higher-order ``aggregate`` over the token array — zero
+    shuffles beyond the final projection. Near-dups share fingerprints
+    (group on fingerprint, or on fingerprint bands for hamming<k).
+    """
+    df = df.repartition(F.col(id_col))  # parallelize the per-doc bit votes
+    tok = _tokens(F.col(text_col))
+    # Bit masks as Python literals (shiftleft needs a literal count);
+    # the top bit uses Long.MIN_VALUE to stay in signed-64 range.
+    masks = [1 << i for i in range(bits - 1)] + [-(1 << (bits - 1))]
+    zero = F.array_repeat(F.lit(0), bits)
+    # votes: array of per-bit ±1 sums, folded over tokens JVM-side.
+    votes = F.aggregate(
+        tok,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.xxhash64(t).bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+                for m in masks
+            ]),
+            lambda a, b: a + b,
+        ),
+    )
+    bits_col = F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    # fold the bit array into one 64-bit long (top bit wraps, two's complement)
+    fp = F.aggregate(bits_col, F.lit(0).cast("long"), lambda acc, b: F.shiftleft(acc, 1) + b)
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Inverted-index style: explode distinct n-grams, self-join on the
+    n-gram (equi-join — candidates are only pairs sharing ≥1 gram),
+    count shared grams per pair, then Jaccard = shared / (|A|+|B|-shared).
+    ``block_cols`` adds cheap blocking (e.g. lang) to cut the candidate
+    space. No cross join anywhere; skewed (ultra-common) grams are the
+    scale hazard — callers should drop top-frequency grams upstream.
+    """
+    grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
+    base_cols = [F.col(id_col), grams.alias("grams")] + [F.col(c) for c in (block_cols or [])]
+    g = df.select(*base_cols).withColumn("gram_count", F.size("grams"))
+    ex = g.select(id_col, "gram_count", *(block_cols or []), F.explode("grams").alias("gram"))
+    a, b = ex.alias("a"), ex.alias("b")
+    join_cond = (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols or []:
+        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    shared = (
+        a.join(b, join_cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.gram_count").alias("count_a"),
+            F.col("b.gram_count").alias("count_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jacc = (F.col("shared") / (F.col("count_a") + F.col("count_b") - F.col("shared"))).alias("jaccard")
+    return shared.select("id_a", "id_b", jacc).filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,73 @@
+"""Join compositions Spark lacks as single operators: as-of join and
+grouped top-k (SURVEY.md §2B joins table; D2/D3 equi-joins are plain
+``df.join`` and live in etl/builder.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Implemented as the merge-sort composition: union both sides tagged,
+    one window sort per key ordered by (ts, side) with right rows
+    before left rows on ties, then ``last(value, ignorenulls=True)``
+    over the unbounded-preceding frame carries the most recent right
+    value forward. Cost: ONE shuffle on the key + one sort — linear,
+    unlike the naive equi-join + filter + row_number which materializes
+    every (left, right) pair per key. This is the 100 TB-safe shape.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # left sorts after right on ts ties
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
+        *[F.col(c) for c in right_value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__carry_{c}") for c in right_value_cols]
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *[F.col("__l").getField(c).alias(c) for c in lcols],
+        *[F.col(f"__carry_{c}").alias(c) for c in right_value_cols],
+    )
+    return out
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_col: str, k: int, descending: bool = True
+) -> DataFrame:
+    """Top-k rows per group via row_number over a partitioned window.
+
+    Catalyst inserts a partial top-k (WindowGroupLimit) before the
+    shuffle on recent Spark versions, so only ~k rows per group per
+    partition move — safe under group skew.
+    """
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(*group_cols).orderBy(order, *[F.col(c) for c in df.columns if c != order_col][:1])
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -1,0 +1,93 @@
+"""Multimodal column conventions: opaque binary payloads + typed metadata.
+
+Contract (north-star): image/audio/video payloads ride as
+``binary`` columns (or out-of-line as storage paths) next to a typed
+metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` stages so each Python batch touches a
+bounded number of payload bytes.
+
+The decode step itself is STUBBED (codec libraries are not available
+in this environment — see ``decode_image``); the Spark-side plumbing
+(schema, batching, partition sizing) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Canonical multimodal schema fragment.
+MEDIA_META = StructType(
+    [
+        StructField("media_type", StringType()),  # image/audio/video
+        StructField("format", StringType()),  # png/jpeg/wav/...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_mean", StringType()),  # deterministic fake feature
+    ]
+)
+
+
+def attach_media_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Demo wiring: derive a binary payload + metadata struct from a text
+    column (stands in for reading real media bytes via
+    ``spark.read.format('binaryFile')``)."""
+    payload = F.encode(F.col(text_col), "utf-8").cast(BinaryType())
+    meta = F.struct(
+        F.lit("image").alias("media_type"),
+        F.lit("fake").alias("format"),
+        F.lit(None).cast(IntegerType()).alias("width"),
+        F.lit(None).cast(IntegerType()).alias("height"),
+        F.octet_length(payload).cast(LongType()).alias("n_bytes"),
+    )
+    return df.withColumn("payload", payload).withColumn("media_meta", meta)
+
+
+def decode_image(payload: bytes) -> object:
+    """Decode an image payload. STUB: real codecs (PIL/opencv) are not
+    installed here; at deployment, swap the body for the real decoder."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas.
+
+    Arrow streams batches of (id, payload); Python computes per-payload
+    features. Here the 'feature' is a deterministic byte-mean fake
+    (decode stubbed), but the batch shape, schema, and partition flow
+    are exactly what a real decoder uses.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "byte_mean": pdf[payload_col].map(
+                        lambda b: f"{(sum(b) / len(b)):.4f}" if len(b) else "0"
+                    ),
+                }
+            )
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)

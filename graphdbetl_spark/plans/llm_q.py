@@ -1,0 +1,333 @@
+"""LLM-training-data pipeline queries (north-star extensions in
+BASELINE.json): deduplication (exact / MinHash-LSH / SimHash / n-gram
+Jaccard / embedding-cosine), similarity search (brute-force + LSH),
+text analysis (stats, quality, language ID, fingerprints, TF-IDF), and
+multimodal column plumbing.
+
+Oracle notes: cosine math is done in DOUBLE on both engines and
+rounded; approximate operators (MinHash/LSH) are rows-only by design.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from graphdbetl_spark.functions.text import (
+    bpe_ish_token_count,
+    language_id,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+    tokens,
+)
+from graphdbetl_spark.functions.vectors import cosine_similarity
+from graphdbetl_spark.operators.dedup import (
+    dedup_exact_text,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from graphdbetl_spark.operators.multimodal import attach_media_columns, extract_features
+from graphdbetl_spark.operators.similarity import cosine_topk_bruteforce, lsh_cosine_topk
+from graphdbetl_spark.plans.registry import query
+from graphdbetl_spark.sources.catalog import load_table as T
+
+_DOUBLE_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _dvec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+# ------------------------------------------------------------- dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_sha, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact content dedup: one shuffle on the 256-bit digest."""
+    return dedup_exact_text(T(spark, sf, "documents"), "text", "doc_id")
+
+
+@query("dedup_minhash")  # banded-LSH recall < 1 -> rows-only
+def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs over 3-gram shingles (exact
+    Jaccard ≥ 0.5 on the LSH candidate set): candidate generation is an
+    equi-join on band buckets — the 100 TB near-dedup path."""
+    return minhash_near_duplicates(
+        T(spark, sf, "documents"), "text", "doc_id", threshold=0.5
+    )
+
+
+@query("dedup_simhash")  # hash-function specific -> rows-only
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash fingerprints; fingerprint-equal docs are near-dups."""
+    return simhash_fingerprints(T(spark, sf, "documents"), "text", "doc_id")
+
+
+@query("dedup_ngram_jaccard")  # oracle planned (inverted-index SQL); rows-only for now
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.1 via inverted-index self-join
+    blocked by lang — candidates only where ≥1 shared gram."""
+    return ngram_jaccard_pairs(
+        T(spark, sf, "documents"), "text", "doc_id", n=3, threshold=0.1, block_cols=["lang"]
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.2
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.2) within label blocks —
+    blocking keeps the pair space linear-ish; at 100 TB the block key
+    comes from LSH buckets instead."""
+    e = T(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), _dvec(F.col("embedding")).alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), _dvec(F.col("embedding")).alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.2)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+# -------------------------------------------------------- similarity
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                   c.vec_id) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+    ) WHERE rank <= 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 5 query vectors: broadcast
+    queries × one corpus scan, JVM-side dot products, partial top-k."""
+    e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
+    q = e.filter(F.col("vec_id") < 5)
+    out = cosine_topk_bruteforce(e, q, "vec_id", "embedding", k=10)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+@query("sim_lsh_topk")  # approximate by construction -> rows-only
+def sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN (random-hyperplane projections): candidate
+    generation is an equi-join on (table, bucket) — the scale path."""
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return lsh_cosine_topk(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+# ------------------------------------------------------ text analysis
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    ntok = token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, length(text) AS n,
+               length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+               string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id, ROUND(
+        0.4 * (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                    WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+      + 0.3 * (1.0 - CASE WHEN n > 0 THEN CAST(punct AS DOUBLE) / n ELSE 1.0 END)
+      + 0.3 * (CASE WHEN list_sum(list_transform(toks, t -> length(t))) / len(toks)
+                         BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END), 4) AS quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality scoring: length band + punctuation density +
+    mean word length, all whole-stage-codegen expressions."""
+    d = T(spark, sf, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+            len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                t -> t IN ('der','die','das','und','ist','nicht','mit','ein'))) AS s_de,
+            len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                t -> t IN ('the','and','of','to','in','is','that','with'))) AS s_en,
+            len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                t -> t IN ('el','la','los','que','de','es','una','por'))) AS s_es,
+            len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                t -> t IN ('le','la','les','des','est','une','dans','que'))) AS s_fr,
+            len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                t -> t IN ('的','是','了','在','和','有','我','不'))) AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-lexicon language ID (argmax over per-language hit counts,
+    ties to lexicographically-smallest language)."""
+    d = T(spark, sf, "documents")
+    return d.select("doc_id", "lang", language_id(F.col("text")).alias("pred_lang"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(ascii(text[i]) AS HUGEINT)),
+               (acc, c) -> (acc * 257 + c) % 2305843009213693951::HUGEINT
+           ) AS VARCHAR) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (mod 2^61-1),
+    folded JVM-side over the char array (decimal(38,0) arithmetic)."""
+    d = T(spark, sf, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query("text_tokens")  # BPE-ish split uses lookarounds (not RE2) -> rows-only
+def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish
+    word/punct boundary split (LLM token-budget proxy)."""
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_tfidf_top_term",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT doc_id, term AS top_term, ROUND(tfidf, 6) AS tfidf FROM (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1) DESC,
+                            tf.term) AS rn
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rn = 1
+    """,
+)
+def text_tfidf_top_term(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF as pure DataFrame algebra (explode → tf / df aggregations
+    → broadcast-joined idf → windowed argmax): oracle-checkable, unlike
+    hashed-feature TFIDF. df join broadcasts (vocab ≪ corpus)."""
+    d = T(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: one tiny job, folded into the idf constant
+    idf = F.log((F.lit(float(n_docs) + 1)) / (F.col("df") + 1)) + 1
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id", "term", (F.col("tf") * idf).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+# -------------------------------------------------------- multimodal
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           printf('%.4f', list_sum(list_transform(range(1, length(text) + 1),
+                  i -> CAST(ascii(text[i]) AS DOUBLE))) / length(text)) AS byte_mean
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow mapInPandas: the
+    multimodal plumbing (binary column + metadata struct + batched
+    Python stage) with a deterministic fake feature; the real decoder
+    is stubbed (operators/multimodal.py)."""
+    d = attach_media_columns(T(spark, sf, "documents"), "text")
+    return extract_features(d, "payload", "doc_id")

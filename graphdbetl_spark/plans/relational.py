@@ -1,0 +1,706 @@
+"""Relational operator queries (SURVEY.md §2B: scans, projection,
+filter, joins, aggregation, windows, sort/limit, set ops) with DuckDB
+oracles.
+
+Conventions for oracle hash-match (SURVEY.md §5.1):
+- every computed column aliased identically on both sides;
+- integer aggregates cast to BIGINT on both sides (DuckDB SUM(int) is
+  HUGEINT);
+- float aggregates rounded (partial-aggregation order differs between
+  engines; rounding absorbs the ulp drift);
+- any LIMIT is preceded by a total order with a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from graphdbetl_spark.operators.joins import asof_join, topk_per_group
+from graphdbetl_spark.plans.registry import query
+from graphdbetl_spark.sources.catalog import load_table as T
+
+# ---------------------------------------------------------------- scans
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_returnflag = 'A'
+    """,
+)
+def scan_parquet(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection + predicate reaching the parquet scan (PushedFilters /
+    pruned ReadSchema — the opposite of the reference's SELECT *,
+    graph_db_builder.py:482)."""
+    return (
+        T(spark, sf, "lineitem")
+        .filter((F.col("l_shipdate") >= "1998-01-01") & (F.col("l_returnflag") == "A"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query("scan_csv", oracle="SELECT r_regionkey, r_name FROM region")
+def scan_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV round-trip with explicit schema (D5: non-MySQL flat-file
+    sources, graph_db_builder.py:13-14,193-194)."""
+    df = T(spark, sf, "region")
+    out = os.path.join(tempfile.gettempdir(), f"graft_csv_{os.path.basename(sf)}")
+    df.write.mode("overwrite").option("header", "true").csv(out)
+    return spark.read.schema(df.schema).option("header", "true").csv(out)
+
+
+@query("scan_json", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def scan_json(spark: SparkSession, sf: str) -> DataFrame:
+    df = T(spark, sf, "nation")
+    out = os.path.join(tempfile.gettempdir(), f"graft_json_{os.path.basename(sf)}")
+    df.write.mode("overwrite").json(out)
+    return spark.read.schema(df.schema).json(out)
+
+
+@query(
+    "schema_peek",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 1",
+)
+def schema_peek(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's LIMIT-1 schema probe (R2, graph_db_builder.py:157)
+    as a degenerate ordered scan; schema itself comes free from footers."""
+    return T(spark, sf, "region").orderBy("r_regionkey").limit(1)
+
+
+# ------------------------------------------- projection / filter / fill
+
+
+@query(
+    "project_remap",
+    oracle="""
+    SELECT c_custkey AS party_id, c_name AS display_name,
+           c_acctbal AS balance, CAST(NULL AS VARCHAR) AS phone
+    FROM customer
+    """,
+)
+def project_remap(spark: SparkSession, sf: str) -> DataFrame:
+    """Rename + missing-field NULL fill (R6/R7 field_idx_map remap)."""
+    return T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("party_id"),
+        F.col("c_name").alias("display_name"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit(None).cast("string").alias("phone"),
+    )
+
+
+@query(
+    "cast_columns",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(l_extendedprice AS REAL) AS price_f32,
+           CAST(l_shipdate AS DATE) AS ship_day,
+           CAST(l_linenumber AS VARCHAR) AS line_str
+    FROM lineitem
+    """,
+)
+def cast_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-map casts (R4) — full-width, not the reference's lossy
+    int16/float16/char(32) (dtypes.py:88-92)."""
+    li = T(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_extendedprice").cast("float").alias("price_f32"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+        F.col("l_linenumber").cast("string").alias("line_str"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F','P')
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+      AND o_custkey IS NOT NULL
+      AND NOT (o_orderkey % 10 = 3)
+    """,
+)
+def filter_pred(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate surface: IN / BETWEEN / LIKE / IS NULL / AND-OR-NOT."""
+    o = T(spark, sf, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(50000, 200000)
+        & (F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%"))
+        & F.col("o_custkey").isNotNull()
+        & ~(F.col("o_orderkey") % 10 == 3)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "null_fill",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           ROUND(COALESCE(o.total_spent, 0.0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(o_totalprice) AS total_spent
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def null_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL default fill (R7) over a left join that manufactures NULLs."""
+    c = T(spark, sf, "customer")
+    o = (
+        T(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total_spent"))
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return joined.select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("total_spent", F.lit(0.0)), 2).alias("total_spent"),
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+
+@query(
+    "join_fk_inner",
+    oracle="""
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_fk_inner(spark: SparkSession, sf: str) -> DataFrame:
+    """FK equi-join chain (D2 shape). nation/region are dimension
+    tables → explicitly broadcast: no shuffle of the fact side."""
+    c = T(spark, sf, "customer")
+    n = F.broadcast(T(spark, sf, "nation"))
+    r = F.broadcast(T(spark, sf, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "join_bridge",
+    oracle="""
+    SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY p.p_brand
+    """,
+)
+def join_bridge(spark: SparkSession, sf: str) -> DataFrame:
+    """Bridge-table join (D3: lineitem bridges orders↔part,
+    config.yml:48-54 shape)."""
+    o = T(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    l = T(spark, sf, "lineitem")
+    p = F.broadcast(T(spark, sf, "part"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def join_left(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT COALESCE(c.k, s.k) AS n_key,
+           COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer GROUP BY 1) c
+    FULL JOIN (SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.k = s.k
+    """,
+)
+def join_full(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_cust"))
+    s = T(spark, sf, "supplier").groupBy(F.col("s_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return c.join(s, "k", "full").select(
+        F.col("k").alias("n_key"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT s.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_higher_nations
+    FROM supplier s JOIN nation n ON s.s_nationkey < n.n_nationkey
+    GROUP BY s.s_suppkey
+    """,
+)
+def join_theta(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-equi (theta) join — physically broadcast nested loop; bounded
+    to dimension-sized inputs by design."""
+    s = T(spark, sf, "supplier")
+    n = F.broadcast(T(spark, sf, "nation"))
+    return (
+        s.join(n, s.s_nationkey < n.n_nationkey)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_higher_nations"))
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi + range predicate join: the equi key drives the shuffle,
+    the interval predicate evaluates post-match (no BNL explosion)."""
+    l = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders")
+    cond = (
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return l.join(o, cond).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, b.ts AS last_click_ts,
+           ROUND(b.value, 6) AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON p.user_id = b.user_id AND p.ts >= b.ts
+    """,
+)
+def join_asof_q(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (click attribution): latest click ≤ each purchase per
+    user. Merge-sort composition in operators/joins.py — one shuffle."""
+    ev = T(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("last_click_ts"), F.col("value").alias("last_click_value")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_value_cols=["last_click_ts", "last_click_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "last_click_ts", F.round("last_click_value", 6).alias("last_click_value")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+)
+def join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    r1 = T(spark, sf, "region")
+    r2 = T(spark, sf, "region")
+    return (
+        r1.alias("r1")
+        .crossJoin(r2.alias("r2"))
+        .filter(F.col("r1.r_regionkey") != F.col("r2.r_regionkey"))
+        .select(F.col("r1.r_name").alias("from_region"), F.col("r2.r_name").alias("to_region"))
+    )
+
+
+# ---------------------------------------------------------- aggregation
+
+
+@query(
+    "agg_hash",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: partial (map-side) + final hash aggregation,
+    Catalyst-chosen — the engine's headline scan-heavy aggregate."""
+    li = T(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx")  # approximate by nature -> rows-only check
+def agg_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch aggregates (HLL++ / GK quantiles): constant memory per
+    group at any scale — the 100 TB substitute for exact distinct."""
+    o = T(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("o_totalprice", 0.95).alias("approx_p95_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT r.r_name, n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    n = F.broadcast(T(spark, sf, "nation"))
+    r = F.broadcast(T(spark, sf, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT n.n_name, string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """collect_list sorted for determinism, emitted as a joined string
+    so the oracle hash is representation-stable."""
+    s = T(spark, sf, "supplier")
+    n = F.broadcast(T(spark, sf, "nation"))
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("s_name"))).alias("suppliers"))
+    )
+
+
+@query(
+    "dedup_first_wins",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity FROM (
+        SELECT l_orderkey, l_partkey, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def dedup_first_wins(spark: SparkSession, sf: str) -> DataFrame:
+    """D1 keep-first dedup with a deterministic order (the reference's
+    id_key 'create or merge' contract, graph_db_builder.py:463-467).
+    The order key is a total order: (l_orderkey, l_linenumber) alone is
+    not unique in the testdata."""
+    li = T(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+# -------------------------------------------------------------- windows
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def win_rank(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "win_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_analytic(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+@query(
+    "win_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+    FROM orders
+    """,
+)
+def win_frame(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_spend"),
+        # round at 4 decimals, not 2: a 2-row avg of odd cents lands exactly
+        # on a half-cent and the engines' half-rounding disagrees there;
+        # at the 4th decimal the exact value is never on a boundary.
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg_3"),
+    )
+
+
+# ----------------------------------------------------- sort / limit / topk
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sort_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-key sort + limit → Spark plans TakeOrderedAndProject:
+    per-partition top-100 then a single-reduce merge, no global sort."""
+    return (
+        T(spark, sf, "orders")
+        .orderBy(F.asc("o_orderstatus"), F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(100)
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def topk_per_group_q(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    out = topk_per_group(o, ["o_custkey"], "o_totalprice", k=2, descending=True)
+    return out.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+# ------------------------------------------------------------- set ops
+
+
+@query(
+    "union_by_name",
+    oracle="""
+    SELECT c_custkey AS party_key, c_name AS name, c_acctbal AS acctbal,
+           c_mktsegment AS mktsegment
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey AS party_key, s_name AS name, s_acctbal AS acctbal,
+           CAST(NULL AS VARCHAR) AS mktsegment
+    FROM supplier
+    """,
+)
+def union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """R5 union-schema semantics: unionByName with missing-column fill."""
+    c = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("party_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    s = T(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("party_key"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = T(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)  # EXCEPT (distinct) semantics

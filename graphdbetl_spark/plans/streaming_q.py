@@ -1,0 +1,110 @@
+"""Event-time window queries in batch form (SURVEY.md §2B streaming).
+
+``window``/``session_window`` are the same expressions Structured
+Streaming executes; running them in batch makes them DuckDB-checkable
+(time_bucket / gap-and-island SQL). The streaming execution wrappers —
+watermarks, late-data drop, stateful dedup — live in
+streaming/windows.py and are pinned by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphdbetl_spark.plans.registry import query
+from graphdbetl_spark.sources.catalog import load_table as T
+from graphdbetl_spark.streaming.windows import session_stats, sliding_counts, tumbling_counts
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    return tumbling_counts(T(spark, sf, "events"), "ts", "10 minutes")
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events FROM (
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE FROM events
+    ) GROUP BY window_start
+    """,
+)
+def stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """10-minute windows sliding by 5: every event lands in exactly 2."""
+    return sliding_counts(T(spark, sf, "events"), "ts", "10 minutes", "5 minutes")
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM numbered GROUP BY user_id, sess_no
+    """,
+)
+def stream_session(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — the
+    gaps-and-islands SQL above is the oracle for Spark's native
+    session_window."""
+    return session_stats(T(spark, sf, "events"), "ts", "30 minutes")
+
+
+@query(
+    "stream_dedup_batch",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch form of stateful streaming dedup (D1 streaming shape):
+    dropDuplicates on the state key."""
+    return T(spark, sf, "events").select("user_id", "event_type").dropDuplicates()
+
+
+@query(
+    "stream_late_data_cutoff",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_on_time
+    FROM events e, mx
+    WHERE e.ts >= mx.max_ts - INTERVAL 7 DAY
+    GROUP BY e.event_type
+    """,
+)
+def stream_late_data_cutoff(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark semantics as a batch predicate: rows older than
+    (max event time - horizon) are the ones a 7-day watermark would
+    drop. The true streaming behavior is pinned in tests."""
+    e = T(spark, sf, "events")
+    cutoff = e.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cut"))
+    return (
+        e.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cut"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_on_time"))
+    )

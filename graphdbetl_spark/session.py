@@ -1,0 +1,81 @@
+"""SparkSession bootstrap and scale-posture configuration.
+
+Two entry shapes:
+
+- :func:`get_spark` — build a local session (tests / bench).
+- :func:`configure_session` — apply runtime-settable confs to a session
+  we did not create (the correctness driver owns its own session).
+
+Scale posture (SURVEY.md §4/§7 M6): AQE on (runtime re-planning,
+skew-join splitting, partition coalescing), broadcast joins for
+dimension tables, UTC session time zone so timestamp semantics match
+the DuckDB oracle, Arrow for any pandas-UDF exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are runtime-settable (plain SQL confs) — safe to apply to a
+# session someone else built, e.g. the correctness driver's.
+RUNTIME_CONFS: dict[str, str] = {
+    # The driver's events table stores TIMESTAMP(NANOS) parquet, which
+    # Spark's vectorized reader rejects; read as long and convert
+    # (see sources/catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic timestamp semantics matching DuckDB's naive timestamps.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones, demote/promote join strategies with real statistics.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/supplier/part at test scale; any
+    # <=64MB side at cluster scale) should broadcast instead of shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow transfer for pandas UDFs / toPandas — the only sanctioned
+    # Python-side path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be static in some deployments; the engine still
+            # works, just without that knob.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "graphdbetl_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or fetch) a local SparkSession with the engine's scale posture.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle
+    partitions default to the core count — on a real cluster this is
+    superseded by AQE's coalescing from
+    ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure_session(builder.getOrCreate())

@@ -1,0 +1,51 @@
+"""Testdata catalog: canonical loaders for the driver's parquet tables.
+
+Replaces the reference's schema-peek + full-scan source path
+(``graph_db_builder.py:157,173-177`` LIMIT-1 peek; ``:482`` SELECT *):
+parquet footers are self-describing, so schema discovery is free, and
+column pruning / predicate pushdown happen in the scan once downstream
+operators select/filter — never fetch-everything-then-drop.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphdbetl_spark.session import configure_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table as a DataFrame with engine-canonical types.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it
+    as long (nanosAsLong) and we convert to TimestampType at µs
+    precision — the same truncation DuckDB applies, so oracles agree.
+    """
+    configure_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer div: float division rounds half-µs up, DuckDB truncates
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,91 @@
+"""Event-time windowing — batch and Structured Streaming forms.
+
+The reference "streams" only in the cursor-iteration sense
+(``graph_db_builder.py:28, 485-486``); real stream semantics are the
+north-star extension. Spark's ``window``/``session_window`` evaluate
+identically in batch and streaming, so each operator here has a
+batch form (oracle-checkable against DuckDB) and a streaming wrapper
+(watermarks, late-data drop, stateful dedup) tested via file-replay in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter
+
+# -- batch forms (same expressions Structured Streaming uses)
+
+
+def tumbling_counts(events: DataFrame, ts_col: str = "ts", width: str = "10 minutes") -> DataFrame:
+    """Tumbling-window event counts + value sum, keyed by event_type."""
+    return (
+        events.groupBy(F.window(ts_col, width).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, ts_col: str = "ts", width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window(ts_col, width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+
+
+def session_stats(events: DataFrame, ts_col: str = "ts", gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: sessions close after ``gap`` of
+    inactivity. Batch form of the streaming session_window operator."""
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# -- streaming wrappers
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    width: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming tumbling counts with a watermark: state for windows
+    older than the watermark is evicted; later rows are dropped
+    (late-data semantics verified in tests)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, width).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stateful exact dedup within the watermark horizon (D1 in
+    streaming form): state size bounded by the watermark."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
+
+
+def write_memory_sink(df: DataFrame, name: str) -> DataStreamWriter:
+    """Complete-mode memory sink for tests."""
+    return df.writeStream.format("memory").queryName(name).outputMode("complete")

@@ -1,0 +1,155 @@
+"""Unit tests for scalar/vector functions and dedup/similarity
+operators on synthetic micro-fixtures (FIXTURES.md §3)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from graphdbetl_spark.functions.text import (
+    bpe_ish_token_count,
+    language_id,
+    nfkd_ascii_fold,
+    rolling_fingerprint,
+    token_count,
+)
+from graphdbetl_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from graphdbetl_spark.operators.dedup import (
+    dedup_exact_text,
+    dedup_merge_first_wins,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from graphdbetl_spark.operators.joins import asof_join
+from graphdbetl_spark.operators.multimodal import attach_media_columns, extract_features
+
+
+class TestNfkdFold:
+    def test_folds_accents_and_drops_non_ascii(self, spark):
+        # the reference's exact semantics: NFKD then ascii-ignore
+        # (graph_db_builder.py:527)
+        df = spark.createDataFrame([("Müller café ☃",), (None,)], ["s"])
+        out = [r.f for r in df.select(nfkd_ascii_fold("s").alias("f")).collect()]
+        assert out[0] == "Muller cafe "
+        assert out[1] is None
+
+
+class TestTokens:
+    def test_token_count_handles_empty_and_multispace(self, spark):
+        df = spark.createDataFrame([("a  b c",), ("",), ("  ",)], ["s"])
+        out = [r.n for r in df.select(token_count(F.col("s")).alias("n")).collect()]
+        assert out == [3, 0, 0]
+
+    def test_bpe_ish_counts_subword_pieces(self, spark):
+        df = spark.createDataFrame([("don't stop-me now2day",)], ["s"])
+        n = df.select(bpe_ish_token_count(F.col("s")).alias("n")).first().n
+        assert n >= 7  # don / ' / t / stop / - / me / now2day...
+
+
+class TestLanguageId:
+    def test_marker_based_prediction(self, spark):
+        df = spark.createDataFrame(
+            [("the cat and the dog of the house",), ("der Hund ist nicht ein Katze und",)],
+            ["s"],
+        )
+        out = [r.l for r in df.select(language_id(F.col("s")).alias("l")).collect()]
+        assert out == ["en", "de"]
+
+    def test_tie_breaks_to_smallest_lang(self, spark):
+        df = spark.createDataFrame([("xyzzy plugh",)], ["s"])  # 0 hits everywhere
+        assert df.select(language_id(F.col("s")).alias("l")).first().l == "de"
+
+
+class TestRollingFingerprint:
+    def test_matches_python_reference(self, spark):
+        text = "hello world"
+        expected = 0
+        for ch in text:
+            expected = (expected * 257 + ord(ch)) % ((1 << 61) - 1)
+        df = spark.createDataFrame([(text,)], ["s"])
+        got = df.select(rolling_fingerprint(F.col("s")).alias("h")).first().h
+        assert got == str(expected)
+
+
+class TestVectors:
+    def test_dot_norm_cosine(self, spark):
+        df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["a", "b"])
+        row = df.select(
+            dot(F.col("a"), F.col("b")).alias("d"),
+            l2_norm(F.col("a")).alias("na"),
+            cosine_similarity(F.col("a"), F.col("b")).alias("c"),
+        ).first()
+        assert row.d == pytest.approx(32.0)
+        assert row.na == pytest.approx(math.sqrt(14))
+        assert row.c == pytest.approx(32.0 / (math.sqrt(14) * math.sqrt(77)))
+
+
+class TestDedup:
+    def test_merge_first_wins_fills_from_later_source(self, spark):
+        df = spark.createDataFrame(
+            [(1, None, "x", 1), (1, "a", None, 2), (2, "b", "y", 1)],
+            ["id", "c1", "c2", "src"],
+        )
+        out = {r.id: r for r in dedup_merge_first_wins(df, "id", order_by=["src"]).collect()}
+        assert out[1].c1 == "a" and out[1].c2 == "x"  # first non-null by src order
+        assert out[2].c1 == "b" and out[2].c2 == "y"
+
+    def test_exact_text_collapses_duplicates(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+        )
+        out = {r.doc_id: r.dup_count for r in dedup_exact_text(df, "text", "doc_id").collect()}
+        assert out == {1: 2, 3: 1}
+
+    def test_simhash_identical_docs_share_fingerprint(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz qq ww ee rr tt")],
+            ["doc_id", "text"],
+        )
+        fps = {r.doc_id: r.simhash for r in simhash_fingerprints(df, "text", "doc_id").collect()}
+        assert fps[1] == fps[2]
+        assert fps[1] != fps[3]
+
+    def test_ngram_jaccard_finds_overlapping_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "a b c d e f z"), (3, "q w e r t y u")],
+            ["doc_id", "text"],
+        )
+        pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.3).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+class TestAsofJoin:
+    def test_latest_right_at_or_before_left(self, spark):
+        left = spark.createDataFrame([(1, 10, "L1"), (1, 20, "L2"), (2, 5, "L3")], ["k", "ts", "tag"])
+        right = spark.createDataFrame([(1, 8, 100.0), (1, 15, 200.0), (2, 9, 300.0)], ["k", "ts", "v"])
+        out = asof_join(
+            left, right.withColumnRenamed("v", "rv"), "k", "ts", "ts", ["rv"]
+        )
+        got = {(r.k, r.ts): r.rv for r in out.collect()}
+        assert got[(1, 10)] == 100.0  # right@8
+        assert got[(1, 20)] == 200.0  # right@15
+        assert got[(2, 5)] is None  # right@9 is after
+
+    def test_tie_right_at_same_ts_matches(self, spark):
+        left = spark.createDataFrame([(1, 10)], ["k", "ts"])
+        right = spark.createDataFrame([(1, 10, 7.0)], ["k", "ts", "rv"])
+        out = asof_join(left, right, "k", "ts", "ts", ["rv"]).collect()
+        assert out[0].rv == 7.0
+
+
+class TestMultimodal:
+    def test_feature_extraction_batch_shape(self, spark):
+        df = spark.createDataFrame([(1, "abc"), (2, "")], ["doc_id", "text"])
+        media = attach_media_columns(df, "text")
+        assert dict(media.dtypes)["payload"] == "binary"
+        feats = {r.doc_id: r for r in extract_features(media).collect()}
+        assert feats[1].n_bytes == 3
+        assert feats[1].byte_mean == f"{(97 + 98 + 99) / 3:.4f}"
+        assert feats[2].n_bytes == 0
+
+    def test_decode_is_stubbed(self):
+        from graphdbetl_spark.operators.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG")

@@ -1,0 +1,119 @@
+"""Structured Streaming integration tests (SURVEY.md §5.4): file-replay
+of the events table through readStream, asserting window results match
+the batch forms and that watermark/stateful-dedup semantics hold."""
+
+import os
+import shutil
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from graphdbetl_spark.sources.catalog import load_table
+from graphdbetl_spark.streaming.windows import (
+    streaming_dedup,
+    streaming_tumbling_counts,
+    tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Replay source: events rows written as parquet files (ts already
+    normalized to TimestampType so readStream needs no nanos handling)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_available_now(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir):
+    batch_df = spark.read.parquet(events_dir)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+
+    _run_available_now(streaming_tumbling_counts(stream_df), "tumbling_test")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): r.n_events
+        for r in tumbling_counts(batch_df).select("window_start", "event_type", "n_events").collect()
+    }
+    assert got == expected
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    src = str(tmp_path / "dup_events")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "click"), (1, "2024-01-01 00:00:00", "click"),
+         (2, "2024-01-01 00:01:00", "view")],
+        ["user_id", "ts_s", "event_type"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    deduped = streaming_dedup(stream, ["user_id", "event_type"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_test").collect()
+    assert len(rows) == 2  # the duplicate (1, click, same ts) collapsed
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """Three deterministic micro-batches: (1) on-time event at 00:05,
+    (2) event at 03:00 advances the watermark past the 00:00 window,
+    (3) a late event at 00:06 arrives — it must be dropped, so the
+    closed 00:00 window keeps n=1."""
+    src = str(tmp_path / "late_events")
+    os.makedirs(src)
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(rows, ["user_id", "ts_s", "event_type", "value"]).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        for f in os.listdir(str(tmp_path / name)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(str(tmp_path / name), f), os.path.join(src, f"{name}.parquet"))
+
+    write_batch([(1, "2024-01-01 00:05:00", "click", 1.0)], "b1")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "n")
+    )
+    q = agg.writeStream.format("memory").queryName("late_test").outputMode("append").start()
+    try:
+        q.processAllAvailable()  # batch 1: 00:05 on time
+        write_batch([(2, "2024-01-01 03:00:00", "click", 1.0)], "b2")
+        q.processAllAvailable()  # batch 2: watermark -> 02:50, 00:00 window closes
+        write_batch([(3, "2024-01-01 00:06:00", "click", 1.0)], "b3")
+        q.processAllAvailable()  # batch 3: 00:06 is now late -> dropped
+        time.sleep(1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.ws.isoformat(): r.n for r in spark.sql("SELECT * FROM late_test").collect()}
+    assert rows.get("2024-01-01T00:00:00") == 1  # late 00:06 excluded
