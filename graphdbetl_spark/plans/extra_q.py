@@ -1,0 +1,383 @@
+"""Coverage-widening queries (SURVEY.md §2B rows not in the core
+families): sinks, ORC, right join, UDTF/UDAF surface, window-function
+variants, pivot, the SQL frontend, TPC-H-style multi-joins, statistical
+/ exact-percentile / decimal aggregates, and second string/date
+function waves.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from graphdbetl_spark.functions.text import tokens
+from graphdbetl_spark.plans.registry import query
+from graphdbetl_spark.sources.catalog import load_table as T
+
+# ------------------------------------------------------------- sinks
+
+
+@query("sink_parquet", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
+    """R9 as a columnar partition-parallel write; verified by read-back
+    (subsumes the reference's row-append sink and block-insert TODO,
+    graph_db_builder.py:491-543, D8)."""
+    df = T(spark, sf, "nation")
+    out = os.path.join(tempfile.gettempdir(), f"graft_sinkpq_{os.path.basename(sf)}")
+    df.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query("sink_csv", oracle="SELECT r_regionkey, r_name FROM region")
+def sink_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """D6: CSV serialization (reference serialize_data stub,
+    graph_db_builder.py:407-408) with schema-preserving read-back."""
+    df = T(spark, sf, "region")
+    out = os.path.join(tempfile.gettempdir(), f"graft_sinkcsv_{os.path.basename(sf)}")
+    df.write.mode("overwrite").option("header", "true").csv(out)
+    return spark.read.schema(df.schema).option("header", "true").csv(out)
+
+
+@query("scan_orc", oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")
+def scan_orc(spark: SparkSession, sf: str) -> DataFrame:
+    """D5: another columnar format behind the same source abstraction."""
+    df = T(spark, sf, "supplier")
+    out = os.path.join(tempfile.gettempdir(), f"graft_orc_{os.path.basename(sf)}")
+    df.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+# -------------------------------------------------------------- joins
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "tpch_q5_style",
+    oracle="""
+    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_style(spark: SparkSession, sf: str) -> DataFrame:
+    """Local-supplier-volume (TPC-H Q5 shape): 6-table join where only
+    the two fact tables shuffle; all dimensions broadcast."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = T(spark, sf, "lineitem")
+    s = F.broadcast(T(spark, sf, "supplier"))
+    n = F.broadcast(T(spark, sf, "nation"))
+    r = F.broadcast(T(spark, sf, "region"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------- SQL frontend
+
+_Q3_SQL = """
+SELECT o.o_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+@query("sql_frontend_q3", oracle=_Q3_SQL)
+def sql_frontend_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL entry point: the exact same ANSI text runs on Spark SQL
+    (via temp views) and on the DuckDB oracle — frontend parity, not
+    just DataFrame parity. (TPC-H Q3 shape.)"""
+    for t in ("customer", "orders", "lineitem"):
+        T(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_Q3_SQL)
+
+
+# ---------------------------------------------------- UDTF / UDAF
+
+
+@query(
+    "udtf_explode",
+    oracle="""
+    SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents WHERE doc_id < 50)
+    """,
+)
+def udtf_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """Table-generating surface: posexplode of token arrays (1-based
+    pos to match SQL's generate_subscripts)."""
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+
+
+@query(
+    "udaf_grouped",
+    oracle="""
+    SELECT lang,
+           ROUND(covar_samp(n_chars,
+                 len(string_split_regex(trim(text), '\\s+'))), 4) AS chars_tokens_cov,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom grouped aggregation via applyInPandas (Arrow-batched):
+    per-language sample covariance of (n_chars, token_count) — the
+    UDAF surface for logic built-ins can't express."""
+    d = T(spark, sf, "documents").select("lang", "n_chars", "text")
+
+    def covar(pdf: pd.DataFrame) -> pd.DataFrame:
+        toks = pdf["text"].str.strip().str.split(r"\s+", regex=True).str.len()
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "chars_tokens_cov": [round(float(pdf["n_chars"].cov(toks.astype("float64"))), 4)],
+                "n_docs": [len(pdf)],
+            }
+        )
+
+    return d.groupBy("lang").applyInPandas(
+        covar, "lang string, chars_tokens_cov double, n_docs long"
+    )
+
+
+# ------------------------------------------------------- windows II
+
+
+@query(
+    "win_rank_variants",
+    oracle="""
+    SELECT c_custkey,
+           RANK()         OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+           DENSE_RANK()   OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS prnk,
+           ROUND(CUME_DIST()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS cdist,
+           NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def win_rank_variants(spark: SparkSession, sf: str) -> DataFrame:
+    """rank/dense_rank/percent_rank/cume_dist are tie-stable; ntile
+    needs the unique tiebreaker in its ordering."""
+    c = T(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    wt = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               ORDER BY o_totalprice
+               RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW), 2) AS nearby_sum,
+           CAST(COUNT(*) OVER (
+               ORDER BY o_totalprice
+               RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS BIGINT) AS nearby_n
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE (value-based) frames — distinct from ROWS frames: all
+    peers within a price distance, order need not be unique."""
+    o = T(spark, sf, "orders")
+    w = Window.orderBy("o_totalprice").rangeBetween(-5000, 0)
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_sum"),
+        F.count(F.lit(1)).over(w).alias("nearby_n"),
+    )
+
+
+# ---------------------------------------------------------- pivot
+
+
+@query(
+    "pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot with explicit value list → Catalyst rewrites to a single
+    pass of conditional aggregates (same plan as the FILTER oracle);
+    never pivot without the list at scale (it forces a distinct scan)."""
+    o = T(spark, sf, "orders")
+    out = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return out.na.fill(0, ["F", "O", "P"])
+
+
+# ------------------------------------------------- aggregates II
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(stddev_samp(o_totalprice), 2) AS sd_price,
+           ROUND(stddev_pop(o_totalprice), 2) AS sdp_price,
+           ROUND(corr(o_totalprice, o_custkey), 6) AS corr_pk,
+           ROUND(covar_samp(o_totalprice, o_custkey), 2) AS cov_pk
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+        F.round(F.stddev_pop("o_totalprice"), 2).alias("sdp_price"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_pk"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("cov_pk"),
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (vs the sketch in agg_approx)."""
+    o = T(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+    )
+
+
+@query(
+    "agg_decimal",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS exact_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_decimal(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact money aggregation in DecimalType: deterministic regardless
+    of partial-aggregation order — the correct choice for financial
+    sums at any scale (float sums drift with shuffle order)."""
+    o = T(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("exact_total")
+    )
+
+
+# ------------------------------------------------- scalar wave II
+
+
+@query(
+    "str_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           translate(c_name, '#0', '_x') AS translated,
+           reverse(c_mktsegment) AS seg_rev,
+           repeat(left(c_mktsegment, 2), 3) AS rep2x3,
+           CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+           CAST(ascii(c_mktsegment) AS INTEGER) AS seg_ascii,
+           right(c_name, 4) AS name_tail
+    FROM customer
+    """,
+)
+def str_funcs2(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.translate("c_name", "#0", "_x").alias("translated"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.left(F.col("c_mktsegment"), F.lit(2)), 3).alias("rep2x3"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.ascii("c_mktsegment").alias("seg_ascii"),
+        F.right(F.col("c_name"), F.lit(4)).alias("name_tail"),
+    )
+
+
+@query(
+    "date_funcs2",
+    oracle="""
+    SELECT event_id,
+           last_day(ts) AS month_end,
+           CAST(quarter(ts) AS INTEGER) AS q,
+           CAST(week(ts) AS INTEGER) AS iso_week,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(minute(ts) AS INTEGER) AS m,
+           CAST(second(ts) AS INTEGER) AS s,
+           CAST(ts + INTERVAL 2 MONTH AS DATE) AS plus_2m
+    FROM events
+    """,
+)
+def date_funcs2(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.last_day("ts").alias("month_end"),
+        F.quarter("ts").alias("q"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("m"),
+        F.second("ts").alias("s"),
+        F.add_months("ts", 2).alias("plus_2m"),
+    )

@@ -21,6 +21,7 @@ _FAMILY_MODULES = (
     "graphdbetl_spark.plans.graph_etl_q",
     "graphdbetl_spark.plans.streaming_q",
     "graphdbetl_spark.plans.llm_q",
+    "graphdbetl_spark.plans.extra_q",
 )
 
 
