@@ -187,12 +187,30 @@ class GraphDBBuilder:
 
     # -- drivers
 
-    def build(self) -> "GraphDBBuilder":
-        """Compile every declared node and relationship type (lazy)."""
+    def build(self, skip_bad_sources: bool = False) -> "GraphDBBuilder":
+        """Compile every declared node and relationship type (lazy).
+
+        ``skip_bad_sources=True`` mirrors the reference's soft-fail
+        behavior — unreachable sources log a warning and their node /
+        relationship types are skipped rather than failing the build
+        (graph_db_builder.py:317-319). Default is strict.
+        """
+        import warnings
+
         for label in self.config.get("Nodes", {}):
-            self.build_node(label)
+            try:
+                self.build_node(label)
+            except Exception as e:
+                if not skip_bad_sources:
+                    raise
+                warnings.warn(f"skipping node type {label!r}: {e}", stacklevel=2)
         for label in self.config.get("Relationships", {}):
-            self.build_relationship(label)
+            try:
+                self.build_relationship(label)
+            except Exception as e:
+                if not skip_bad_sources:
+                    raise
+                warnings.warn(f"skipping relationship type {label!r}: {e}", stacklevel=2)
         return self
 
     def write(self, out_dir: str, fmt: str = "parquet") -> None:

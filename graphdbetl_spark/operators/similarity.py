@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from graphdbetl_spark.functions.vectors import cosine_similarity
+from graphdbetl_spark.functions.vectors import cosine_similarity, l2_norm
 
 
 def cosine_topk_bruteforce(
@@ -43,6 +43,78 @@ def cosine_topk_bruteforce(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate neighbors via an IVF (inverted-file) index: k-means
+    partitions the corpus into cells; each query scores only its
+    ``n_probe`` nearest cells.
+
+    Recall depends on how clustered the corpus is: uniform-random
+    vectors (the synthetic testdata) are IVF's worst case (~0.6-0.7
+    recall@10 at 6/16 probes); real embedding corpora cluster and land
+    far higher at the same probe fraction.
+
+    The candidate join is an equi-join on cell id — per query, work is
+    (n_probe/n_clusters) of the corpus instead of all of it, and the
+    cell assignment is a one-off index build (at 100 TB: persist the
+    assignment as a bucketed table and this becomes a co-located join).
+    Recall < 1 for vectors whose true neighbors sit in unprobed cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    def unit(df: DataFrame) -> DataFrame:
+        norm = l2_norm(F.col(vec_col))
+        return df.withColumn("__unit", F.transform(vec_col, lambda x: (x / norm).cast("double")))
+
+    c = unit(corpus).withColumn("features", array_to_vector(F.col("__unit")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(c)
+    corpus_cells = model.transform(c).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cv"), "cell"
+    )
+
+    # Tiny centroid table (n_clusters × dim) — broadcast; each query
+    # ranks cells by cosine to the centroid and keeps the top n_probe.
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        ["cell", "centroid"],
+    )
+    q = unit(queries).select(F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv"))
+    cell_rank = Window.partitionBy("query_id").orderBy(F.col("cell_cos").desc(), F.col("cell"))
+    probed = (
+        q.join(F.broadcast(centroids))
+        .withColumn("cell_cos", cosine_similarity(F.col("__qv"), F.col("centroid")))
+        .withColumn("cell_rn", F.row_number().over(cell_rank))
+        .filter(F.col("cell_rn") <= n_probe)
+        .select("query_id", "__qv", "cell")
+    )
+
+    scored = probed.join(corpus_cells, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # unit vectors: cosine = dot product
+    dot_col = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("cosine", dot_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def lsh_cosine_topk(

