@@ -1,0 +1,79 @@
+"""Property-based tests (SURVEY.md §5.5): harmonization and dedup
+invariants under hypothesis-generated inputs. Pure-Python properties
+run broadly; Spark-backed ones use small bounded examples."""
+
+import hypothesis.strategies as st
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from pyspark.sql import types as T
+
+from graphdbetl_spark.etl.schema import merge_schemas
+from graphdbetl_spark.operators.dedup import dedup_merge_first_wins
+
+_TYPES = [T.LongType(), T.StringType(), T.DoubleType(), T.IntegerType(), T.BooleanType()]
+
+_field = st.tuples(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=3), st.sampled_from(range(len(_TYPES)))
+)
+_schema = st.lists(_field, min_size=1, max_size=6, unique_by=lambda f: f[0]).map(
+    lambda fs: T.StructType([T.StructField(n, _TYPES[i]) for n, i in fs])
+)
+
+
+def _consistent(schemas):
+    seen: dict[str, T.DataType] = {}
+    for s in schemas:
+        for f in s.fields:
+            if f.name in seen and seen[f.name] != f.dataType:
+                return False
+            seen[f.name] = f.dataType
+    return True
+
+
+@given(st.lists(_schema, min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_merge_name_set_is_union_and_permutation_invariant(schemas):
+    if not _consistent(schemas):
+        return
+    merged = merge_schemas(schemas)
+    assert {f.name for f in merged.fields} == {f.name for s in schemas for f in s.fields}
+    reversed_merge = merge_schemas(list(reversed(schemas)))
+    assert {f.name for f in merged.fields} == {f.name for f in reversed_merge.fields}
+    # types stable regardless of order (conflict-free inputs)
+    assert {f.name: f.dataType for f in merged.fields} == {
+        f.name: f.dataType for f in reversed_merge.fields
+    }
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),  # id
+            st.one_of(st.none(), st.integers(0, 9)),  # value
+            st.integers(0, 3),  # source order
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dedup_merge_idempotent_and_covering(spark, rows):
+    df = spark.createDataFrame(rows, schema="id int, v int, src int")
+    once = dedup_merge_first_wins(df, "id", order_by=["src"])
+    got = {r.id: r.v for r in once.collect()}
+    # one row per distinct id
+    assert set(got) == {r[0] for r in rows}
+    # idempotent: dedup of the dedup result is itself
+    twice = dedup_merge_first_wins(once, "id", order_by=["src"])
+    assert {(r.id, r.v) for r in twice.collect()} >= {(i, v) for i, v in got.items()}
+    # first-non-null-by-src semantics, python reference model
+    for i in set(r[0] for r in rows):
+        vals = sorted(((s, v) for (j, v, s) in rows if j == i and v is not None))
+        expected = vals[0][1] if vals else None
+        assert got[i] == expected, (i, vals)
+
+
+def test_cast_roundtrip(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "x int")
+    back = df.select(F.col("x").cast("string").cast("int").alias("x"))
+    assert sorted(r.x for r in back.collect()) == list(range(100))
