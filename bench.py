@@ -39,6 +39,9 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_tfidf_top_term",
     "text_quality",
+    "tpch_q5_style",
+    "sql_frontend_q3",
+    "node_upsert",
 ]
 
 

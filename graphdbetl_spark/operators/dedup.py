@@ -110,10 +110,14 @@ def minhash_near_duplicates(
     # Repartition by id before the (CPU-heavy) k×|shingles| hashing:
     # test inputs arrive as one parquet file = one partition, which
     # would serialize the signature computation on a single core.
+    # cache(): the shingle table feeds the bucket self-join AND both
+    # sides of the verification join — uncached, shingling runs 4×.
+    # (At warehouse scale, persist signatures as a table instead.)
     sh = (
         df.repartition(F.col(id_col))
         .select(F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
+        .cache()
     )
 
     # k minhashes. Hash each shingle to an integer ONCE (string hashing
@@ -136,8 +140,10 @@ def minhash_near_duplicates(
         F.struct(F.lit(b).alias("band"), F.hash(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"))
         for b in range(bands)
     ])
-    buckets = with_sig.select(id_col, F.explode(band_cols).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    buckets = (
+        with_sig.select(id_col, F.explode(band_cols).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        .cache()  # consumed by both sides of the candidate self-join
     )
 
     a, b_ = buckets.alias("a"), buckets.alias("b")
