@@ -72,13 +72,34 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_fingerprints(T(spark, sf, "documents"), "text", "doc_id")
 
 
-@query("dedup_ngram_jaccard")  # oracle planned (inverted-index SQL); rows-only for now
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, lang,
+            list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+          FROM t),
+    e AS (SELECT doc_id, lang, len(grams) AS gc, unnest(grams) AS gram FROM g),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gc AS ca, b.gc AS cb,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang
+                         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, ROUND(shared::DOUBLE / (ca + cb - shared), 6) AS jaccard
+    FROM shared WHERE shared::DOUBLE / (ca + cb - shared) >= 0.1
+    """,
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs ≥ 0.1 via inverted-index self-join
-    blocked by lang — candidates only where ≥1 shared gram."""
-    return ngram_jaccard_pairs(
+    """EXACT 3-gram Jaccard pairs ≥ 0.1 via inverted-index self-join
+    blocked by lang — candidates only where ≥1 shared gram (fully
+    oracle-checked, unlike the LSH-approximate dedup_minhash)."""
+    out = ngram_jaccard_pairs(
         T(spark, sf, "documents"), "text", "doc_id", n=3, threshold=0.1, block_cols=["lang"]
     )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 @query(

@@ -665,6 +665,20 @@ def union_by_name(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def union_all(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s)
+
+
+@query(
     "union_distinct",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
