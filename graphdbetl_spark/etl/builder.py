@@ -112,9 +112,21 @@ class GraphDBBuilder:
 
         # Per-source: scan, tag provenance, normalize id/uri onto
         # canonical columns so the merged schema lines up by name.
+        # Optional per-source `fields` (projection) and `filter` (SQL
+        # predicate) are declared in the config and land in the scan via
+        # Catalyst pushdown — the reference always fetched every column
+        # of every row (SELECT *, graph_db_builder.py:482).
         frames = []
         for src_name, src in node.sources.items():
             df = self._read(src_name, src["table"])
+            if src.get("filter"):
+                df = df.filter(src["filter"])
+            if src.get("fields"):
+                keep = list(dict.fromkeys(
+                    list(src["fields"]) + [src["id_key"]]
+                    + ([src["uri_key"]] if src.get("uri_key") else [])
+                ))
+                df = df.select(*keep)
             id_col = F.col(src["id_key"]).cast("string")
             uri_col = F.col(src["uri_key"]).cast("string") if src.get("uri_key") else F.lit(None).cast("string")
             # URI namespacing per source table keeps multi-source ids

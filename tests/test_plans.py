@@ -1,0 +1,93 @@
+"""Plan-shape regression tests: the physical-plan properties
+docs/SCALING.md claims (pushdown, pruning, broadcast, partial
+aggregation, top-k specialization) asserted against .explain output so
+a refactor can't silently regress them."""
+
+import io
+import contextlib
+
+import pytest
+
+from graphdbetl_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def node_count(plan: str, node: str) -> int:
+    """Count physical operators by their detail header '(n) Node'
+    (the tree section repeats names)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {node}\b", plan, flags=re.MULTILINE))
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "scan_parquet")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # pruned read schema: only the 4 projected + 2 filter columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_tax" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "join_fk_inner")
+    assert node_count(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_is_partial_plus_final(spark):
+    plan = plan_of(spark, "agg_hash")
+    # two HashAggregate nodes around one exchange
+    assert node_count(plan, "HashAggregate") == 2
+    assert node_count(plan, "Exchange") == 1
+
+
+def test_sort_limit_uses_take_ordered(spark):
+    plan = plan_of(spark, "sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_node_build_single_shuffle(spark):
+    plan = plan_of(spark, "node_build_party")
+    # merge-dedup = one exchange on the id key, nothing else shuffles
+    assert node_count(plan, "Exchange") == 1
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = plan_of(spark, "join_asof")
+    assert node_count(plan, "Exchange") <= 2  # union shuffle + window partitioning
+
+
+def test_config_declared_pushdown(spark):
+    """fields/filter declared in the YAML config reach the scan."""
+    from graphdbetl_spark.etl.builder import GraphDBBuilder
+    from graphdbetl_spark.plans.graph_etl_q import fixture_config
+
+    cfg = fixture_config(SF)
+    cfg["Nodes"]["Nation"]["sources"]["TPCH"] = {
+        "table": "nation",
+        "id_key": "n_nationkey",
+        "uri_key": "n_name",
+        "fields": ["n_name"],
+        "filter": "n_regionkey > 1",
+    }
+    df = GraphDBBuilder(spark, cfg).build_node("Nation")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "n_regionkey" in read_schema  # filter column read
+    assert "n_comment" not in read_schema
+    assert "GreaterThan(n_regionkey,1)" in plan  # predicate pushed to scan
+    rows = df.collect()
+    assert all(r["n_name"] is not None for r in rows)
+    assert 0 < len(rows) < 25  # filter applied
