@@ -206,6 +206,52 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, bits: int = 
     return df.select(F.col(id_col), fp.alias("simhash"))
 
 
+def dedup_keep_list(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    near_threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Training-data dedup policy: one row per document with
+    keep/drop verdict and reason.
+
+    - exact duplicates: keep the min id per sha256(text), drop the rest
+      ('exact_dup');
+    - near duplicates (n-gram Jaccard ≥ threshold among survivors):
+      drop the higher id of each pair ('near_dup').
+
+    Drop-the-higher-id resolves chains without iteration (no connected
+    components needed): within any near-dup cluster exactly the minimum
+    id survives pairwise domination. Output: (id, keep, reason).
+    """
+    hashed = df.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("__sha")
+    )
+    keep_exact = hashed.groupBy("__sha").agg(F.min(id_col).alias(id_col)).cache()
+    exact_dropped = hashed.join(keep_exact, [id_col, "__sha"], "left_anti").select(
+        F.col(id_col), F.lit(False).alias("keep"), F.lit("exact_dup").alias("reason")
+    )
+
+    # survivors feeds the pair generation AND the kept-list anti-join —
+    # cache so the base scan + digest don't recompute per consumer
+    survivors = df.join(keep_exact.select(id_col), id_col, "left_semi").cache()
+    pairs = ngram_jaccard_pairs(
+        survivors, text_col, id_col, n=3, threshold=near_threshold, block_cols=block_cols
+    )
+    near_dropped_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    near_dropped = near_dropped_ids.select(
+        F.col(id_col), F.lit(False).alias("keep"), F.lit("near_dup").alias("reason")
+    )
+
+    kept = (
+        survivors.select(id_col)
+        .join(near_dropped_ids, id_col, "left_anti")
+        .select(F.col(id_col), F.lit(True).alias("keep"), F.lit("unique").alias("reason"))
+    )
+    return kept.unionByName(near_dropped).unionByName(exact_dropped)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

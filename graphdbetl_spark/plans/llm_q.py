@@ -132,6 +132,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_keep_list",
+    oracle="""
+    WITH keepx AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    ),
+    exact_dropped AS (
+        SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM keepx)
+    ),
+    surv AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM keepx)),
+    t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM surv),
+    g AS (SELECT doc_id, lang,
+            list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+          FROM t),
+    e AS (SELECT doc_id, lang, len(grams) AS gc, unnest(grams) AS gram FROM g),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gc AS ca, b.gc AS cb,
+               COUNT(*) AS shared
+        FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang
+                         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+        HAVING COUNT(*)::DOUBLE / (a.gc + b.gc - COUNT(*)) >= 0.5
+    ),
+    near_ids AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+    SELECT doc_id, TRUE AS keep, 'unique' AS reason FROM surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_ids)
+    UNION ALL
+    SELECT doc_id, FALSE, 'near_dup' FROM near_ids
+    UNION ALL
+    SELECT doc_id, FALSE, 'exact_dup' FROM exact_dropped
+    """,
+)
+def dedup_keep_list_q(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data dedup policy: exact-dup then near-dup
+    (3-gram Jaccard ≥ 0.5, lang-blocked) with deterministic
+    min-id-survives resolution; emits (doc_id, keep, reason)."""
+    from graphdbetl_spark.operators.dedup import dedup_keep_list
+
+    return dedup_keep_list(
+        T(spark, sf, "documents"), "text", "doc_id", near_threshold=0.5, block_cols=["lang"]
+    )
+
+
 # -------------------------------------------------------- similarity
 
 
