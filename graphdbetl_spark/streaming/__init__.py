@@ -5,6 +5,8 @@ from graphdbetl_spark.streaming.windows import (
     streaming_tumbling_counts,
     streaming_dedup,
 )
+from graphdbetl_spark.streaming.stateful import stateful_running_totals
+from graphdbetl_spark.streaming.ingest import start_node_ingest, upsert_batch
 
 __all__ = [
     "tumbling_counts",
@@ -12,4 +14,7 @@ __all__ = [
     "session_stats",
     "streaming_tumbling_counts",
     "streaming_dedup",
+    "stateful_running_totals",
+    "start_node_ingest",
+    "upsert_batch",
 ]
