@@ -68,6 +68,43 @@ def decode_image(payload: bytes) -> object:
     raise NotImplementedError("image codec not available in this environment")
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_size: int = 64,
+    stride: int = 256,
+) -> DataFrame:
+    """Frame sampling over binary payloads (the video path): one input
+    row fans out to N frame rows — mapInPandas is a flat map, so the
+    one-to-many shape needs no explode. The 'decoder' slices fixed
+    windows from the byte stream (deterministic stand-in for a codec's
+    keyframe extraction; swap the slicing for a real decoder at
+    deployment). Output partitioning follows the input — no shuffle."""
+
+    def batches(it):
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for _, row in pdf.iterrows():
+                data = row[payload_col] or b""
+                for i, off in enumerate(range(0, len(data), stride)):
+                    ids.append(row[id_col])
+                    idxs.append(i)
+                    frames.append(bytes(data[off : off + frame_size]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas.
 

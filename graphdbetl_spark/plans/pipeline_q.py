@@ -1,0 +1,150 @@
+"""Composite pipeline + graph-analytics queries: the engine's operators
+composed the way a real training-data or graph workload uses them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphdbetl_spark.functions.text import quality_score, token_count
+from graphdbetl_spark.functions.vectors import cosine_similarity
+from graphdbetl_spark.plans.registry import query
+from graphdbetl_spark.sources.catalog import load_table as T
+
+
+@query(
+    "dedup_embedding_keep",
+    oracle="""
+    WITH pairs AS (
+        SELECT b.vec_id AS dropped
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(
+                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.35
+    )
+    SELECT vec_id, vec_id NOT IN (SELECT dropped FROM pairs) AS keep
+    FROM embeddings
+    """,
+)
+def dedup_embedding_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic (embedding-cosine) dedup keep-list: drop any vector
+    dominated by a smaller-id vector with cosine ≥ 0.35 within its
+    label block — min-id-survives, no iteration. The label block stands
+    in for LSH/IVF buckets at scale."""
+    e = T(spark, sf, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), dv.alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), dv.alias("vb"))
+    dropped = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= 0.35)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return e.select("vec_id").join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left").select(
+        "vec_id", F.col("__d").isNull().alias("keep")
+    )
+
+
+@query(
+    "pipeline_prepare_corpus",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               length(text) AS n,
+               length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+               string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), q AS (
+        SELECT doc_id, lang, len(toks) AS n_tokens,
+            0.4 * (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                        WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+          + 0.3 * (1.0 - CASE WHEN n > 0 THEN CAST(punct AS DOUBLE) / n ELSE 1.0 END)
+          + 0.3 * (CASE WHEN list_sum(list_transform(toks, t -> length(t))) / len(toks)
+                             BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) AS quality
+        FROM scored
+    ), kept AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    )
+    SELECT q.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(q.quality), 6) AS avg_quality
+    FROM q JOIN kept ON q.doc_id = kept.doc_id
+    WHERE q.quality >= 0.7
+    GROUP BY q.lang
+    """,
+)
+def pipeline_prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus preparation: exact-dedup → quality filter
+    (score ≥ 0.7) → per-language token budget. The composition a
+    pretraining data pipeline runs nightly; one scan feeds both the
+    digest and the quality expressions."""
+    d = T(spark, sf, "documents")
+    kept = d.groupBy(F.sha2("text", 256)).agg(F.min("doc_id").alias("doc_id"))
+    scored = d.join(kept, "doc_id", "left_semi").select(
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return (
+        scored.filter(F.col("quality") >= 0.7)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+    WITH deg AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS out_degree
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT out_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY out_degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree distribution of the ORDER_CONTAINS_PART edge table (how
+    many order nodes have k part-edges) — the first sanity query run on
+    any built graph. Two partial-agg shuffles, second one tiny."""
+    li = T(spark, sf, "lineitem")
+    deg = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("out_degree"))
+    return deg.groupBy("out_degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@query(
+    "graph_two_hop",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS reachable_parts,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def graph_two_hop(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-hop traversal (customer -[PLACED]-> order -[CONTAINS]-> part)
+    aggregated per segment: the relational form of a graph pattern
+    match — each hop is an equi-join on the edge key."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    l = T(spark, sf, "lineitem")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("l_partkey").alias("reachable_parts"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )

@@ -23,6 +23,7 @@ _FAMILY_MODULES = (
     "graphdbetl_spark.plans.llm_q",
     "graphdbetl_spark.plans.extra_q",
     "graphdbetl_spark.plans.etl_ops_q",
+    "graphdbetl_spark.plans.pipeline_q",
 )
 
 

@@ -153,3 +153,16 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG")
+
+    def test_frame_sample_fans_out(self, spark):
+        from graphdbetl_spark.operators.multimodal import attach_media_columns, frame_sample
+
+        df = spark.createDataFrame([(1, "x" * 600), (2, "y" * 10)], ["doc_id", "text"])
+        media = attach_media_columns(df, "text")
+        frames = frame_sample(media, frame_size=64, stride=256).collect()
+        by_doc = {}
+        for r in frames:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert len(by_doc[1]) == 3  # 600 bytes / 256 stride -> offsets 0,256,512
+        assert len(by_doc[1][0].frame_bytes) == 64
+        assert len(by_doc[2]) == 1 and len(by_doc[2][0].frame_bytes) == 10
