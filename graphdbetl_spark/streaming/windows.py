@@ -86,6 +86,32 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
 
 
+def streaming_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to clicks by
+    the same user within the preceding ``window``. Both sides carry
+    watermarks so the join state (buffered rows awaiting matches) is
+    evicted once event time passes — the property that keeps a
+    stream-stream join bounded on an unbounded stream."""
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr(f"INTERVAL {window}"))
+    )
+    return p.join(c, cond).select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.value").alias("purchase_value"),
+    )
+
+
 def write_memory_sink(df: DataFrame, name: str) -> DataStreamWriter:
     """Complete-mode memory sink for tests."""
     return df.writeStream.format("memory").queryName(name).outputMode("complete")

@@ -66,6 +66,14 @@ def test_asof_join_single_shuffle(spark):
     assert node_count(plan, "Exchange") <= 2  # union shuffle + window partitioning
 
 
+def test_six_table_join_broadcasts_all_dimensions(spark):
+    plan = plan_of(spark, "tpch_q5_style")
+    # supplier/nation/region broadcast; only customer⋈orders⋈lineitem
+    # (fact chain) plus the final group-by shuffle
+    assert node_count(plan, "BroadcastHashJoin") >= 3
+    assert node_count(plan, "BroadcastExchange") >= 3
+
+
 def test_config_declared_pushdown(spark):
     """fields/filter declared in the YAML config reach the scan."""
     from graphdbetl_spark.etl.builder import GraphDBBuilder

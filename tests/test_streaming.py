@@ -78,6 +78,40 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path):
     assert len(rows) == 2  # the duplicate (1, click, same ts) collapsed
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream join produces the same matches as the
+    equivalent batch interval join over the same files."""
+    from graphdbetl_spark.streaming.windows import streaming_interval_join
+
+    batch = spark.read.parquet(events_dir)
+    purchases_b = batch.filter(F.col("event_type") == "purchase")
+    clicks_b = batch.filter(F.col("event_type") == "click")
+    expected = set(
+        (r.user_id, r.purchase_ts, r.click_ts)
+        for r in streaming_interval_join(purchases_b, clicks_b).collect()
+    )
+    assert expected  # the fixture data produces matches
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    joined = streaming_interval_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = set(
+        (r.user_id, r.purchase_ts, r.click_ts)
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    )
+    assert got == expected
+
+
 def test_late_data_dropped_after_watermark(spark, tmp_path):
     """Three deterministic micro-batches: (1) on-time event at 00:05,
     (2) event at 03:00 advances the watermark past the 00:00 window,
