@@ -176,6 +176,45 @@ def dedup_keep_list_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, lang,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+              FROM t),
+        e AS (SELECT doc_id, lang, len(grams) AS gc, unnest(grams) AS gram FROM g)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang
+                         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, a.gc, b.gc
+        HAVING COUNT(*)::DOUBLE / (a.gc + b.gc - COUNT(*)) >= 0.1
+    ), sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, root) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id
+    )
+    SELECT id, CAST(MIN(root) AS BIGINT) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the 3-gram Jaccard
+    pair graph (min-label propagation, operators/graph.py) — merges
+    chains that pairwise policies under-merge. Oracle: recursive-CTE
+    reachability closure."""
+    from graphdbetl_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        T(spark, sf, "documents"), "text", "doc_id", n=3, threshold=0.1, block_cols=["lang"]
+    )
+    return connected_components(pairs, "id_a", "id_b")
+
+
 # -------------------------------------------------------- similarity
 
 
