@@ -207,7 +207,7 @@ def join_fk_inner(spark: SparkSession, sf: str) -> DataFrame:
     "join_bridge",
     oracle="""
     SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -227,7 +227,7 @@ def join_bridge(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
         )
     )
 
@@ -396,7 +396,7 @@ def join_cross(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            CAST(COUNT(*) AS BIGINT) AS count_order
@@ -412,7 +412,7 @@ def agg_hash(spark: SparkSession, sf: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.count(F.lit(1)).alias("count_order"),
