@@ -37,6 +37,21 @@ def read_source(
     reference's single unbuffered cursor (``graph_db_builder.py:482-486``).
     """
     kind = (source.get("source type") or source.get("type") or "parquet").lower()
+    if kind == "mysql":
+        # The reference's source kind (config.yml:10-13: 'source type:
+        # mysql', 'database name', 'config file'). Spark-side it is JDBC
+        # with a MySQL URL; an unreachable server surfaces at load() and
+        # GraphDBBuilder.build(skip_bad_sources=True) soft-skips it, the
+        # reference's behavior (graph_db_builder.py:317-319).
+        host = source.get("host", "localhost")
+        port = source.get("port", 3306)
+        db = source.get("database name", source.get("database", ""))
+        url = source.get("url", f"jdbc:mysql://{host}:{port}/{db}")
+        opts = {k: v for k, v in source.items()
+                if k in ("user", "password", "driver", "fetchsize",
+                         "partitionColumn", "lowerBound", "upperBound", "numPartitions")}
+        source = {"source type": "jdbc", "url": url, **opts}
+        kind = "jdbc"
     if kind == "jdbc":
         reader = spark.read.format("jdbc")
         for k, v in source.items():

@@ -51,6 +51,46 @@ def test_soft_fail_skips_bad_source(spark):
         GraphDBBuilder(spark, cfg).build()  # strict mode raises
 
 
+def test_mysql_source_soft_skips_like_reference(spark):
+    """A reference-dialect mysql source with no reachable server warns
+    and skips under skip_bad_sources (graph_db_builder.py:317-319)."""
+    cfg = fixture_config(SF_DIR)
+    cfg["Sources"]["AOPDB"] = {"source type": "mysql", "database name": "aopdb",
+                               "host": "127.0.0.1", "port": 1}  # nothing listens
+    cfg["Nodes"]["Gene"] = {
+        "sources": {"AOPDB": {"table": "gene_info", "id_key": "entrez"}}
+    }
+    builder = GraphDBBuilder(spark, cfg)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        builder.build(skip_bad_sources=True)
+    assert any("Gene" in str(w.message) for w in caught)
+    assert "Gene" not in builder.nodes and "Party" in builder.nodes
+
+
+import os
+import pytest as _pytest
+
+_REF_CONFIG = "/root/reference/examples/comptox_ai/config.yml"
+
+
+@_pytest.mark.skipif(not os.path.exists(_REF_CONFIG), reason="reference not present")
+def test_reference_example_config_parses_unchanged(spark):
+    """The reference's own example config loads through our builder
+    verbatim: same YAML dialect, mysql sources soft-skip (no server in
+    this environment), no crash — a user's config.yml ports as-is."""
+    builder = GraphDBBuilder.from_config_file(spark, _REF_CONFIG)
+    assert set(builder.config["Nodes"]) == {"Gene", "AOP", "Disease"}
+    assert set(builder.config["Relationships"]) == {
+        "GENE_INTERACTS_WITH_DISEASE", "AOP_INCLUDES_GENE"
+    }
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        builder.build(skip_bad_sources=True)
+    # every type skipped (unreachable mysql), but the full config walked
+    assert builder.nodes == {} and builder.relationships == {}
+
+
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     from graphdbetl_spark.streaming.stateful import stateful_running_totals
 
