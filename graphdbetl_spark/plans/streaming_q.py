@@ -10,7 +10,7 @@ streaming/windows.py and are pinned by tests/test_streaming.py.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphdbetl_spark.plans.registry import query
 from graphdbetl_spark.sources.catalog import load_table as T
@@ -72,6 +72,82 @@ def stream_session(spark: SparkSession, sf: str) -> DataFrame:
     gaps-and-islands SQL above is the oracle for Spark's native
     session_window."""
     return session_stats(T(spark, sf, "events"), "ts", "30 minutes")
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM marked
+    """,
+)
+def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Assign each event its session number (30-min gap rule) — the
+    row-level companion of session_window's aggregates: gap flag via
+    lag, then a running sum. One shuffle on user_id, both windows share
+    the same sort."""
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact µs arithmetic: cast("long") truncates to seconds and can
+    # misclassify a gap within 1s of the threshold
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    brk = F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return e.select(
+        "event_id", "user_id", F.sum(brk).over(run).cast("long").alias("session_no")
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT) AS viewed,
+           CAST(COUNT(CASE WHEN t_view < t_click THEN 1 END) AS BIGINT) AS clicked_after_view,
+           CAST(COUNT(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END) AS BIGINT)
+               AS purchased_after_both
+    FROM firsts
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase) via first-occurrence
+    timestamps per user: one aggregation, no self-joins — the funnel
+    shape that stays one shuffle at any event volume."""
+    e = T(spark, sf, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    firsts = e.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("viewed"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias("clicked_after_view"),
+        F.count(
+            F.when((F.col("t_view") < F.col("t_click")) & (F.col("t_click") < F.col("t_purchase")), 1)
+        ).alias("purchased_after_both"),
+    )
 
 
 @query(
