@@ -1,0 +1,65 @@
+"""Deterministic sampling and sequence packing for training-data
+pipelines.
+
+All sampling here is HASH-based, not RNG-based: membership is a pure
+function of the row's id (md5 bucket), so splits are reproducible
+across runs, engines, partitionings, and cluster sizes — the property
+train/test splits must have. (``df.sample``/``sampleBy`` are
+partitioning-dependent and can't be replayed by another engine.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def hash_bucket(id_col: Column, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets): first 8 hex chars of md5(id)."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long")
+    return (h % buckets).cast("int")
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_pct: int = 10, buckets: int = 100
+) -> DataFrame:
+    """Tag each row train/test by hash bucket (test = lowest
+    ``test_pct`` buckets)."""
+    b = hash_bucket(F.col(id_col), buckets)
+    return df.withColumn(
+        "split", F.when(b < test_pct, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, strata_col: str, rates: dict[str, int], buckets: int = 100
+) -> DataFrame:
+    """Per-stratum deterministic downsampling: keep a row iff its hash
+    bucket < the stratum's rate (percent). Mixture re-weighting for
+    training corpora, reproducible at any scale."""
+    b = hash_bucket(F.col(id_col), buckets)
+    rate = F.coalesce(
+        *[F.when(F.col(strata_col) == k, F.lit(v)) for k, v in rates.items()],
+        F.lit(0),
+    )
+    return df.filter(b < rate)
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str, size_col: Column, budget: int
+) -> DataFrame:
+    """Greedy sequential packing: order docs by id, accumulate sizes,
+    pack_id = floor(cumulative_size_before / budget).
+
+    The streaming-pack approximation used for LLM sequence packing at
+    corpus scale (exact bin packing is NP-hard and order-dependent);
+    one global window — at 100 TB, partition by shard first and pack
+    within shards.
+    """
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        size_col.cast("long").alias("n_tokens"),
+        F.floor(cum_before / budget).cast("long").alias("pack_id"),
+    )

@@ -428,6 +428,73 @@ def text_tfidf_top_term(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- sampling / packing
+
+
+@query(
+    "split_train_test",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def split_train_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based train/test split (10% test): membership
+    is a pure function of doc_id — reproducible across engines, runs,
+    and partitionings, unlike RNG sampling."""
+    from graphdbetl_spark.operators.sampling import train_test_split
+
+    return train_test_split(T(spark, sf, "documents"), "doc_id", test_pct=10).select(
+        "doc_id", "split"
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 10 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language deterministic mixture downsampling (en 50%, de 30%,
+    others 10%) — corpus re-weighting by hash bucket."""
+    from graphdbetl_spark.operators.sampling import stratified_hash_sample
+
+    d = T(spark, sf, "documents")
+    rates = {"en": 50, "de": 30, "es": 10, "fr": 10, "zh": 10}
+    return stratified_hash_sample(d, "doc_id", "lang", rates).select("doc_id", "lang")
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+                AS BIGINT) AS pack_id
+    FROM sized
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequential sequence packing into 2048-token budgets —
+    (doc_id, n_tokens, pack_id) for LLM batch assembly."""
+    from graphdbetl_spark.operators.sampling import pack_sequences
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return pack_sequences(d, "doc_id", F.col("n_tokens"), budget=2048)
+
+
 # -------------------------------------------------------- multimodal
 
 
