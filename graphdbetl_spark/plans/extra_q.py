@@ -266,6 +266,24 @@ def pivot_status(spark: SparkSession, sf: str) -> DataFrame:
     return out.na.fill(0, ["F", "O", "P"])
 
 
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (wide → long) via stack — the inverse of pivot_status;
+    generates rows in-place, no shuffle."""
+    c = T(spark, sf, "customer")
+    return c.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)",
+    )
+
+
 # ------------------------------------------------- aggregates II
 
 
