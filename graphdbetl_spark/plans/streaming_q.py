@@ -75,6 +75,45 @@ def stream_session(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "rollup_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style hourly rollup (batch form): mergeable partials
+    (count, sum) + read-time derived avg. The incremental maintenance
+    path (merge partials per micro-batch) lives in streaming/rollup.py
+    and is pinned by tests to equal this batch recompute."""
+    from graphdbetl_spark.streaming.rollup import bucket_partials
+
+    p = bucket_partials(T(spark, sf, "events"), "ts", "1 hour")
+    return p.select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+    )
+
+
+@query("sketch_kmv_distinct")  # hash-family-specific (xxhash64) -> rows-only
+def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-count sketch estimates per order status — mergeable
+    K-minimum-values sketch built from collect_set/sort_array/slice
+    (operators/sketch.py; error bound and mergeability unit-tested)."""
+    from graphdbetl_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    o = T(spark, sf, "orders")
+    return kmv_estimate(kmv_sketch(o, ["o_orderstatus"], "o_custkey", k=256), k=256)
+
+
+@query(
     "sessionize_events",
     oracle="""
     WITH marked AS (

@@ -1,0 +1,112 @@
+"""Tests: incremental rollup maintenance (hypertable continuous
+aggregate) and the KMV distinct-count sketch."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from graphdbetl_spark.operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
+from graphdbetl_spark.sources.catalog import load_table
+from graphdbetl_spark.streaming.rollup import (
+    bucket_partials,
+    merge_rollup,
+    read_rollup,
+    start_rollup_maintenance,
+)
+from tests.conftest import SF_DIR
+
+
+class TestRollup:
+    def test_incremental_equals_batch_recompute(self, spark, tmp_path):
+        events = load_table(spark, SF_DIR, "events")
+        first = events.filter(F.dayofmonth("ts") <= 15)
+        second = events.filter(F.dayofmonth("ts") > 15)
+
+        # incremental: merge two deltas
+        r = merge_rollup(None, bucket_partials(first))
+        r = merge_rollup(r, bucket_partials(second))
+        inc = {
+            (x.bucket, x.event_type): (x.n_events, round(x.sum_value, 6))
+            for x in r.collect()
+        }
+        # batch recompute over everything
+        full = {
+            (x.bucket, x.event_type): (x.n_events, round(x.sum_value, 6))
+            for x in bucket_partials(events).collect()
+        }
+        assert inc.keys() == full.keys()
+        for key in full:
+            assert inc[key][0] == full[key][0]
+            assert inc[key][1] == pytest.approx(full[key][1], abs=1e-6)
+
+    def test_streaming_maintenance(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        rollup = str(tmp_path / "rollup")
+        ckpt = str(tmp_path / "ck")
+        os.makedirs(src)
+        events = load_table(spark, SF_DIR, "events").limit(200)
+
+        def drop(df, name):
+            df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+            for f in os.listdir(str(tmp_path / name)):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(str(tmp_path / name), f), os.path.join(src, f"{name}.parquet"))
+
+        drop(events.filter(F.col("event_id") < 100), "b1")
+        schema = spark.read.parquet(src).schema
+        q = start_rollup_maintenance(
+            spark.readStream.schema(schema).parquet(src), rollup, ckpt
+        )
+        q.awaitTermination(120)
+        drop(events.filter(F.col("event_id") >= 100), "b2")
+        q2 = start_rollup_maintenance(
+            spark.readStream.schema(schema).parquet(src), rollup, ckpt
+        )
+        q2.awaitTermination(120)
+
+        got = {
+            (r.bucket, r.event_type): r.n_events
+            for r in read_rollup(spark, rollup).collect()
+        }
+        exp = {
+            (r.bucket, r.event_type): r.n_events
+            for r in bucket_partials(events).collect()
+        }
+        assert got == exp
+
+
+class TestKMV:
+    def test_estimate_within_error_bound(self, spark):
+        orders = load_table(spark, SF_DIR, "orders")
+        sk = kmv_sketch(orders, ["o_orderstatus"], "o_custkey", k=256)
+        est = {r.o_orderstatus: r.distinct_est for r in kmv_estimate(sk, k=256).collect()}
+        exact = {
+            r.o_orderstatus: r.n
+            for r in orders.groupBy("o_orderstatus")
+            .agg(F.countDistinct("o_custkey").alias("n"))
+            .collect()
+        }
+        for status, n in exact.items():
+            assert est[status] == pytest.approx(n, rel=0.15), (status, est[status], n)
+
+    def test_small_groups_exact(self, spark):
+        df = spark.createDataFrame([(1, i % 7) for i in range(100)], "g int, v int")
+        est = kmv_estimate(kmv_sketch(df, ["g"], "v", k=64), k=64).first()
+        assert est.distinct_est == 7.0
+
+    def test_mergeability(self, spark):
+        orders = load_table(spark, SF_DIR, "orders")
+        a = orders.filter(F.col("o_orderkey") % 2 == 0)
+        b = orders.filter(F.col("o_orderkey") % 2 == 1)
+        merged = kmv_merge(
+            kmv_sketch(a, ["o_orderstatus"], "o_custkey").unionByName(
+                kmv_sketch(b, ["o_orderstatus"], "o_custkey")
+            ),
+            ["o_orderstatus"],
+        )
+        direct = kmv_sketch(orders, ["o_orderstatus"], "o_custkey")
+        m = {r.o_orderstatus: r.kmv for r in merged.collect()}
+        d = {r.o_orderstatus: r.kmv for r in direct.collect()}
+        assert m == d  # sketch(A ∪ B) == merge(sketch(A), sketch(B))
