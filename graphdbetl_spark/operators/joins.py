@@ -59,6 +59,35 @@ def asof_join(
     return out
 
 
+def bucketized_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key: ``left.point ∈
+    [right.lo, right.hi]``.
+
+    Naively this is a broadcast-nested-loop (every left row × every
+    right interval). Bucketizing manufactures the missing equi key:
+    each interval explodes to the buckets it overlaps, each point maps
+    to its bucket, and the join becomes bucket-equi + residual filter.
+    Cost scales with (intervals × avg buckets per interval) instead of
+    |left|×|right| — choose ``bucket_width`` ≈ typical interval length
+    so each interval lands in O(1) buckets.
+    """
+    lo_b = F.floor(F.col(right_lo) / bucket_width).cast("long")
+    hi_b = F.floor(F.col(right_hi) / bucket_width).cast("long")
+    r_exploded = right.withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b)))
+    l_bucketed = left.withColumn("__bucket", F.floor(F.col(left_point) / bucket_width).cast("long"))
+    joined = l_bucketed.join(r_exploded, "__bucket").filter(
+        (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi))
+    )
+    return joined.drop("__bucket")
+
+
 def topk_per_group(
     df: DataFrame, group_cols: list[str], order_col: str, k: int, descending: bool = True
 ) -> DataFrame:

@@ -122,6 +122,67 @@ def histogram_bins(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dq_checks",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS nn_cust,
+               CAST(COUNT(CASE WHEN NOT (o_totalprice BETWEEN 0 AND 1000000) THEN 1 END) AS BIGINT) AS rng_price,
+               CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS BIGINT) AS acc_status,
+               CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS uniq_key
+        FROM orders
+    )
+    SELECT 'not_null:o_custkey' AS rule, nn_cust AS violations, total FROM agg
+    UNION ALL SELECT 'range:o_totalprice', rng_price, total FROM agg
+    UNION ALL SELECT 'accepted:o_orderstatus', acc_status, total FROM agg
+    UNION ALL SELECT 'unique:o_orderkey', uniq_key, total FROM agg
+    """,
+)
+def dq_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality rules compiled into ONE aggregation pass
+    (etl/quality.py): not-null, range, accepted-values, uniqueness."""
+    from graphdbetl_spark.etl.quality import check_constraints
+
+    return check_constraints(
+        T(spark, sf, "orders"),
+        not_null=["o_custkey"],
+        unique=["o_orderkey"],
+        ranges={"o_totalprice": (0, 1_000_000)},
+        accepted={"o_orderstatus": ["F", "O", "P"]},
+    )
+
+
+@query(
+    "range_join_bucketized",
+    oracle="""
+    WITH intervals AS (
+        SELECT o_orderkey, o_totalprice - 500 AS lo, o_totalprice + 500 AS hi
+        FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT i.o_orderkey AS interval_key,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_in_range
+    FROM intervals i JOIN part p ON p.p_retailprice * 100 BETWEEN i.lo AND i.hi
+    GROUP BY i.o_orderkey
+    """,
+)
+def range_join_bucketized(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure range join (NO equi key): parts whose scaled price falls in
+    each order's ±500 window. Bucketization manufactures the equi key
+    (operators/joins.py) — bucket-equi join + residual filter instead of
+    a nested-loop over |orders|×|parts|."""
+    from graphdbetl_spark.operators.joins import bucketized_range_join
+
+    o = T(spark, sf, "orders").filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("interval_key"),
+        (F.col("o_totalprice") - 500).alias("lo"),
+        (F.col("o_totalprice") + 500).alias("hi"),
+    )
+    p = T(spark, sf, "part").select((F.col("p_retailprice") * 100).alias("price_pt"))
+    joined = bucketized_range_join(p, o, "price_pt", "lo", "hi", bucket_width=1000.0)
+    return joined.groupBy("interval_key").agg(F.count(F.lit(1)).alias("n_parts_in_range"))
+
+
+@query(
     "regex_extract",
     oracle="""
     SELECT c_custkey,
