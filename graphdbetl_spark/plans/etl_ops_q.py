@@ -122,6 +122,45 @@ def histogram_bins(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "scd2_history",
+    oracle="""
+    WITH snap1 AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+    ), snap2 AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal
+        FROM customer
+    )
+    SELECT s1.c_custkey, s1.c_mktsegment, s1.c_acctbal,
+           TIMESTAMP '2024-01-01' AS valid_from,
+           CASE WHEN s1.c_custkey % 5 = 0 THEN TIMESTAMP '2024-02-01' END AS valid_to
+    FROM snap1 s1
+    UNION ALL
+    SELECT s2.c_custkey, s2.c_mktsegment, s2.c_acctbal,
+           TIMESTAMP '2024-02-01', CAST(NULL AS TIMESTAMP)
+    FROM snap2 s2 WHERE s2.c_custkey % 5 = 0
+    """,
+)
+def scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 maintenance (etl/scd2.py): snapshot 1 bootstraps the
+    dimension; snapshot 2 changes acctbal for every 5th customer →
+    those rows close at the second effective date and reopen with the
+    new value. Full version history, emulated MERGE (full-outer join +
+    unions)."""
+    from graphdbetl_spark.etl.scd2 import scd2_apply, scd2_init
+
+    c = T(spark, sf, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    t1 = F.to_timestamp(F.lit("2024-01-01"))
+    t2 = F.to_timestamp(F.lit("2024-02-01"))
+    table = scd2_init(c, "c_custkey", ["c_mktsegment", "c_acctbal"], t1)
+    delta = c.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 10).otherwise(F.col("c_acctbal")),
+    )
+    return scd2_apply(table, delta, "c_custkey", ["c_mktsegment", "c_acctbal"], t2)
+
+
+@query(
     "dq_checks",
     oracle="""
     WITH agg AS (
