@@ -80,16 +80,17 @@ def stream_session(spark: SparkSession, sf: str) -> DataFrame:
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 6) AS sum_value,
-           ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+           ROUND(SUM(value), 6) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
 def rollup_hourly(spark: SparkSession, sf: str) -> DataFrame:
-    """Hypertable-style hourly rollup (batch form): mergeable partials
-    (count, sum) + read-time derived avg. The incremental maintenance
-    path (merge partials per micro-batch) lives in streaming/rollup.py
-    and is pinned by tests to equal this batch recompute."""
+    """Hypertable-style hourly rollup (batch form): the MERGEABLE
+    partials (count, sum) only — derived metrics like avg are read-time
+    divisions (read_rollup), never stored (and a sum/count quotient can
+    land exactly on a rounding half-boundary, e.g. 1391.13/32, where
+    engines disagree). Incremental maintenance lives in
+    streaming/rollup.py, pinned by tests to equal this batch recompute."""
     from graphdbetl_spark.streaming.rollup import bucket_partials
 
     p = bucket_partials(T(spark, sf, "events"), "ts", "1 hour")
@@ -98,7 +99,6 @@ def rollup_hourly(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         "n_events",
         F.round("sum_value", 6).alias("sum_value"),
-        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
     )
 
 
