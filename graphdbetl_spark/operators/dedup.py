@@ -252,6 +252,39 @@ def dedup_keep_list(
     return kept.unionByName(near_dropped).unionByName(exact_dropped)
 
 
+def simhash_fingerprints_md5(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 48
+) -> DataFrame:
+    """SimHash over an engine-portable hash family: token hash = first
+    12 hex chars of md5 (48 bits), available bit-identically in any
+    engine with md5 — which makes the fingerprint ORACLE-CHECKABLE,
+    unlike the xxhash64 variant (xxhash64 exists only in Spark).
+    Same vote/fold structure as simhash_fingerprints.
+    """
+    df = df.repartition(F.col(id_col))
+    tok = _tokens(F.col(text_col))
+    masks = [1 << i for i in range(bits)]
+    zero = F.array_repeat(F.lit(0), bits)
+    votes = F.aggregate(
+        tok,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(
+                    F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long").bitwiseAND(F.lit(m)) != 0,
+                    1,
+                ).otherwise(-1)
+                for m in masks
+            ]),
+            lambda a, b: a + b,
+        ),
+    )
+    bits_col = F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    fp = F.aggregate(bits_col, F.lit(0).cast("long"), lambda acc, b: F.shiftleft(acc, 1) + b)
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -66,10 +66,49 @@ def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # hash-function specific -> rows-only
+@query("dedup_simhash")  # xxhash64 family is Spark-only -> rows-only
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash fingerprints; fingerprint-equal docs are near-dups."""
     return simhash_fingerprints(T(spark, sf, "documents"), "text", "doc_id")
+
+
+# Oracle for the md5-family SimHash: generated SQL (48 per-bit votes),
+# bit-identical to the Spark fold because md5 is engine-portable.
+_SIMHASH_BITS = 48
+_SIMHASH_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h FROM tok
+    ), votes AS (
+        SELECT doc_id,
+        {votes}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ({fold}) AS simhash
+    FROM votes
+""".format(
+    votes=",\n        ".join(
+        f"SUM(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(_SIMHASH_BITS)
+    ),
+    fold=" + ".join(
+        f"(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << (_SIMHASH_BITS - 1 - i)}"
+        for i in range(_SIMHASH_BITS)
+    ),
+)
+
+
+@query("dedup_simhash_md5", oracle=_SIMHASH_ORACLE)
+def dedup_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash over the engine-portable md5 hash family (48-bit) —
+    same vote/fold pipeline as dedup_simhash but ORACLE-CHECKED: DuckDB
+    reproduces the fingerprint bit-for-bit."""
+    from graphdbetl_spark.operators.dedup import simhash_fingerprints_md5
+
+    return simhash_fingerprints_md5(T(spark, sf, "documents"), "text", "doc_id")
 
 
 @query(

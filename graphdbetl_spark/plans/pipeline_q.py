@@ -121,6 +121,53 @@ def graph_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "graph_triangle_count",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((
+               SELECT COUNT(*)
+               FROM edges e1
+               JOIN edges e2 ON e1.v = e2.u
+               JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+           ) AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle count on the co-purchase part graph (parts sharing an
+    order are connected). Orientation by vertex id (u<v) means each
+    triangle is counted exactly once and every wedge join fans out only
+    to higher ids — the degree-ordering trick that makes triangle
+    counting tractable on skewed graphs."""
+    items = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .cache()  # reused three times in the wedge-close join
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    triangles = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .count()
+    )
+    n_edges = edges.count()
+    return spark.createDataFrame([(n_edges, triangles)], "n_edges long, n_triangles long")
+
+
+@query(
     "graph_two_hop",
     oracle="""
     SELECT c.c_mktsegment,

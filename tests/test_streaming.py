@@ -78,6 +78,45 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path):
     assert len(rows) == 2  # the duplicate (1, click, same ts) collapsed
 
 
+def test_streaming_session_window_matches_batch(spark, events_dir):
+    """session_window in real streaming mode (watermarked, append)
+    produces the same closed sessions as the batch form."""
+    from graphdbetl_spark.streaming.windows import session_stats
+
+    batch_df = spark.read.parquet(events_dir)
+    expected = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value)
+        for r in session_stats(batch_df, "ts", "30 minutes").collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select("user_id", F.col("sess.start").alias("session_start"), "n_events", "sum_value")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    # append mode emits only watermark-closed sessions: all sessions
+    # except those within 1h of max event time; emitted ones must match
+    assert got
+    for key, val in got.items():
+        assert expected[key] == val
+    # and the vast majority of batch sessions were emitted
+    assert len(got) >= 0.95 * len(expected)
+
+
 def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     """Watermarked stream-stream join produces the same matches as the
     equivalent batch interval join over the same files."""
