@@ -1,0 +1,53 @@
+"""Compaction and Z-order layout tests: file counts and per-file
+min/max tightness (the property data skipping depends on)."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from graphdbetl_spark.etl.maintenance import compact_dataset, write_zordered
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    path = str(tmp_path / "fragmented")
+    spark.range(10000).toDF("x").repartition(64).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 64
+    compact_dataset(spark, path, target_file_bytes=10 * 1024 * 1024)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) <= 2
+    assert spark.read.parquet(path).count() == 10000  # no rows lost
+
+
+def _file_ranges(path, col):
+    out = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            cols = {md.row_group(rg).column(i).path_in_schema: md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)}
+            st = cols[col].statistics
+            los.append(st.min)
+            his.append(st.max)
+        out.append((min(los), max(his)))
+    return out
+
+
+def test_zorder_tightens_both_columns(spark, tmp_path):
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zord")
+    orders.repartition(8).write.parquet(plain)  # random layout
+    write_zordered(orders, zord, "o_custkey", "o_totalprice", n_files=8)
+
+    def avg_width(path, col):
+        ranges = _file_ranges(path, col)
+        return sum(hi - lo for lo, hi in ranges) / len(ranges)
+
+    # a random layout's every file spans ~the full domain of both
+    # columns; the z-ordered layout must tighten BOTH substantially
+    for col in ("o_custkey", "o_totalprice"):
+        assert avg_width(zord, col) < 0.65 * avg_width(plain, col), col
+
+    assert spark.read.parquet(zord).count() == orders.count()
