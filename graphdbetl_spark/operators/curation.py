@@ -1,0 +1,132 @@
+"""Training-corpus curation operators: benchmark decontamination,
+PII scrubbing, deterministic global shuffle, and intra-document
+repetition scoring.
+
+North-star extensions (BASELINE.json): the reference streams rows into
+a graph store (`graph_db_builder.py:491-543`) with no notion of corpus
+hygiene; these are the operations a large-scale training-data pipeline
+layers on top of that ingest path. All are pure DataFrame algebra —
+whole-stage-codegen expressions plus at most one shuffle each.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from graphdbetl_spark.operators.dedup import _tokens, _word_ngrams
+from graphdbetl_spark.operators.sampling import hash_bucket
+
+# PII patterns chosen to be portable between Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookarounds, no backreferences.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def decontaminate_against_eval(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag every candidate-training document
+    that shares at least one word ``n``-gram with any document in
+    ``eval_df`` (the held-out benchmark set).
+
+    Scale shape: the eval set is tiny relative to the corpus (benchmarks
+    are a few MB against 100 TB of training data), so its distinct-gram
+    set is BROADCAST and contamination detection is a map-side semi-join
+    — the corpus is scanned once, never shuffled.
+
+    Returns (id_col, contaminated: boolean) for candidate documents.
+    """
+    grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
+    eval_grams = (
+        eval_df.select(F.explode(grams).alias("gram")).distinct()
+    )
+    doc_grams = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    contaminated = (
+        doc_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        df.select(id_col)
+        .join(contaminated, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact email / phone / IPv4 literals and count redactions.
+
+    One projection, zero shuffles: chained ``regexp_replace`` plus
+    ``regexp_extract_all`` counts, all JVM-side codegen. Patterns in
+    ``PII_PATTERNS`` are RE2-compatible so the DuckDB oracle replays
+    them verbatim.
+    """
+    scrubbed: Column = F.col(text_col)
+    n_redactions: Column = F.lit(0)
+    for pat, repl in PII_PATTERNS:
+        n_redactions = n_redactions + F.size(
+            F.regexp_extract_all(scrubbed, F.lit(pat), 0)
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed_text"),
+        n_redactions.cast("long").alias("n_redactions"),
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: str = "42", shards: int = 8
+) -> DataFrame:
+    """Seeded, engine-reproducible global shuffle for training-order
+    assignment: shuffle key = md5(seed ':' id); shard = key bucket;
+    pos = rank of the key within the shard.
+
+    Scale shape: no global sort — one hash shuffle on ``shard`` and a
+    within-shard sort, so each of the ``shards`` output streams is
+    independently ordered (exactly how a 100 TB corpus is consumed by
+    N parallel data loaders). Reshuffling = changing ``seed``.
+    """
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("shuffle_key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style intra-document repetition signal: the fraction of
+    word ``n``-grams that are duplicates of an earlier n-gram in the
+    same document. High values indicate boilerplate/spam; the standard
+    pretraining quality filter thresholds on it.
+
+    Pure per-row array expressions — no shuffle, no UDF.
+    """
+    grams = _word_ngrams(_tokens(F.col(text_col)), n)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    dup_frac = F.when(
+        n_grams > 0, F.round((n_grams - n_distinct) / n_grams, 6)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_grams.cast("long").alias("n_grams"),
+        dup_frac.alias("dup_frac"),
+    )

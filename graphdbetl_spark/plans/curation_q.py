@@ -1,0 +1,140 @@
+"""Corpus-curation queries (north-star training-data extensions):
+benchmark decontamination, PII scrubbing, deterministic training-order
+shuffle, intra-document repetition scoring.
+
+Every query here is fully oracle-checked: the PII regexes are written
+in the RE2-compatible subset so DuckDB replays them verbatim, and the
+shuffle/decontamination keys use the engine-portable md5 family.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphdbetl_spark.operators.curation import (
+    PII_PATTERNS,
+    decontaminate_against_eval,
+    deterministic_shuffle,
+    repetition_stats,
+    scrub_pii,
+)
+from graphdbetl_spark.operators.sampling import hash_bucket
+from graphdbetl_spark.plans.registry import query
+from graphdbetl_spark.sources.catalog import load_table as T
+
+
+@query(
+    "decontaminate_ngrams",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+                   AS is_eval
+        FROM documents
+    ), t AS (
+        SELECT doc_id, is_eval, string_split_regex(trim(text), '\\s+') AS toks FROM split
+    ), g AS (
+        SELECT doc_id, is_eval,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                        || toks[i+3] || ' ' || toks[i+4])) AS grams
+        FROM t
+    ), e AS (SELECT doc_id, is_eval, unnest(grams) AS gram FROM g),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM e
+        WHERE NOT is_eval AND gram IN (SELECT gram FROM e WHERE is_eval)
+    )
+    SELECT s.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+    FROM split s LEFT JOIN contaminated c USING (doc_id)
+    WHERE NOT s.is_eval
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with the held-out eval split (hash buckets 0-9). The eval
+    gram set is broadcast — the corpus side is scanned, never
+    shuffled (the 100 TB shape: benchmarks are MBs, corpora are TBs)."""
+    d = T(spark, sf, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    return decontaminate_against_eval(
+        d.filter(b >= 10), "text", "doc_id", d.filter(b < 10), n=5
+    )
+
+
+_E, _P, _I = (p for p, _ in PII_PATTERNS)
+
+_PII_ORACLE = """
+    WITH s1 AS (
+        SELECT doc_id,
+               regexp_replace(text, '{e}', '<EMAIL>', 'g') AS t1,
+               len(regexp_extract_all(text, '{e}')) AS c1
+        FROM documents
+    ), s2 AS (
+        SELECT doc_id,
+               regexp_replace(t1, '{p}', '<PHONE>', 'g') AS t2,
+               c1, len(regexp_extract_all(t1, '{p}')) AS c2
+        FROM s1
+    )
+    SELECT doc_id,
+           regexp_replace(t2, '{i}', '<IP>', 'g') AS scrubbed_text,
+           CAST(c1 + c2 + len(regexp_extract_all(t2, '{i}')) AS BIGINT) AS n_redactions
+    FROM s2
+""".format(e=_E, p=_P, i=_I)  # DuckDB quotes are escape-free: patterns verbatim
+
+
+@query("pii_scrub", oracle=_PII_ORACLE)
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (email/phone/IPv4 → typed placeholder tokens) with
+    a per-doc redaction count — one shuffle-free codegen projection.
+    The oracle SQL is generated from the same PII_PATTERNS tuple."""
+    return scrub_pii(T(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "shuffle_deterministic",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(shuffle_key, 1, 8))::BIGINT % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY ('0x' || substr(shuffle_key, 1, 8))::BIGINT % 8
+               ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def shuffle_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded training-order shuffle: md5-keyed shard + within-shard
+    position. No global sort — one hash shuffle into 8 independently
+    ordered shards (how N parallel loaders consume a 100 TB corpus);
+    reshuffle = change the seed."""
+    return deterministic_shuffle(T(spark, sf, "documents"), "doc_id", seed="42", shards=8)
+
+
+@query(
+    "doc_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                              i -> toks[i] || ' ' || toks[i+1]) AS grams
+        FROM t
+    )
+    SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+           CASE WHEN len(grams) > 0
+                THEN ROUND((len(grams) - len(list_distinct(grams)))::DOUBLE
+                           / len(grams), 6)
+                ELSE 0.0 END AS dup_frac
+    FROM g
+    """,
+)
+def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signal: duplicate word-bigram fraction
+    per document (boilerplate/spam filter) — per-row array expressions,
+    zero shuffles."""
+    return repetition_stats(T(spark, sf, "documents"), "text", "doc_id", n=2)

@@ -24,6 +24,7 @@ _FAMILY_MODULES = (
     "graphdbetl_spark.plans.extra_q",
     "graphdbetl_spark.plans.etl_ops_q",
     "graphdbetl_spark.plans.pipeline_q",
+    "graphdbetl_spark.plans.curation_q",
 )
 
 
