@@ -137,6 +137,54 @@ def sql_frontend_q3(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_Q3_SQL)
 
 
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_frontend_q1", oracle=_Q1_SQL)
+def sql_frontend_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape through the SQL frontend (identical text on both
+    engines): the canonical single-scan partial+final aggregation —
+    at 100 TB this is one pass, map-side combine, 6-group shuffle.
+    l_quantity is integer-valued in the fixtures so its sum casts
+    exactly; money sums round at 4 (ROADMAP invariant)."""
+    T(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_SQL)
+
+
+_Q18_SQL = """
+SELECT c.c_name, o.o_orderkey, o.o_totalprice, o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 150)
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@query("sql_frontend_q18", oracle=_Q18_SQL)
+def sql_frontend_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN-subquery with
+    grouped HAVING — Catalyst rewrites the IN to a left-semi join, so
+    the big lineitem aggregation happens once and semi-prunes orders
+    before the customer join."""
+    for t in ("customer", "orders", "lineitem"):
+        T(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_Q18_SQL)
+
+
 # ---------------------------------------------------- UDTF / UDAF
 
 

@@ -99,3 +99,27 @@ def test_config_declared_pushdown(spark):
     rows = df.collect()
     assert all(r["n_name"] is not None for r in rows)
     assert 0 < len(rows) < 25  # filter applied
+
+
+def test_curation_ops_shuffle_free_or_minimal(spark):
+    # pii_scrub and doc_repetition are pure projections: zero exchanges
+    for name in ("pii_scrub", "doc_repetition"):
+        assert node_count(plan_of(spark, name), "Exchange") == 0, name
+    # seeded shuffle: exactly one hash exchange (shard partitioning)
+    plan = plan_of(spark, "shuffle_deterministic")
+    assert node_count(plan, "Exchange") == 1
+    assert "Sort" in plan  # within-shard order only, no global sort
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    plan = plan_of(spark, "decontaminate_ngrams")
+    # eval-gram set and contaminated-id set both broadcast: the corpus
+    # side is scanned, never shuffled for the joins
+    assert node_count(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_sql_q18_semi_join_rewrite(spark):
+    plan = plan_of(spark, "sql_frontend_q18")
+    # the IN-subquery must become a semi join, not a full join+distinct
+    assert "LeftSemi" in plan
