@@ -111,3 +111,14 @@ def rolling_fingerprint(text: Column, base: int = 257, mod: int = (1 << 61) - 1)
         lambda acc, c: (acc * base + F.ascii(c)) % F.lit(mod).cast("decimal(38,0)"),
         lambda acc: acc.cast("string"),
     )
+
+
+# RE2-compatible subword proxy: alnum runs or single non-alnum,
+# non-space chars (CJK text counts per character). No lookarounds, so
+# the DuckDB oracle replays the pattern verbatim (unlike the
+# lookaround-based bpe_ish_token_count).
+PORTABLE_SUBWORD_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def portable_subword_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PORTABLE_SUBWORD_PATTERN), F.lit(0)))

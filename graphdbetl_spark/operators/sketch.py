@@ -52,3 +52,29 @@ def kmv_estimate(sketches: DataFrame, k: int = 256) -> DataFrame:
     # exact when the group had fewer than k distinct values
     est = F.when(n < k, n.cast("double")).otherwise((F.lit(k - 1)) / kth)
     return sketches.withColumn("distinct_est", F.round(est, 1)).drop("kmv")
+
+
+def kmv_distinct_md5(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
+    """Corpus-wide KMV distinct estimate over the engine-portable md5
+    family — ORACLE-CHECKABLE, unlike the xxhash64 sketch above: DuckDB
+    reproduces the k-minimum hex strings bit-for-bit.
+
+    Plan shape: distinct (one shuffle) → TakeOrdered(k) on the hex
+    string (no full sort) → single-row estimate. At 100 TB use the
+    per-partition kmv_sketch/kmv_merge path instead; this variant
+    exists to pin the estimator's arithmetic against an oracle.
+
+    Estimate = (k-1) / unit(kth_min), unit(h) = first 15 hex digits of
+    md5 as an integer / 16^15; exact count when fewer than k values.
+    """
+    h = df.select(F.md5(F.col(value_col)).alias("hh")).distinct()
+    kmin = h.orderBy("hh").limit(k)
+    agg = kmin.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("hh").alias("max_h"),
+    )
+    unit = F.conv(F.substring("max_h", 1, 15), 16, 10).cast("double") / float(16**15)
+    est = F.when(F.col("k_used") == k, F.lit(float(k - 1)) / unit).otherwise(
+        F.col("k_used").cast("double")
+    )
+    return agg.select("k_used", F.round(est, 4).alias("est_distinct"))

@@ -410,6 +410,29 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@query(
+    "text_tokens_portable",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT) AS n_subword_tokens
+    FROM documents
+    """,
+)
+def text_tokens_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Subword token-budget proxy in the RE2-compatible regex subset
+    (alnum runs, or per-character for CJK/punct) — the oracle replays
+    PORTABLE_SUBWORD_PATTERN verbatim, unlike the lookaround-based
+    text_tokens below."""
+    from graphdbetl_spark.functions.text import portable_subword_token_count
+
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        portable_subword_token_count(F.col("text")).cast("long").alias("n_subword_tokens"),
+    )
+
+
 @query("text_tokens")  # BPE-ish split uses lookarounds (not RE2) -> rows-only
 def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting two ways: whitespace words and a BPE-ish

@@ -114,6 +114,36 @@ def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "sketch_kmv_md5",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), h AS (
+        SELECT md5(tok) AS hh FROM tok WHERE tok <> ''
+    ), k AS (SELECT hh FROM h ORDER BY hh LIMIT 64)
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+           ROUND(CASE WHEN COUNT(*) = 64
+                 THEN 63.0 / (('0x' || substr(MAX(hh), 1, 15))::BIGINT
+                              / power(16.0, 15))
+                 ELSE COUNT(*)::DOUBLE END, 4) AS est_distinct
+    FROM k
+    """,
+)
+def sketch_kmv_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-token estimate over the engine-portable md5 family:
+    the estimator arithmetic is ORACLE-CHECKED bit-for-bit (the
+    xxhash64 sketch above stays rows-only). TakeOrdered(64), no full
+    sort; at 100 TB the mergeable per-partition path applies."""
+    from graphdbetl_spark.functions.text import tokens
+    from graphdbetl_spark.operators.sketch import kmv_distinct_md5
+
+    d = T(spark, sf, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return kmv_distinct_md5(toks, "tok", k=64)
+
+
+@query(
     "sessionize_events",
     oracle="""
     WITH marked AS (

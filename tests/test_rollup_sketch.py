@@ -110,3 +110,37 @@ class TestKMV:
         m = {r.o_orderstatus: r.kmv for r in merged.collect()}
         d = {r.o_orderstatus: r.kmv for r in direct.collect()}
         assert m == d  # sketch(A ∪ B) == merge(sketch(A), sketch(B))
+
+
+class TestKMVMd5:
+    def test_exact_below_k(self, spark):
+        from graphdbetl_spark.operators.sketch import kmv_distinct_md5
+
+        df = spark.createDataFrame([(f"v{i}",) for i in range(10)] * 3, "tok string")
+        row = kmv_distinct_md5(df, "tok", k=64).collect()[0]
+        assert row["k_used"] == 10 and row["est_distinct"] == 10.0
+
+    def test_estimate_within_bound_above_k(self, spark):
+        from graphdbetl_spark.operators.sketch import kmv_distinct_md5
+
+        n = 2000
+        df = spark.createDataFrame([(f"val{i}",) for i in range(n)], "tok string")
+        row = kmv_distinct_md5(df, "tok", k=64).collect()[0]
+        assert row["k_used"] == 64
+        assert abs(row["est_distinct"] - n) / n < 0.5  # ~1/sqrt(62) ≈ 13% typical
+
+
+def test_portable_subword_tokens(spark):
+    import pyspark.sql.functions as F
+    from graphdbetl_spark.functions.text import portable_subword_token_count
+
+    df = spark.createDataFrame(
+        [(1, "don't stop, it's 2024!"), (2, "的是了"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", portable_subword_token_count(F.col("text")).alias("n")).collect()}
+    # don | ' | t | stop | , | it | ' | s | 2024 | !
+    assert out[1] == 10
+    assert out[2] == 3  # one per CJK char
+    assert out[3] == 0
