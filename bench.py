@@ -41,7 +41,9 @@ HEADLINE = [
     "text_quality",
     "tpch_q5_style",
     "sql_frontend_q3",
+    "sql_frontend_q1",
     "node_upsert",
+    "decontaminate_ngrams",
 ]
 
 
