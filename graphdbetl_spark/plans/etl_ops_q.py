@@ -239,3 +239,95 @@ def regex_extract(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_name").rlike("^Customer#").alias("is_customer"),
         F.regexp_replace("c_name", r"[0-9]+", "<N>").alias("name_masked"),
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 7 <> 0
+    ), b AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 5 <> 0
+    )
+    SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+           CASE WHEN a.c_custkey IS NULL THEN 'added'
+                WHEN b.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           a.c_acctbal AS old_c_acctbal, b.c_acctbal AS new_c_acctbal
+    FROM a FULL JOIN b ON a.c_custkey = b.c_custkey
+    WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+          OR a.c_acctbal <> b.c_acctbal
+    """,
+)
+def snapshot_diff_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation: added/removed/changed rows between two
+    derived customer snapshots (operators/reconcile.py). One full-outer
+    join on the key; emits only the delta."""
+    from graphdbetl_spark.operators.reconcile import snapshot_diff
+
+    c = T(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    a = c.filter(F.col("c_custkey") % 7 != 0)
+    b = c.filter(F.col("c_custkey") % 5 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 50)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    return snapshot_diff(a, b, ["c_custkey"], ["c_acctbal"])
+
+
+@query(
+    "cdc_apply",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+    ), log AS (
+        SELECT c_custkey, 'U' AS op, 2 AS seq, c_name, c_acctbal + 100 AS c_acctbal
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, 'I', 1, c_name, c_acctbal + 1000
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, 'D', 3, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        FROM customer WHERE c_custkey % 5 = 0
+    ), latest AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+            FROM log
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(l.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(l.c_name, b.c_name) AS c_name,
+           COALESCE(l.c_acctbal, b.c_acctbal) AS c_acctbal,
+           COALESCE(l.op, 'N') AS last_op
+    FROM base b FULL JOIN latest l ON b.c_custkey = l.c_custkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def cdc_apply_q(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC log apply with deletes: I/U/D events collapse latest-wins
+    per key, then merge into the base snapshot (MERGE INTO semantics;
+    operators/reconcile.py). Extends node_upsert with tombstones and
+    event ordering."""
+    from graphdbetl_spark.operators.reconcile import cdc_apply
+
+    c = T(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    base = c.filter(F.col("c_custkey") % 3 != 0)
+    upd = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        "c_name", (F.col("c_acctbal") + 100).alias("c_acctbal"),
+    )
+    ins = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.lit("I").alias("op"), F.lit(1).alias("seq"),
+        "c_name", (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+    )
+    dels = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", F.lit("D").alias("op"), F.lit(3).alias("seq"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    log = upd.unionByName(ins).unionByName(dels)
+    return cdc_apply(base, log, "c_custkey", "seq", "op", ["c_name", "c_acctbal"])
