@@ -1,0 +1,58 @@
+"""Streaming corpus curation: route incoming documents into clean /
+quarantine datasets by benchmark-contamination status as they arrive.
+
+The streaming form of operators/curation.py's decontamination: the
+eval-benchmark gram set is computed ONCE from a static DataFrame,
+cached, and broadcast into every micro-batch's semi-join — each batch
+is scanned map-side, never shuffled, so per-batch latency is
+independent of corpus history (state lives in the output datasets, not
+in the stream). foreachBatch is required because the flagging path
+uses a distinct aggregation (unsupported in continuous append mode).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from graphdbetl_spark.operators.curation import decontaminate_against_eval
+
+
+def start_streaming_decontamination(
+    doc_stream: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    n: int = 5,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Continuously split an incoming document stream into
+    ``clean_path`` (append) and ``quarantine_path`` (append) by n-gram
+    overlap with the static eval set."""
+    # Materialize the (small) eval side once, not once per batch.
+    eval_cached = eval_df.select(id_col, text_col).cache()
+    eval_cached.count()
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        flags = decontaminate_against_eval(batch, text_col, id_col, eval_cached, n=n)
+        routed = batch.join(flags, id_col).cache()
+        try:
+            routed.filter(~F.col("contaminated")).drop("contaminated").write.mode(
+                "append"
+            ).parquet(clean_path)
+            routed.filter(F.col("contaminated")).drop("contaminated").write.mode(
+                "append"
+            ).parquet(quarantine_path)
+        finally:
+            routed.unpersist()
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -47,3 +47,62 @@ def test_streaming_ingest_two_batches(spark, tmp_path):
     rows = {r.user_id: r for r in spark.read.parquet(table).collect()}
     assert set(rows) == {1, 2, 3}
     assert rows[2].value == 9.0  # latest batch won
+
+
+def test_streaming_decontamination_routes_batches(spark, tmp_path):
+    from graphdbetl_spark.operators.curation import decontaminate_against_eval
+    from graphdbetl_spark.streaming.curation import start_streaming_decontamination
+
+    src = str(tmp_path / "docs_src")
+    clean = str(tmp_path / "clean")
+    quarantine = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "dck")
+    os.makedirs(src)
+
+    schema = "doc_id long, text string"
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], schema
+    )
+
+    def add_file(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        for f in os.listdir(str(tmp_path / name)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(str(tmp_path / name), f),
+                            os.path.join(src, f"{name}.parquet"))
+
+    batch1 = [
+        (1, "intro alpha beta gamma delta epsilon outro"),  # contaminated
+        (2, "totally unrelated words in this one here"),
+    ]
+    batch2 = [
+        (3, "more clean content nothing shared with eval"),
+        (4, "x beta gamma delta epsilon zeta y"),  # contaminated
+    ]
+
+    add_file(batch1, "d1")
+    q = start_streaming_decontamination(
+        spark.readStream.schema(schema).parquet(src),
+        eval_df, "text", "doc_id", clean, quarantine, ckpt,
+    )
+    q.awaitTermination(120)
+    add_file(batch2, "d2")
+    q2 = start_streaming_decontamination(
+        spark.readStream.schema(schema).parquet(src),
+        eval_df, "text", "doc_id", clean, quarantine, ckpt,
+    )
+    q2.awaitTermination(120)
+
+    got_clean = {r.doc_id for r in spark.read.parquet(clean).collect()}
+    got_quar = {r.doc_id for r in spark.read.parquet(quarantine).collect()}
+    assert got_clean == {2, 3}
+    assert got_quar == {1, 4}
+
+    # streaming result == batch operator on the union of all batches
+    all_docs = spark.createDataFrame(batch1 + batch2, schema)
+    batch_flags = {
+        r.doc_id: r.contaminated
+        for r in decontaminate_against_eval(all_docs, "text", "doc_id", eval_df).collect()
+    }
+    assert got_quar == {d for d, c in batch_flags.items() if c}
