@@ -253,3 +253,62 @@ def stream_late_data_cutoff(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_on_time"))
     )
+
+
+@query(
+    "gapfill_daily",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+    span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM e),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM e),
+    counts AS (SELECT d, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2)
+    SELECT s.d, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN counts c ON c.d = s.d AND c.event_type = t.event_type
+    """,
+)
+def gapfill_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series densification: daily per-type event counts with
+    zero-filled gaps over the observed date span. The spine is
+    sequence()+explode over a 2-row bound (tiny, broadcast); the event
+    side aggregates once — no row-count blowup at any scale."""
+    e = T(spark, sf, "events").select(F.to_date("ts").alias("d"), "event_type")
+    bounds = e.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    types = e.select("event_type").distinct()
+    counts = e.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["d", "event_type"], "left")
+        .select("d", "event_type", F.coalesce("n", F.lit(0)).cast("long").alias("n_events"))
+    )
+
+
+@query(
+    "running_distinct_users",
+    oracle="""
+    WITH fs AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ), daily AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM fs GROUP BY d
+    )
+    SELECT d, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_distinct_users
+    FROM daily
+    """,
+)
+def running_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct-user curve via the first-seen trick: distinct
+    running counts = cumulative sum of per-day first appearances — two
+    hash aggs + a window over ~days rows, instead of the quadratic
+    per-day re-count a naive formulation needs."""
+    e = T(spark, sf, "events")
+    fs = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = fs.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d", "new_users", F.sum("new_users").over(w).cast("long").alias("cum_distinct_users")
+    )
