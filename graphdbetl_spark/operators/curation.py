@@ -130,3 +130,43 @@ def repetition_stats(
         n_grams.cast("long").alias("n_grams"),
         dup_frac.alias("dup_frac"),
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split documents into overlapping fixed-width character chunks
+    (``size`` chars every ``stride`` chars) — the standard context-window
+    prep for long documents before tokenization/embedding.
+
+    Implemented as sequence → explode → substring, all codegen'd array
+    expressions: no UDF, no shuffle — the fan-out happens inside the
+    scan stage, so at 100 TB it parallelizes with the input partitions
+    and never materializes a per-document list on the driver.
+
+    Replaces nothing in the reference (it has no document model); part
+    of the north-star training-data surface.
+
+    Returns (id_col, chunk_id, chunk_text); chunk_id is 0-based.
+    """
+    n_starts_minus1 = f"greatest(length({text_col}) - 1, 0) div {stride}"
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(
+                F.expr(f"sequence(bigint(0), bigint({n_starts_minus1}))")
+            ).alias("__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__start").cast("int").alias("chunk_id"),
+            F.expr(
+                f"substring({text_col}, int(__start) * {stride} + 1, {size})"
+            ).alias("chunk_text"),
+        )
+    )

@@ -63,3 +63,29 @@ def pack_sequences(
         size_col.cast("long").alias("n_tokens"),
         F.floor(cum_before / budget).cast("long").alias("pack_id"),
     )
+
+
+def balance_uniform(df: DataFrame, id_col: str, strata_col: str) -> DataFrame:
+    """Exact uniform mixture balancing: downsample every stratum to the
+    size of the smallest one, keeping the deterministically-first rows
+    by md5(id) rank (so the kept subset is stable across runs/engines).
+
+    Shape: one count aggregation (tiny — one row per stratum, broadcast
+    back) plus one window shuffle partitioned by stratum. Exact-count
+    balancing is right when strata are few and bounded (languages,
+    sources). At 100 TB with a skew-heavy stratum, prefer the
+    shuffle-free hash-threshold form (``stratified_hash_sample`` with
+    rate = min_count/n per stratum): approximate counts, zero windows.
+    """
+    mn = F.broadcast(
+        df.groupBy(strata_col).count().agg(F.min("count").alias("__mn"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .crossJoin(mn)
+        .filter(F.col("__rn") <= F.col("__mn"))
+        .select(id_col, strata_col)
+    )

@@ -158,3 +158,25 @@ def lsh_cosine_topk(
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid of an embedding column, exploded to one row
+    per (label, dimension) — the building block for IVF coarse
+    quantizers, cluster drift monitoring, and class-prototype dedup.
+
+    posexplode → groupBy(label, pos) keeps the aggregation fully
+    JVM-side with map-side partial averages; the shuffle key space is
+    |labels| × dims, so it stays balanced no matter how skewed the
+    label distribution is (vs. collecting whole vectors per label).
+    Reassemble into array form downstream with
+    ``sort_array(collect_list(struct(pos, v)))`` only when |dims| is
+    bounded.
+    """
+    ex = df.select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "__v"))
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.avg("__v"), 6).alias("centroid_v"),
+        F.count("*").cast("long").alias("n_vecs"),
+    )

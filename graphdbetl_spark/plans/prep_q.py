@@ -1,0 +1,105 @@
+"""Training-data preparation queries: document chunking, mixture
+balancing, embedding centroids, and the TPC-H Q6 shape through the SQL
+frontend.
+
+All four are fully oracle-checked. Chunking/balancing extend the
+north-star curation surface (the reference has no document model);
+Q6 completes the SQL-frontend family (single-scan filter+agg with
+every predicate pushed to the parquet reader).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from graphdbetl_spark.operators.curation import chunk_text
+from graphdbetl_spark.operators.sampling import balance_uniform
+from graphdbetl_spark.operators.similarity import label_centroids
+from graphdbetl_spark.plans.registry import query
+from graphdbetl_spark.sources.catalog import load_table as T
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(len(text) - 1, 0) // 150 + 1)) AS i
+        FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+    FROM g
+    """,
+)
+def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping context-window chunking (200 chars, stride 150) —
+    sequence/explode/substring inside the scan stage, no UDF, no
+    shuffle; fan-out scales with input partitions."""
+    return chunk_text(T(spark, sf, "documents"), "text", "doc_id", size=200, stride=150)
+
+
+@query(
+    "mixture_balance",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS mn FROM c),
+    r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang FROM r, m WHERE r.rn <= m.mn
+    """,
+)
+def mixture_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Uniform language mixture: every language downsampled to the
+    rarest language's count, deterministic by md5 rank (stable across
+    engines and cluster sizes — see balance_uniform for the skew-free
+    hash-threshold variant used at corpus scale)."""
+    return balance_uniform(T(spark, sf, "documents"), "doc_id", "lang")
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH e AS (
+        SELECT label, unnest(embedding) AS v,
+               CAST(unnest(range(0, len(embedding))) AS INT) AS pos
+        FROM embeddings
+    )
+    SELECT label, pos, ROUND(AVG(v), 6) AS centroid_v,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM e GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label mean embedding, one row per (label, dimension):
+    posexplode + hash agg with map-side partials; shuffle key space is
+    labels × dims so label skew cannot create a hot partition."""
+    return label_centroids(T(spark, sf, "embeddings"), "label", "embedding")
+
+
+_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("sql_frontend_q6", oracle=_Q6_SQL)
+def sql_frontend_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): identical SQL text on
+    both engines. The whole WHERE clause reaches the parquet scan as
+    PushedFilters and only 4 of 11 lineitem columns are read; the agg
+    is a single-group partial+final — at 100 TB this query is pure
+    scan bandwidth. Money sums round at their exact decimal width (4),
+    per the ROADMAP invariant."""
+    T(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL)

@@ -25,6 +25,7 @@ _FAMILY_MODULES = (
     "graphdbetl_spark.plans.etl_ops_q",
     "graphdbetl_spark.plans.pipeline_q",
     "graphdbetl_spark.plans.curation_q",
+    "graphdbetl_spark.plans.prep_q",
 )
 
 
