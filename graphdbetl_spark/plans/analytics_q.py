@@ -1,0 +1,127 @@
+"""Event- and corpus-analytics queries: retention cohorts, per-type
+anomaly detection, and top-k n-grams per language.
+
+The reference's event surface is a row cursor with no analytics
+(`graph_db_builder.py:491-543`); these are the standard product/corpus
+insight queries a warehouse layers on the same tables. All fully
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from graphdbetl_spark.operators.dedup import _tokens, _word_ngrams
+from graphdbetl_spark.plans.registry import query
+from graphdbetl_spark.sources.catalog import load_table as T
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ), a AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT) AS week_n
+        FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort_week, week_n, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a GROUP BY cohort_week, week_n
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week,
+    counted per weeks-since-cohort. Two shuffles, both on user_id (the
+    min-week agg and the join co-partition — AQE coalesces them); the
+    final (cohort, week_n) agg is tiny. Week starts are Monday on both
+    engines, so day-diffs are exact multiples of 7 and `div 7` is
+    lossless."""
+    e = T(spark, sf, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    first = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = (
+        e.select("user_id", wk.alias("activity_week"))
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr("int(datediff(activity_week, cohort_week) div 7)").alias("week_n"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_n").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2.5). The stats side is
+    one row per event_type — broadcast back over the stream, so the
+    detector is a single scan + map-side join at any corpus size (the
+    same shape a streaming foreachBatch detector uses per batch)."""
+    e = T(spark, sf, "events")
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )
+
+
+@query(
+    "ngram_topk_per_lang",
+    oracle="""
+    WITH t AS (
+        SELECT lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), g AS (
+        SELECT lang,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                      i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM t
+    ), c AS (
+        SELECT lang, gram, COUNT(*) AS n FROM g GROUP BY lang, gram
+    )
+    SELECT lang, gram, CAST(n AS BIGINT) AS n, CAST(rn AS INT) AS rank
+    FROM (SELECT lang, gram, n,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rn
+          FROM c)
+    WHERE rn <= 5
+    """,
+)
+def ngram_topk_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 word bigrams per language — corpus-level n-gram statistics
+    (the building block for LM contamination reports and boilerplate
+    discovery). Explode happens inside the scan stage; the (lang, gram)
+    agg does map-side partials so the shuffle carries distinct grams,
+    not token instances; the final top-k window partitions by lang over
+    already-aggregated rows."""
+    d = T(spark, sf, "documents")
+    grams = d.select(
+        "lang", F.explode(_word_ngrams(_tokens(F.col("text")), 2)).alias("gram")
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "gram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )

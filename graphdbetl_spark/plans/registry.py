@@ -26,6 +26,7 @@ _FAMILY_MODULES = (
     "graphdbetl_spark.plans.pipeline_q",
     "graphdbetl_spark.plans.curation_q",
     "graphdbetl_spark.plans.prep_q",
+    "graphdbetl_spark.plans.analytics_q",
 )
 
 
