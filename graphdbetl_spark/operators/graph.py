@@ -137,3 +137,51 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank by power iteration over an edge DataFrame (simplified
+    form: dangling mass is not redistributed, matching the classic
+    Spark/Pregel example semantics).
+
+    Each round is one join of ranks onto edges (key = src) plus one
+    contribution aggregation (key = dst) — both partial-agg shuffles on
+    vertex ids. localCheckpoint per round breaks lineage growth.
+    Vertex count and out-degrees are computed once, outside the loop.
+    At cluster scale, pre-partition edges by src so the per-round rank
+    join reuses one exchange, and cache the (static) edge/degree sides.
+
+    Returns (id, rank); ranks sum to ≤ 1 (< 1 when sinks exist).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    out_deg = e.groupBy("u").agg(F.count("*").alias("__deg"))
+    contrib_side = e.join(out_deg, "u").localCheckpoint()  # static across rounds
+    verts = e.select(F.col("u").alias("id")).union(e.select("v")).distinct().localCheckpoint()
+    n = verts.count()
+
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            contrib_side.join(ranks, contrib_side["u"] == ranks["id"])
+            .select(F.col("v").alias("id"), (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("id")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            verts.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -125,3 +125,52 @@ def ngram_topk_per_lang(spark: SparkSession, sf: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+@query("graph_pagerank")  # iterative float fixpoint -> rows-only check
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (6 power iterations, d=0.85) on the symmetrized
+    co-purchase part graph — node importance for curriculum/sampling
+    weights. Per round: one src-keyed join + one dst-keyed partial agg;
+    lineage cut per round (see operators.graph.pagerank). Not
+    SQL-expressible without recursive aggregation, so rows-only; exact
+    per-iteration values are pinned by unit test against an
+    independent dense power iteration."""
+    from graphdbetl_spark.operators.graph import pagerank
+
+    items = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    return pagerank(edges, "u", "v", iterations=6).select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
+_Q17_SQL = """
+SELECT ROUND(SUM(l.l_extendedprice), 4) AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+WHERE l.l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("sql_frontend_q17", oracle=_Q17_SQL)
+def sql_frontend_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity orders): correlated scalar
+    subquery — Catalyst de-correlates it into one per-part aggregate
+    joined back, so lineitem is scanned twice but shuffled on
+    l_partkey only once each side. Quantities are integer-valued
+    doubles, so the AVG threshold is order-independent and exact on
+    both engines; money sums round at 4."""
+    T(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q17_SQL)

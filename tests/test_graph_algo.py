@@ -71,3 +71,49 @@ def test_chain_collapses_to_one_component(spark):
     df = spark.createDataFrame(chain, "src long, dst long")
     got = {r.id: r.component for r in connected_components(df, max_iter=40).collect()}
     assert set(got.values()) == {0}
+
+
+def _dense_pagerank(edges, n_ids, iterations, damping=0.85):
+    """Independent reference: dict-based power iteration, same
+    simplified semantics (no dangling redistribution)."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for u, v in edges:
+        out[u].append(v)
+    ranks = {i: 1.0 / len(n_ids) for i in n_ids}
+    for _ in range(iterations):
+        contrib = defaultdict(float)
+        for u, vs in out.items():
+            for v in vs:
+                contrib[v] += ranks[u] / len(vs)
+        ranks = {
+            i: (1 - damping) / len(n_ids) + damping * contrib.get(i, 0.0)
+            for i in n_ids
+        }
+    return ranks
+
+
+def test_pagerank_two_cycle_is_uniform(spark):
+    from graphdbetl_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    assert abs(got[1] - 0.5) < 1e-12 and abs(got[2] - 0.5) < 1e-12
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    import random
+
+    from graphdbetl_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(40)})
+    edges = [(u, v) for u, v in edges if u != v]
+    ids = sorted({x for e in edges for x in e})
+    expect = _dense_pagerank(edges, ids, iterations=6)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(e, iterations=6).collect()}
+    assert set(got) == set(ids)
+    for i in ids:
+        assert abs(got[i] - expect[i]) < 1e-9, i

@@ -123,3 +123,28 @@ def test_sql_q18_semi_join_rewrite(spark):
     plan = plan_of(spark, "sql_frontend_q18")
     # the IN-subquery must become a semi join, not a full join+distinct
     assert "LeftSemi" in plan
+
+
+def test_sql_q6_full_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "sql_frontend_q6")
+    # every WHERE predicate reaches the parquet scan
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate,1996-01-01",
+        "LessThan(l_shipdate,1997-01-01",
+        "GreaterThanOrEqual(l_discount,0.03)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, pushed
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # 4 of 11 lineitem columns read
+    assert read_schema.split("struct<")[1].count(":") == 4
+    assert "l_orderkey" not in read_schema
+    assert "partial_sum" in plan  # map-side combine before the 1-row exchange
+
+
+def test_sql_q17_decorrelates_to_aggregate_join(spark):
+    plan = plan_of(spark, "sql_frontend_q17")
+    # correlated scalar subquery must rewrite to agg+join, not a per-row subplan
+    assert node_count(plan, "HashAggregate") >= 2
+    assert "avg(l_quantity" in plan
