@@ -44,6 +44,10 @@ HEADLINE = [
     "sql_frontend_q1",
     "node_upsert",
     "decontaminate_ngrams",
+    "chunk_documents",
+    "ngram_topk_per_lang",
+    "retention_cohorts",
+    "sql_frontend_q6",
 ]
 
 

@@ -128,3 +128,61 @@ def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = 
             yield out
 
     return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_meta", MEDIA_META),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize stage over binary payloads via mapInPandas (the image
+    path): every payload is re-emitted at exactly ``width*height``
+    bytes with its metadata struct updated to the target dimensions.
+
+    The 'resampler' here is deterministic stride-subsampling /
+    zero-padding of the byte stream (decode is stubbed in this
+    environment — see ``decode_image``); a real deployment swaps only
+    the per-batch body for codec decode + interpolate + re-encode. The
+    Arrow batch shape, output schema (payload + typed metadata), and
+    partition flow (follows input, no shuffle) are the production
+    plumbing.
+    """
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_payloads, out_meta = [], [], []
+            for _, row in pdf.iterrows():
+                data = row[payload_col] or b""
+                if len(data) >= target:
+                    step = len(data) / target
+                    resized = bytes(data[int(i * step)] for i in range(target))
+                else:
+                    resized = data + b"\x00" * (target - len(data))
+                out_ids.append(row[id_col])
+                out_payloads.append(resized)
+                out_meta.append(
+                    {
+                        "media_type": "image",
+                        "format": "fake",
+                        "width": width,
+                        "height": height,
+                        "n_bytes": target,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "payload": out_payloads, "media_meta": out_meta}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZED_SCHEMA)

@@ -11,7 +11,7 @@ every predicate pushed to the parquet reader).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphdbetl_spark.operators.curation import chunk_text
 from graphdbetl_spark.operators.sampling import balance_uniform
@@ -103,3 +103,51 @@ def sql_frontend_q6(spark: SparkSession, sf: str) -> DataFrame:
     per the ROADMAP invariant."""
     T(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q6_SQL)
+
+
+@query(
+    "budget_select",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 20000
+    """,
+)
+def budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget selection: per language, keep the longest documents
+    until a 20k-token budget fills — the mixing step that turns domain
+    weights into an actual training set. One window shuffle partitioned
+    by stratum; the running sum is a streaming frame (no buffering).
+    At 100 TB, strata are (domain × shard) so no single window
+    partition exceeds executor memory."""
+    from graphdbetl_spark.operators.dedup import _tokens
+
+    d = T(spark, sf, "documents")
+    ntok = F.size(_tokens(F.col("text")))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", ntok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 20000)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )

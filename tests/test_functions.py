@@ -166,3 +166,31 @@ class TestMultimodal:
         assert len(by_doc[1]) == 3  # 600 bytes / 256 stride -> offsets 0,256,512
         assert len(by_doc[1][0].frame_bytes) == 64
         assert len(by_doc[2]) == 1 and len(by_doc[2][0].frame_bytes) == 10
+
+
+class TestResizeMedia:
+    def test_resize_subsamples_and_pads(self, spark):
+        from graphdbetl_spark.operators.multimodal import attach_media_columns, resize_media
+
+        df = spark.createDataFrame([(1, "x" * 600), (2, "y" * 10)], ["doc_id", "text"])
+        media = attach_media_columns(df, "text")
+        out = {r.doc_id: r for r in resize_media(media, width=8, height=8).collect()}
+        # every payload lands at exactly width*height bytes
+        assert len(out[1].payload) == 64  # 600 -> stride-subsampled down
+        assert len(out[2].payload) == 64  # 10 -> zero-padded up
+        assert out[2].payload[:10] == b"y" * 10
+        assert out[2].payload[10:] == b"\x00" * 54
+        assert out[1].media_meta.width == 8 and out[1].media_meta.height == 8
+        assert out[1].media_meta.n_bytes == 64
+
+    def test_resize_no_shuffle(self, spark):
+        import contextlib
+        import io
+
+        from graphdbetl_spark.operators.multimodal import attach_media_columns, resize_media
+
+        df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+        plan = io.StringIO()
+        with contextlib.redirect_stdout(plan):
+            resize_media(attach_media_columns(df, "text"), 4, 4).explain("formatted")
+        assert "Exchange" not in plan.getvalue()  # partition flow follows input
