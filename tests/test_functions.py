@@ -194,3 +194,43 @@ class TestResizeMedia:
         with contextlib.redirect_stdout(plan):
             resize_media(attach_media_columns(df, "text"), 4, 4).explain("formatted")
         assert "Exchange" not in plan.getvalue()  # partition flow follows input
+
+
+class TestNativeUdtfAndGroupedAgg:
+    """SURVEY §2B UDF/UDTF rows: the DataFrame-native forms (explode,
+    applyInPandas) carry the oracle-checked queries; these pin the
+    native Python UDTF and GROUPED_AGG pandas_udf APIs themselves."""
+
+    def test_python_udtf(self, spark):
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="chunk_id int, piece string")
+        class SplitEvery:
+            def eval(self, text: str, n: int):
+                for i in range(0, len(text), n):
+                    yield i // n, text[i : i + n]
+
+        spark.udtf.register("split_every", SplitEvery)
+        rows = spark.sql(
+            "SELECT * FROM split_every('abcdefgh', 3)"
+        ).collect()
+        assert [(r.chunk_id, r.piece) for r in rows] == [
+            (0, "abc"), (1, "def"), (2, "ghi"[:2])
+        ]
+
+    def test_grouped_agg_pandas_udf(self, spark):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def trimmed_mean(v: pd.Series) -> float:
+            lo, hi = v.quantile(0.1), v.quantile(0.9)
+            return float(v[(v >= lo) & (v <= hi)].mean())
+
+        df = spark.createDataFrame(
+            [("a", float(x)) for x in range(1, 11)] + [("a", 1000.0), ("b", 5.0)],
+            "k string, v double",
+        )
+        out = {r.k: r.tm for r in df.groupBy("k").agg(trimmed_mean("v").alias("tm")).collect()}
+        assert out["b"] == 5.0
+        assert out["a"] < 100  # the 1000.0 outlier is trimmed
