@@ -148,3 +148,20 @@ def test_sql_q17_decorrelates_to_aggregate_join(spark):
     # correlated scalar subquery must rewrite to agg+join, not a per-row subplan
     assert node_count(plan, "HashAggregate") >= 2
     assert "avg(l_quantity" in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    plan = plan_of(spark, "chunk_documents")
+    assert node_count(plan, "Exchange") == 0  # fan-out rides the scan stage
+    assert "Generate" in plan  # explode, not a UDF
+
+
+def test_ngram_topk_partial_aggregates(spark):
+    plan = plan_of(spark, "ngram_topk_per_lang")
+    assert "partial_count" in plan  # map-side combine before the gram shuffle
+
+
+def test_anomaly_stats_broadcast(spark):
+    plan = plan_of(spark, "events_anomaly_zscore")
+    assert node_count(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
