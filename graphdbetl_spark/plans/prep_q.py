@@ -151,3 +151,50 @@ def budget_select(spark: SparkSession, sf: str) -> DataFrame:
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+@query(
+    "pipeline_chunk_pack",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+        FROM (SELECT doc_id, text,
+                     unnest(range(0, greatest(len(text) - 1, 0) // 150 + 1)) AS i
+              FROM documents)
+    ), t AS (
+        SELECT doc_id, chunk_id,
+               len(string_split_regex(trim(chunk_text), '\\s+')) AS n_tokens
+        FROM g
+    )
+    SELECT doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY doc_id, chunk_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 512 AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def pipeline_chunk_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Composition pipeline: chunk documents (200/150) → portable token
+    count per chunk → greedy 512-token sequence packing. Chunking and
+    counting fuse into the scan stage; the pack step is one running-sum
+    window (global order here for oracle determinism — at corpus scale
+    partition the window by shard, as pack_sequences documents)."""
+    from graphdbetl_spark.operators.dedup import _tokens
+
+    chunks = chunk_text(T(spark, sf, "documents"), "text", "doc_id", size=200, stride=150)
+    w = Window.orderBy("doc_id", "chunk_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.size(_tokens(F.col("chunk_text"))).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "pack_id",
+            F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 512).cast("long"),
+        )
+    )
