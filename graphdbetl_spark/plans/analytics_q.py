@@ -127,15 +127,56 @@ def ngram_topk_per_lang(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank")  # iterative float fixpoint -> rows-only check
+def _pagerank_oracle(iterations: int = 6, damping: float = 0.85) -> str:
+    """Oracle for fixed-iteration PageRank: SQL can't aggregate inside
+    a recursive CTE, but a FIXED iteration count unrolls into chained
+    CTEs — one contribution-agg + one rank-update pair per round,
+    generated mechanically here (same construction a SQL transpiler
+    would emit)."""
+    parts = [
+        """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    verts AS (SELECT DISTINCT u AS id FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM verts),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+        SELECT e.v AS id, SUM(r.rank / deg.d) AS s
+        FROM edges e JOIN r{i - 1} r ON e.u = r.id JOIN deg ON deg.u = e.u
+        GROUP BY e.v
+    ),
+    r{i} AS (
+        SELECT v.id,
+               {1.0 - damping} / (SELECT n FROM nn)
+                   + {damping} * COALESCE(c{i}.s, 0) AS rank
+        FROM verts v LEFT JOIN c{i} ON v.id = c{i}.id
+    )"""
+        )
+    parts.append(f"\n    SELECT id, ROUND(rank, 6) AS rank FROM r{iterations}")
+    return "".join(parts)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(6, 0.85))
 def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank (6 power iterations, d=0.85) on the symmetrized
     co-purchase part graph — node importance for curriculum/sampling
     weights. Per round: one src-keyed join + one dst-keyed partial agg;
-    lineage cut per round (see operators.graph.pagerank). Not
-    SQL-expressible without recursive aggregation, so rows-only; exact
-    per-iteration values are pinned by unit test against an
-    independent dense power iteration."""
+    lineage cut per round (see operators.graph.pagerank). The oracle
+    unrolls the fixed iteration count into chained CTEs (recursive
+    aggregation isn't SQL-expressible, a fixed-depth chain is); exact
+    per-iteration values are additionally pinned by unit test against
+    an independent dense power iteration. The symmetric graph has no
+    dangling vertices, so simplified PageRank semantics coincide with
+    the textbook definition."""
     from graphdbetl_spark.operators.graph import pagerank
 
     items = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
