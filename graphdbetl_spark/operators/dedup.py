@@ -322,3 +322,94 @@ def ngram_jaccard_pairs(
     )
     jacc = (F.col("shared") / (F.col("count_a") + F.col("count_b") - F.col("shared"))).alias("jaccard")
     return shared.select("id_a", "id_b", jacc).filter(F.col("jaccard") >= threshold)
+
+
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime: products stay < 2^62
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded universal-family coefficients h_i(x) = (a_i·x + b_i) mod p,
+    shared between the Spark operator and the generated DuckDB oracle."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_near_duplicates_md5(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Banded MinHash-LSH over an engine-portable hash family: shingle
+    base hash = first 8 hex chars of md5 (32 bits), band bucket = md5 of
+    the comma-joined band signature — every step replayable bit-for-bit
+    in any engine with md5, which makes the WHOLE pipeline (candidate
+    generation included) ORACLE-CHECKABLE, unlike the xxhash64 fast
+    path (``minhash_near_duplicates``). Same AND-OR banding structure
+    and exact-Jaccard verification; use this variant for cross-engine
+    reproducibility, the xxhash64 one for raw speed.
+    """
+    r = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    p = MINHASH_PRIME
+    sh = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .cache()
+    )
+    base = lambda s: F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"), F.lit(p)
+    )
+    hashed = sh.withColumn("hs", F.transform("sh", base))
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: (h * F.lit(a) + F.lit(b)) % p)
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    with_sig = hashed.select(id_col, *sig_cols)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"s{b * r + j}").cast("string") for j in range(r)]
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = (
+        with_sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        .cache()
+    )
+    a_, b_ = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a_.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jc = inter / union
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jc >= threshold)
+        .select("id_a", "id_b", F.round(jc, 6).alias("jaccard"))
+    )

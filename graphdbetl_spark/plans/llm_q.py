@@ -66,6 +66,74 @@ def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.6) -> str:
+    """Generated oracle for dedup_minhash_md5: replays the md5-family
+    banded-LSH pipeline (base hash, universal-family signature, band
+    buckets, candidate join, exact-Jaccard verify) with the SAME seeded
+    coefficients as the Spark operator."""
+    from graphdbetl_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    p = MINHASH_PRIME
+    r = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    sig_lines = ",\n           ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p})) AS s{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"CAST(s{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh0 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM t
+    ), sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+    hs AS (
+        SELECT doc_id,
+               list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {p}) AS hs
+        FROM sh
+    ), sig AS (
+        SELECT doc_id,
+           {sig_lines}
+        FROM hs
+    ), bk AS (
+    {band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE /
+                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
+               AS jaccard
+    FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+    WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+          (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {threshold}
+    """
+
+
+@query("dedup_minhash_md5", oracle=_minhash_md5_oracle())
+def dedup_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs via md5-family banded MinHash-LSH — the same
+    AND-OR pipeline as dedup_minhash but with every hash replayable in
+    any md5-capable engine, so candidate generation itself is
+    ORACLE-CHECKED (the xxhash64 variant stays the throughput path)."""
+    from graphdbetl_spark.operators.dedup import minhash_near_duplicates_md5
+
+    return minhash_near_duplicates_md5(T(spark, sf, "documents"), "text", "doc_id")
+
+
 @query("dedup_simhash")  # xxhash64 family is Spark-only -> rows-only
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash fingerprints; fingerprint-equal docs are near-dups."""
