@@ -718,3 +718,40 @@ def set_except(spark: SparkSession, sf: str) -> DataFrame:
     c = T(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
     o = T(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
     return c.subtract(o)  # EXCEPT (distinct) semantics
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH o AS (
+        SELECT nullif(o_orderpriority, '1-URGENT') AS k, o_totalprice FROM orders
+    ), a AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_orders FROM o GROUP BY k
+    ), b AS (
+        SELECT k, ROUND(SUM(o_totalprice), 4) AS high_total
+        FROM o WHERE o_totalprice > 150000 GROUP BY k
+    )
+    SELECT a.k, a.n_orders, b.high_total
+    FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi-join (Spark ``<=>`` / SQL IS NOT DISTINCT FROM):
+    the NULL-keyed group joins to the NULL-keyed group instead of being
+    dropped — required whenever a join key is a derived/optional
+    attribute. Physically identical to a plain hash join (null-safe
+    keys still hash-partition), so the scale posture is unchanged."""
+    o = T(spark, sf, "orders").select(
+        F.expr("nullif(o_orderpriority, '1-URGENT')").alias("k"), "o_totalprice"
+    )
+    a = o.groupBy("k").agg(F.count("*").cast("long").alias("n_orders"))
+    b = (
+        o.filter(F.col("o_totalprice") > 150000)
+        .groupBy("k")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("high_total"))
+    )
+    bb = b.select(F.col("k").alias("bk"), "high_total")
+    return (
+        a.join(bb, a["k"].eqNullSafe(bb["bk"]), "left")
+        .select("k", "n_orders", "high_total")
+    )

@@ -165,3 +165,25 @@ def test_anomaly_stats_broadcast(spark):
     plan = plan_of(spark, "events_anomaly_zscore")
     assert node_count(plan, "BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Tuning surface: per-join strategy hints override the planner's
+    default — the knob used when a dimension outgrows broadcast but a
+    shuffled hash join still beats sort-merge."""
+    o = all_queries()["scan_parquet"](spark, SF).limit(0)  # warm registry
+    import pyspark.sql.functions as F
+    from graphdbetl_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    od = load_table(spark, SF, "orders")
+    hinted = li.join(od.hint("shuffle_hash"), li.l_orderkey == od.o_orderkey)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hinted.explain("formatted")
+    assert "ShuffledHashJoin" in buf.getvalue()
+    merged = li.join(od.hint("merge"), li.l_orderkey == od.o_orderkey)
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        merged.explain("formatted")
+    assert "SortMergeJoin" in buf2.getvalue()
