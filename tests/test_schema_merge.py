@@ -76,3 +76,22 @@ class TestTypeMap:
     def test_unknown_raises(self):
         with pytest.raises(KeyError):
             mysql_to_spark_type("NOPE")
+
+
+def test_parquet_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema drift across dataset generations (the 100 TB reality:
+    columns appear over time). mergeSchema unifies the footers on read;
+    old files surface typed NULLs for new columns — the read-side
+    analogue of merge_schemas/conform_to_schema."""
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    new = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    old.write.parquet(str(tmp_path / "g=1"))
+    new.write.parquet(str(tmp_path / "g=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "g=1"), str(tmp_path / "g=2")
+    )
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None  # old generation: typed NULL fill
+    assert rows[2]["score"] == 9.5
+    assert dict(merged.dtypes)["score"] == "double"
