@@ -215,3 +215,49 @@ def sql_frontend_q17(spark: SparkSession, sf: str) -> DataFrame:
     both engines; money sums round at 4."""
     T(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q17_SQL)
+
+
+_Q4_SQL = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("sql_frontend_q4", oracle=_Q4_SQL)
+def sql_frontend_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): correlated EXISTS —
+    Catalyst rewrites it to a left-semi join on l_orderkey with the
+    date comparison as the join's residual condition, so lineitem is
+    never widened into the aggregate; the orders side then does a
+    5-group partial+final count."""
+    for t in ("orders", "lineitem"):
+        T(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_Q4_SQL)
+
+
+_Q14_SQL = """
+SELECT ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END), 4) AS promo_revenue,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-04-01'
+"""
+
+
+@query("sql_frontend_q14", oracle=_Q14_SQL)
+def sql_frontend_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional aggregation over
+    a fact⋈dimension join — part broadcasts, the date filter pushes to
+    the lineitem scan, and both sums fold into one partial+final agg
+    pass. Emits the two revenue sums (rounded at their exact decimal
+    width) rather than their quotient, per the ROADMAP half-boundary
+    invariant."""
+    for t in ("lineitem", "part"):
+        T(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_Q14_SQL)
