@@ -77,3 +77,35 @@ def test_cast_roundtrip(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], "x int")
     back = df.select(F.col("x").cast("string").cast("int").alias("x"))
     assert sorted(r.x for r in back.collect()) == list(range(100))
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc d", min_size=1, max_size=400), min_size=1, max_size=5
+    ),
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=0, max_value=30),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_covers_text_exactly(spark, texts, stride, extra):
+    """For size >= stride, concatenating chunk[0] with the last
+    (size-overlap) chars... simpler invariant: chunk starts tile the
+    text at `stride`, every chunk equals the matching slice, and the
+    count is floor((len-1)/stride)+1."""
+    from graphdbetl_spark.operators.curation import chunk_text
+
+    size = stride + extra
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_text(df, "text", "doc_id", size=size, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+    for i, t in enumerate(texts):
+        chunks = by_doc[i]
+        assert len(chunks) == max(len(t) - 1, 0) // stride + 1
+        for cid, ctext in chunks.items():
+            assert ctext == t[cid * stride : cid * stride + size]
+        # full coverage: every char index falls inside some chunk window
+        assert (len(chunks) - 1) * stride + size >= len(t)
