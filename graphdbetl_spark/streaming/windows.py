@@ -115,3 +115,16 @@ def streaming_interval_join(
 def write_memory_sink(df: DataFrame, name: str) -> DataStreamWriter:
     """Complete-mode memory sink for tests."""
     return df.writeStream.format("memory").queryName(name).outputMode("complete")
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Key-only stateful dedup within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): unlike ``streaming_dedup``,
+    re-sends of the same key with DIFFERENT event times still collapse
+    as long as they arrive inside the watermark — the semantics for
+    at-least-once upstream producers (retries carry fresh timestamps).
+    State per key is evicted once the watermark passes it, so state
+    size tracks the active-key set, not the stream length."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

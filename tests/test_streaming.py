@@ -190,3 +190,34 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
         q.stop()
     rows = {r.ws.isoformat(): r.n for r in spark.sql("SELECT * FROM late_test").collect()}
     assert rows.get("2024-01-01T00:00:00") == 1  # late 00:06 excluded
+
+
+def test_streaming_dedup_within_watermark_collapses_retries(spark, tmp_path):
+    """Producer-retry shape: same key re-sent with a DIFFERENT ts inside
+    the watermark must still collapse (plain dropDuplicates would keep
+    both rows because ts participates in the key)."""
+    from graphdbetl_spark.streaming.windows import streaming_dedup_within_watermark
+
+    src = str(tmp_path / "retry_events")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "click"), (1, "2024-01-01 00:02:00", "click"),
+         (2, "2024-01-01 00:01:00", "view")],
+        ["user_id", "ts_s", "event_type"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    deduped = streaming_dedup_within_watermark(
+        stream, ["user_id", "event_type"], "ts", "10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_wm_test").collect()
+    assert len(rows) == 2  # retry with shifted ts collapsed; distinct key kept
+    assert {(r.user_id, r.event_type) for r in rows} == {(1, "click"), (2, "view")}
