@@ -42,6 +42,17 @@ def sink_csv(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.schema(df.schema).option("header", "true").csv(out)
 
 
+@query("sink_json", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def sink_json(spark: SparkSession, sf: str) -> DataFrame:
+    """D6 companion: JSON-lines serialization with schema-preserving
+    read-back (the interchange format training-data pipelines emit);
+    partition-parallel like every sink."""
+    df = T(spark, sf, "nation")
+    out = os.path.join(tempfile.gettempdir(), f"graft_sinkjson_{os.path.basename(sf)}")
+    df.write.mode("overwrite").json(out)
+    return spark.read.schema(df.schema).json(out)
+
+
 @query("scan_orc", oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")
 def scan_orc(spark: SparkSession, sf: str) -> DataFrame:
     """D5: another columnar format behind the same source abstraction."""
