@@ -261,3 +261,33 @@ def sql_frontend_q14(spark: SparkSession, sf: str) -> DataFrame:
     for t in ("lineitem", "part"):
         T(spark, sf, t).createOrReplaceTempView(t)
     return spark.sql(_Q14_SQL)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE anc(node, anc_key, depth) AS (
+    SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT node, CAST(FLOOR(anc_key / 2) AS BIGINT), depth + CAST(1 AS BIGINT)
+    FROM anc WHERE anc_key > 0
+)
+SELECT node, anc_key, depth FROM anc
+"""
+
+
+@query("sql_frontend_recursive", oracle=_RECURSIVE_SQL)
+def sql_frontend_recursive(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE through the SQL frontend (Spark 4 WITH RECURSIVE;
+    identical text on both engines): the ancestor chain of a synthetic
+    binary hierarchy over nation keys (parent = floor(key/2)) — the
+    iterate-until-exhausted surface hierarchies/BOM queries need.
+    FLOOR(x/2) rather than integer division because `/` is
+    float-division in both engines while their int-cast rounding
+    differs. Acyclic by construction, so UNION ALL recursion
+    terminates without dedup state."""
+    T(spark, sf, "nation").createOrReplaceTempView("nation")
+    df = spark.sql(_RECURSIVE_SQL)
+    return df.select(
+        "node", "anc_key", F.col("depth").cast("int").alias("depth")
+    )
