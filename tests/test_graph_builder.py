@@ -77,3 +77,42 @@ def test_unknown_source_raises(spark):
     cfg["Nodes"]["Party"]["sources"]["MISSING"] = {"table": "x", "id_key": "y"}
     with pytest.raises(KeyError):
         GraphDBBuilder(spark, cfg).build_node("Party")
+
+
+def test_mixed_format_sources_harmonize(spark, tmp_path):
+    """One node type fed by a parquet source AND a csv source (D5): the
+    schema-merge/conform/union path is format-agnostic, matching the
+    reference's declared multi-DBMS intent (graph_db_builder.py:13-14)."""
+    import pyspark.sql.functions as F
+
+    from graphdbetl_spark.etl.builder import GraphDBBuilder
+    from graphdbetl_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    csv_dir = str(tmp_path / "csv_src")
+    load_table(spark, SF_DIR, "supplier").write.option("header", "true").csv(
+        csv_dir + "/supplier"
+    )
+    cfg = {
+        "Database": {"name": "Mixed", "version": "0", "author": "t"},
+        "Sources": {
+            "PQ": {"source type": "parquet", "path": SF_DIR},
+            "CS": {"source type": "csv", "path": csv_dir},
+        },
+        "Nodes": {
+            "Party": {
+                "sources": {
+                    "PQ": {"table": "customer", "id_key": "c_custkey", "uri_key": "c_name"},
+                    "CS": {"table": "supplier", "id_key": "s_suppkey", "uri_key": "s_name"},
+                }
+            }
+        },
+        "Relationships": {},
+    }
+    df = GraphDBBuilder(spark, cfg).build_node("Party")
+    pq_rows = load_table(spark, SF_DIR, "customer").count()
+    cs_rows = load_table(spark, SF_DIR, "supplier").count()
+    assert df.count() == pq_rows + cs_rows
+    # both sources' uri keys survive harmonization
+    assert df.filter(F.col("c_name").isNotNull()).count() == pq_rows
+    assert df.filter(F.col("s_name").isNotNull()).count() == cs_rows
