@@ -458,3 +458,30 @@ def date_funcs2(spark: SparkSession, sf: str) -> DataFrame:
         F.second("ts").alias("s"),
         F.add_months("ts", 2).alias("plus_2m"),
     )
+
+
+@query(
+    "udtf_explode_outer",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, 'spark[a-z]*') AS ms FROM documents
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN len(ms) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE ms END)
+               AS token
+    FROM t
+    """,
+)
+def udtf_explode_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-preserving table generation (explode_outer): documents with
+    zero regex matches keep one NULL-token row instead of disappearing
+    — the LEFT-JOIN-shaped fan-out needed when downstream aggregates
+    must count match-less parents. Same zero-shuffle scan-stage
+    execution as explode."""
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr("regexp_extract_all(text, 'spark[a-z]*', 0)")
+        ).alias("token"),
+    )
