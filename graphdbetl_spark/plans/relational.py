@@ -755,3 +755,32 @@ def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
         a.join(bb, a["k"].eqNullSafe(bb["bk"]), "left")
         .select("k", "n_orders", "high_total")
     )
+
+
+@query(
+    "cast_try",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_type AS INTEGER) AS type_as_int,
+           TRY_CAST(CAST(p_size AS VARCHAR) ||
+                    CASE WHEN p_type = 'PROMO' THEN 'x' ELSE '' END
+                    AS INTEGER) AS size_maybe
+    FROM part
+    """,
+)
+def cast_try(spark: SparkSession, sf: str) -> DataFrame:
+    """Error-tolerant casting (TRY_CAST): malformed values become NULL
+    instead of failing the job — the safe-ingest counterpart to the
+    reference's silently-lossy int16/float16 casts (dtypes.py:90-91;
+    defect list SURVEY §2A). Still a pure codegen projection: NULLs
+    flow, no rows are dropped, no task retries."""
+    p = T(spark, sf, "part")
+    mixed = F.concat(
+        F.col("p_size").cast("string"),
+        F.when(F.col("p_type") == "PROMO", F.lit("x")).otherwise(F.lit("")),
+    )
+    return p.select(
+        "p_partkey",
+        F.expr("try_cast(p_type AS INTEGER)").alias("type_as_int"),
+        mixed.try_cast("int").alias("size_maybe"),
+    )
