@@ -83,3 +83,37 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def prune_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_values: list[str],
+) -> list[str]:
+    """Retention pruning of a partitioned dataset: drop every
+    ``{partition_col}={value}`` directory whose value is not in
+    ``keep_values``. Partition-level deletes are metadata-cheap (no
+    rewrite of surviving data) — the retention mechanism for
+    date-partitioned event/log tables, where row-level deletes would
+    rewrite 100 TB to expire a day.
+
+    Returns the list of pruned partition values. Uses Hadoop's
+    FileSystem API so it works on any supported storage scheme, not
+    just local paths.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(conf)
+    keep = {str(v) for v in keep_values}
+    pruned: list[str] = []
+    for status in fs.listStatus(fs_path):
+        name = status.getPath().getName()
+        if not status.isDirectory() or "=" not in name:
+            continue
+        col, _, value = name.partition("=")
+        if col == partition_col and value not in keep:
+            fs.delete(status.getPath(), True)
+            pruned.append(value)
+    return sorted(pruned)
