@@ -645,3 +645,64 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     is stubbed (operators/multimodal.py)."""
     d = attach_media_columns(T(spark, sf, "documents"), "text")
     return extract_features(d, "payload", "doc_id")
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, lang,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+              FROM t),
+        e AS (SELECT doc_id, lang, len(grams) AS gc, unnest(grams) AS gram FROM g)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang
+                         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, a.gc, b.gc
+        HAVING COUNT(*)::DOUBLE / (a.gc + b.gc - COUNT(*)) >= 0.1
+    ), sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, root) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id
+    ), comp AS (
+        SELECT id, CAST(MIN(root) AS BIGINT) AS component FROM reach GROUP BY id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+           (ROW_NUMBER() OVER (
+               PARTITION BY COALESCE(c.component, d.doc_id)
+               ORDER BY d.n_chars DESC, d.doc_id) = 1) AS kept
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical fuzzy-dedup end stage: near-dup pair graph →
+    connected components → keep ONE representative per cluster (longest
+    doc, id tiebreak); singletons keep themselves via the left join.
+    Policy lives in one window orderBy — swap n_chars for any quality
+    score. Cluster sizes are near-dup group sizes (small), so the
+    keep-window can't see the skew a corpus-wide window would."""
+    from graphdbetl_spark.operators.dedup import ngram_jaccard_pairs
+    from graphdbetl_spark.operators.graph import connected_components
+
+    d = T(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.1, block_cols=["lang"])
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("id"), F.col("component")
+    )
+    base = d.select("doc_id", "n_chars").join(
+        comp, d["doc_id"] == comp["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).cast("long").alias("component"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), "doc_id")
+    return base.select(
+        "doc_id", "component", (F.row_number().over(w) == 1).alias("kept")
+    )
