@@ -234,3 +234,22 @@ class TestNativeUdtfAndGroupedAgg:
         out = {r.k: r.tm for r in df.groupBy("k").agg(trimmed_mean("v").alias("tm")).collect()}
         assert out["b"] == 5.0
         assert out["a"] < 100  # the 1000.0 outlier is trimmed
+
+
+class TestVariantType:
+    def test_variant_parse_and_extract(self, spark):
+        """Spark 4 VARIANT surface: parse_json into an open-schema value
+        and extract typed fields — the semi-structured path for
+        events.props when the schema is not declared up front."""
+        df = spark.createDataFrame(
+            [(1, '{"k": 87, "tags": ["a", "b"]}'), (2, '{"k": 3}')],
+            "id long, props string",
+        )
+        out = df.select(
+            "id",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+            F.expr("variant_get(parse_json(props), '$.tags[0]', 'string')").alias("t0"),
+        ).collect()
+        rows = {r.id: r for r in out}
+        assert rows[1].k == 87 and rows[1].t0 == "a"
+        assert rows[2].k == 3 and rows[2].t0 is None

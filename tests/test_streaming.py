@@ -221,3 +221,44 @@ def test_streaming_dedup_within_watermark_collapses_retries(spark, tmp_path):
     rows = spark.sql("SELECT * FROM dedup_wm_test").collect()
     assert len(rows) == 2  # retry with shifted ts collapsed; distinct key kept
     assert {(r.user_id, r.event_type) for r in rows} == {(1, "click"), (2, "view")}
+
+
+def test_append_mode_emits_only_finalized_windows(spark, events_dir):
+    """Append mode + watermark: a window row is emitted only once its
+    end falls at or below the final watermark (max event time − delay).
+    Complete mode emits everything; the difference is the contract
+    downstream sinks rely on for exactly-once window delivery."""
+    import datetime
+
+    batch_df = spark.read.parquet(events_dir)
+    max_ts = batch_df.agg(F.max("ts")).first()[0]
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+
+    windowed = (
+        stream_df.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.end").alias("window_end"), "n")
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("append_windows")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = {r.window_end for r in spark.sql("SELECT * FROM append_windows").collect()}
+    watermark = max_ts - datetime.timedelta(minutes=30)
+    assert emitted, "no windows finalized"
+    assert all(we <= watermark for we in emitted)
+    # every hour window fully below the watermark was emitted
+    expected = {
+        r.window_end
+        for r in batch_df.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.end").alias("window_end"))
+        .collect()
+        if r.window_end <= watermark
+    }
+    assert emitted == expected
