@@ -784,3 +784,31 @@ def cast_try(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("try_cast(p_type AS INTEGER)").alias("type_as_int"),
         mixed.try_cast("int").alias("size_maybe"),
     )
+
+
+@query(
+    "agg_string",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def agg_string(spark: SparkSession, sf: str) -> DataFrame:
+    """LISTAGG/string_agg surface: order-deterministic concatenation of
+    group members (sort inside the aggregated array, then join — the
+    portable form; an unsorted collect_list would be
+    partitioning-dependent). Small-group fan-in only: at scale, cap or
+    sketch groups before aggregating strings."""
+    s = T(spark, sf, "supplier")
+    n = T(spark, sf, "nation")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_nationkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("s_name"))).alias("suppliers"),
+            F.count("*").cast("long").alias("n_suppliers"),
+        )
+    )
