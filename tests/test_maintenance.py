@@ -72,3 +72,29 @@ def test_prune_partitions_retention(spark, tmp_path):
     assert left.count() == 20  # surviving partitions untouched
     # wrong column name prunes nothing
     assert prune_partitions(spark, path, "hour", keep_values=[]) == []
+
+
+def test_dynamic_partition_overwrite_is_idempotent_reprocess(spark, tmp_path):
+    """Reprocessing one day of a partitioned dataset must not clobber
+    the others: partitionOverwriteMode=dynamic replaces only the
+    partitions present in the incoming batch — the idempotent-backfill
+    mechanism for date-partitioned outputs (static mode would truncate
+    the whole table first)."""
+    path = str(tmp_path / "daily")
+    spark.createDataFrame(
+        [(1, "d1"), (2, "d1"), (3, "d2")], "id long, day string"
+    ).write.partitionBy("day").parquet(path)
+
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # backfill d1 with corrected rows; d2 untouched
+        spark.createDataFrame([(10, "d1")], "id long, day string").write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(path)
+    finally:
+        with_conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    got = {(r.id, r.day) for r in spark.read.parquet(path).collect()}
+    assert got == {(10, "d1"), (3, "d2")}
