@@ -232,6 +232,7 @@ def range_join_bucketized(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def regex_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex extraction/replace/count in the RE2-portable subset so the oracle replays patterns verbatim."""
     c = T(spark, sf, "customer")
     return c.select(
         "c_custkey",

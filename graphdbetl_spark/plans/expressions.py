@@ -35,6 +35,7 @@ from graphdbetl_spark.sources.catalog import load_table as T
     """,
 )
 def str_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """String scalar family: case folding, trim, substring, concat, padding."""
     c = T(spark, sf, "customer")
     return c.select(
         "c_custkey",
@@ -66,6 +67,7 @@ def str_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def date_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time scalar family: trunc, extract, diff, add — all JVM-side."""
     o = T(spark, sf, "orders")
     return o.select(
         "o_orderkey",
@@ -96,6 +98,7 @@ def date_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Math scalar family: round/floor/ceil/abs/pow/sqrt/log — deterministic double math matching the oracle bit-for-bit after rounding."""
     li = T(spark, sf, "lineitem")
     return li.select(
         "l_orderkey",
@@ -129,6 +132,7 @@ def math_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def cond_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional expressions (CASE WHEN / coalesce / nullif / greatest / least) — pure codegen projection."""
     o = T(spark, sf, "orders")
     return o.select(
         "o_orderkey",

@@ -74,6 +74,7 @@ def scan_orc(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def join_right(spark: SparkSession, sf: str) -> DataFrame:
+    """Right outer join (kept distinct from left for parity): count orders per customer including order-less customers."""
     o = T(spark, sf, "orders")
     c = T(spark, sf, "customer")
     return (
@@ -358,6 +359,7 @@ def unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Moment aggregates (stddev/variance/skew/corr): single-pass partial+final, no second scan."""
     o = T(spark, sf, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
@@ -420,6 +422,7 @@ def agg_decimal(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def str_funcs2(spark: SparkSession, sf: str) -> DataFrame:
+    """Second string family: split/translate/initcap/instr and length variants."""
     c = T(spark, sf, "customer")
     return c.select(
         "c_custkey",
@@ -447,6 +450,7 @@ def str_funcs2(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def date_funcs2(spark: SparkSession, sf: str) -> DataFrame:
+    """Second date family: unix epoch round-trips, day-of-week/-year, month boundaries."""
     e = T(spark, sf, "events")
     return e.select(
         "event_id",

@@ -390,6 +390,7 @@ def sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language corpus statistics: document counts, char/token means — the first profiling query on any text corpus."""
     d = T(spark, sf, "documents")
     ntok = token_count(F.col("text"))
     return d.groupBy("lang").agg(

@@ -57,6 +57,7 @@ def scan_csv(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("scan_json", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
 def scan_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines scan with explicit schema (D5 non-MySQL source surface)."""
     df = T(spark, sf, "nation")
     out = os.path.join(tempfile.gettempdir(), f"graft_json_{os.path.basename(sf)}")
     df.write.mode("overwrite").json(out)
@@ -242,6 +243,7 @@ def join_bridge(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def join_left(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join: every left row survives; right side NULL-filled where unmatched."""
     c = T(spark, sf, "customer")
     o = T(spark, sf, "orders")
     return (
@@ -262,6 +264,7 @@ def join_left(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def join_full(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join on the FK key: both unmatched sides survive with NULL fill."""
     c = T(spark, sf, "customer").groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_cust"))
     s = T(spark, sf, "supplier").groupBy(F.col("s_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_supp"))
     return c.join(s, "k", "full").select(
@@ -280,6 +283,7 @@ def join_full(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join: existence filter without widening the row — Catalyst's EXISTS/IN rewrite target."""
     c = T(spark, sf, "customer")
     o = T(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
@@ -293,6 +297,7 @@ def join_semi(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join: set-minus by key, the orphan/decontamination primitive (broadcast when the right side is small)."""
     c = T(spark, sf, "customer")
     o = T(spark, sf, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
@@ -377,6 +382,7 @@ def join_asof_q(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded cross join (dimension x dimension) — the brute-force pair generator, gated to small inputs by design."""
     r1 = T(spark, sf, "region")
     r2 = T(spark, sf, "region")
     return (
@@ -430,6 +436,7 @@ def agg_hash(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT/SUM DISTINCT: Catalyst expands to a two-phase distinct-then-aggregate; at scale prefer agg_approx for ungrouped distincts."""
     o = T(spark, sf, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
@@ -461,6 +468,7 @@ def agg_approx(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS / rollup lattice in one pass — each input row feeds every matching grouping set's partial aggregate."""
     c = T(spark, sf, "customer")
     n = F.broadcast(T(spark, sf, "nation"))
     r = F.broadcast(T(spark, sf, "region"))
@@ -534,6 +542,7 @@ def dedup_first_wins(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def win_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking window functions (row_number) with a deterministic tiebreak chain."""
     o = T(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return (
@@ -555,6 +564,7 @@ def win_rank(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def win_analytic(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic window functions: lag/lead/first/last over an ordered partition."""
     o = T(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -580,6 +590,7 @@ def win_analytic(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def win_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """ROWS-frame running aggregates: cumulative and trailing sums — streaming frames, no partition buffering."""
     o = T(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -628,6 +639,8 @@ def sort_limit(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def topk_per_group_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group via window row_number + filter — Spark pushes a
+    per-partition partial top-k below the shuffle."""
     o = T(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     out = topk_per_group(o, ["o_custkey"], "o_totalprice", k=2, descending=True)
     return out.select("o_custkey", "o_orderkey", "o_totalprice")
@@ -673,6 +686,7 @@ def union_by_name(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def union_all(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL: bag union, no dedup shuffle — the zero-cost concatenation."""
     c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s)
@@ -687,6 +701,7 @@ def union_all(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION (distinct): bag union then hash dedup across both inputs."""
     c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s).distinct()
@@ -701,6 +716,7 @@ def union_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT (distinct): nations present on both sides; hash-based set op, one shuffle per side."""
     c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
@@ -715,6 +731,7 @@ def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT (distinct) — customers who never ordered, as a set operation (vs join_anti's join form)."""
     c = T(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
     o = T(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
     return c.subtract(o)  # EXCEPT (distinct) semantics

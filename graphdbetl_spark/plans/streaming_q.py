@@ -28,6 +28,7 @@ from graphdbetl_spark.streaming.windows import session_stats, sliding_counts, tu
     """,
 )
 def stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling event-time windows in batch mode (window() works identically in batch — the streaming form is tested in tests/test_streaming.py)."""
     return tumbling_counts(T(spark, sf, "events"), "ts", "10 minutes")
 
 
