@@ -70,20 +70,38 @@ def ivf_cosine_topk(
     assignment as a bucketed table and this becomes a co-located join).
     Recall < 1 for vectors whose true neighbors sit in unprobed cells.
     """
+    corpus_cells, centroids = ivf_build_index(corpus, id_col, vec_col, n_clusters, seed)
+    return ivf_query(corpus_cells, centroids, queries, id_col, vec_col, k, n_probe)
+
+
+def _unit_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    norm = l2_norm(F.col(vec_col))
+    return df.withColumn("__unit", F.transform(vec_col, lambda x: (x / norm).cast("double")))
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """One-off IVF index build: k-means the unit-normalized corpus into
+    cells; returns (corpus_cells, centroids). The build cost amortizes
+    over every subsequent query batch — at 100 TB, persist
+    ``corpus_cells`` as a table bucketed by cell so ``ivf_query``'s
+    candidate join is co-located and exchange-free."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
-    def unit(df: DataFrame) -> DataFrame:
-        norm = l2_norm(F.col(vec_col))
-        return df.withColumn("__unit", F.transform(vec_col, lambda x: (x / norm).cast("double")))
-
-    c = unit(corpus).withColumn("features", array_to_vector(F.col("__unit")))
+    c = _unit_vectors(corpus, vec_col).withColumn(
+        "features", array_to_vector(F.col("__unit"))
+    )
     km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell")
     model = km.fit(c)
     corpus_cells = model.transform(c).select(
         F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cv"), "cell"
     )
-
     # Tiny centroid table (n_clusters × dim) — broadcast; each query
     # ranks cells by cosine to the centroid and keeps the top n_probe.
     spark = corpus.sparkSession
@@ -91,7 +109,23 @@ def ivf_cosine_topk(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         ["cell", "centroid"],
     )
-    q = unit(queries).select(F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv"))
+    return corpus_cells, centroids
+
+
+def ivf_query(
+    corpus_cells: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 6,
+) -> DataFrame:
+    """Query phase against a prebuilt IVF index (see ivf_build_index):
+    per query, only n_probe cells of the corpus are scored."""
+    q = _unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv")
+    )
     cell_rank = Window.partitionBy("query_id").orderBy(F.col("cell_cos").desc(), F.col("cell"))
     probed = (
         q.join(F.broadcast(centroids))
