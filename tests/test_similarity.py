@@ -73,3 +73,15 @@ def test_ivf_recall_floor_on_uniform_vectors(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     rows = ivf_cosine_topk(emb, emb.limit(8), k=10, n_clusters=16, n_probe=6).collect()
     assert _recall(spark, rows, k=10) >= 0.4
+
+
+def test_lsh_recall_and_determinism(spark):
+    from graphdbetl_spark.operators.similarity import lsh_cosine_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = lsh_cosine_topk(emb, emb.limit(8), k=10, seed=42).collect()
+    assert _recall(spark, rows, k=10) >= 0.2  # conservative floor, seed-fixed
+    again = lsh_cosine_topk(emb, emb.limit(8), k=10, seed=42).collect()
+    assert {(r.query_id, r.neighbor_id) for r in rows} == {
+        (r.query_id, r.neighbor_id) for r in again
+    }  # same seed -> same hyperplanes -> same candidates
