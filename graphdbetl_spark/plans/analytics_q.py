@@ -291,3 +291,28 @@ def sql_frontend_recursive(spark: SparkSession, sf: str) -> DataFrame:
     return df.select(
         "node", "anc_key", F.col("depth").cast("int").alias("depth")
     )
+
+
+_Q2_SQL = """
+SELECT DISTINCT p.p_partkey, s.s_suppkey, l.l_extendedprice AS min_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey, s.s_suppkey
+"""
+
+
+@query("sql_frontend_q2_style", oracle=_Q2_SQL)
+def sql_frontend_q2_style(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated MIN subquery
+    against a three-table join — Catalyst de-correlates to one per-part
+    MIN aggregate joined back, so lineitem shuffles on l_partkey twice
+    (agg + probe) and supplier broadcasts. DISTINCT output: ties at the
+    minimum are kept on both engines, so the row set is deterministic
+    without a LIMIT boundary."""
+    for t in ("part", "lineitem", "supplier"):
+        T(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_Q2_SQL)
