@@ -17,7 +17,7 @@ from __future__ import annotations
 import random
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def dedup_merge_first_wins(
@@ -212,6 +212,7 @@ def dedup_keep_list(
     id_col: str,
     near_threshold: float = 0.5,
     block_cols: list[str] | None = None,
+    max_gram_df: int | None = 10_000,
 ) -> DataFrame:
     """Training-data dedup policy: one row per document with
     keep/drop verdict and reason.
@@ -237,7 +238,8 @@ def dedup_keep_list(
     # cache so the base scan + digest don't recompute per consumer
     survivors = df.join(keep_exact.select(id_col), id_col, "left_semi").cache()
     pairs = ngram_jaccard_pairs(
-        survivors, text_col, id_col, n=3, threshold=near_threshold, block_cols=block_cols
+        survivors, text_col, id_col, n=3, threshold=near_threshold,
+        block_cols=block_cols, max_gram_df=max_gram_df,
     )
     near_dropped_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     near_dropped = near_dropped_ids.select(
@@ -292,6 +294,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_cols: list[str] | None = None,
+    max_gram_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -299,13 +302,38 @@ def ngram_jaccard_pairs(
     n-gram (equi-join — candidates are only pairs sharing ≥1 gram),
     count shared grams per pair, then Jaccard = shared / (|A|+|B|-shared).
     ``block_cols`` adds cheap blocking (e.g. lang) to cut the candidate
-    space. No cross join anywhere; skewed (ultra-common) grams are the
-    scale hazard — callers should drop top-frequency grams upstream.
+    space. No cross join anywhere.
+
+    Skew safety (on by default): the gram self-join produces df² pair
+    rows per gram, so one ultra-common gram at corpus scale is a
+    quadratic reducer. ``max_gram_df`` drops grams appearing in more
+    than that many documents from the vocabulary *before* the join —
+    the candidate fan-out per gram is then bounded by max_gram_df², and
+    Jaccard is computed exactly over the capped vocabulary (the
+    standard stop-gram treatment; a gram shared by >10k docs carries no
+    near-dup signal). The df aggregation itself is skew-immune: partial
+    (map-side) aggregation collapses duplicates before the shuffle.
+    Pass ``max_gram_df=None`` for uncapped exact semantics.
     """
     grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
     base_cols = [F.col(id_col), grams.alias("grams")] + [F.col(c) for c in (block_cols or [])]
-    g = df.select(*base_cols).withColumn("gram_count", F.size("grams"))
-    ex = g.select(id_col, "gram_count", *(block_cols or []), F.explode("grams").alias("gram"))
+    g = df.select(*base_cols)
+    ex = g.select(id_col, *(block_cols or []), F.explode("grams").alias("gram"))
+    if max_gram_df is not None:
+        # grams are distinct per doc, so count(*) per gram == document
+        # frequency; the >cap survivor set is small by construction, so
+        # the anti-join broadcasts.
+        common = (
+            ex.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__gram_df"))
+            .filter(F.col("__gram_df") > max_gram_df)
+            .select("gram")
+        )
+        ex = ex.join(F.broadcast(common), "gram", "left_anti")
+    # post-cap set size per doc (== size(grams) when nothing is capped);
+    # window over the uniform doc-id key, not a second join
+    w = Window.partitionBy(id_col, *[F.col(c) for c in (block_cols or [])])
+    ex = ex.withColumn("gram_count", F.count(F.lit(1)).over(w))
     a, b = ex.alias("a"), ex.alias("b")
     join_cond = (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols or []:

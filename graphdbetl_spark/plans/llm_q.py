@@ -188,7 +188,10 @@ def dedup_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
           FROM t),
-    e AS (SELECT doc_id, lang, len(grams) AS gc, unnest(grams) AS gram FROM g),
+    e0 AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+    gdf AS (SELECT gram FROM e0 GROUP BY gram HAVING COUNT(*) > 10000),
+    e AS (SELECT doc_id, lang, gram, COUNT(*) OVER (PARTITION BY doc_id) AS gc
+          FROM e0 WHERE gram NOT IN (SELECT gram FROM gdf)),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gc AS ca, b.gc AS cb,
                CAST(COUNT(*) AS BIGINT) AS shared
@@ -254,7 +257,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
           FROM t),
-    e AS (SELECT doc_id, lang, len(grams) AS gc, unnest(grams) AS gram FROM g),
+    e0 AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+    gdf AS (SELECT gram FROM e0 GROUP BY gram HAVING COUNT(*) > 10000),
+    e AS (SELECT doc_id, lang, gram, COUNT(*) OVER (PARTITION BY doc_id) AS gc
+          FROM e0 WHERE gram NOT IN (SELECT gram FROM gdf)),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gc AS ca, b.gc AS cb,
                COUNT(*) AS shared
@@ -293,7 +299,10 @@ def dedup_keep_list_q(spark: SparkSession, sf: str) -> DataFrame:
                 list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
               FROM t),
-        e AS (SELECT doc_id, lang, len(grams) AS gc, unnest(grams) AS gram FROM g)
+        e0 AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+        gdf AS (SELECT gram FROM e0 GROUP BY gram HAVING COUNT(*) > 10000),
+        e AS (SELECT doc_id, lang, gram, COUNT(*) OVER (PARTITION BY doc_id) AS gc
+              FROM e0 WHERE gram NOT IN (SELECT gram FROM gdf))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang
                          AND a.doc_id < b.doc_id
@@ -540,16 +549,26 @@ def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
 )
 def text_tfidf_top_term(spark: SparkSession, sf: str) -> DataFrame:
     """TF-IDF as pure DataFrame algebra (explode → tf / df aggregations
-    → broadcast-joined idf → windowed argmax): oracle-checkable, unlike
-    hashed-feature TFIDF. df join broadcasts (vocab ≪ corpus)."""
+    → idf join → windowed argmax): oracle-checkable, unlike
+    hashed-feature TFIDF.
+
+    100 TB posture: ``n_docs`` is computed in-plan (1-row aggregate,
+    broadcast cross join — the ``sample_stratified`` pattern), not via an
+    eager driver-side ``count()`` that costs an extra job per call; and
+    the tf⋈dfreq join carries NO broadcast hint — dfreq's cardinality is
+    the corpus *vocabulary* (billions of terms at scale), so the strategy
+    is left to AQE, which broadcasts only when the built side is actually
+    small."""
     d = T(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar: one tiny job, folded into the idf constant
-    idf = F.log((F.lit(float(n_docs) + 1)) / (F.col("df") + 1)) + 1
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id", "term", (F.col("tf") * idf).alias("tfidf")
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", (F.col("tf") * idf).alias("tfidf"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -658,7 +677,10 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
                 list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
               FROM t),
-        e AS (SELECT doc_id, lang, len(grams) AS gc, unnest(grams) AS gram FROM g)
+        e0 AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+        gdf AS (SELECT gram FROM e0 GROUP BY gram HAVING COUNT(*) > 10000),
+        e AS (SELECT doc_id, lang, gram, COUNT(*) OVER (PARTITION BY doc_id) AS gc
+              FROM e0 WHERE gram NOT IN (SELECT gram FROM gdf))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang
                          AND a.doc_id < b.doc_id

@@ -14,19 +14,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Modules that register queries on import.
+# Modules that register queries on import. Registration order is the
+# order the correctness driver visits queries, and the driver's budget
+# may not cover all of them — so the families whose verdicts matter
+# most (LLM-pipeline dedup/similarity, streaming windows, SQL frontend,
+# the reference's graph-ETL identity) register first; the relational /
+# expression core, fully attested in round 1, registers last.
 _FAMILY_MODULES = (
-    "graphdbetl_spark.plans.relational",
-    "graphdbetl_spark.plans.expressions",
-    "graphdbetl_spark.plans.graph_etl_q",
-    "graphdbetl_spark.plans.streaming_q",
     "graphdbetl_spark.plans.llm_q",
+    "graphdbetl_spark.plans.streaming_q",
     "graphdbetl_spark.plans.extra_q",
-    "graphdbetl_spark.plans.etl_ops_q",
-    "graphdbetl_spark.plans.pipeline_q",
+    "graphdbetl_spark.plans.graph_etl_q",
     "graphdbetl_spark.plans.curation_q",
     "graphdbetl_spark.plans.prep_q",
+    "graphdbetl_spark.plans.pipeline_q",
+    "graphdbetl_spark.plans.etl_ops_q",
     "graphdbetl_spark.plans.analytics_q",
+    "graphdbetl_spark.plans.relational",
+    "graphdbetl_spark.plans.expressions",
 )
 
 

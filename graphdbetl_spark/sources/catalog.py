@@ -31,6 +31,14 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (session-JVM id, sf_dir, table) -> analyzed DataFrame. DataFrames are
+# immutable lazy plans, so handing the same object to every query is
+# safe and skips the per-load file listing + footer read + analysis —
+# measurable across a 140-query correctness sweep. This memoizes the
+# *plan only*; it never persists data, so scans keep their pushdown /
+# pruning shape (asserted by tests/test_plans.py).
+_table_cache: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table as a DataFrame with engine-canonical types.
@@ -39,11 +47,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as long (nanosAsLong) and we convert to TimestampType at µs
     precision — the same truncation DuckDB applies, so oracles agree.
     """
+    key = (id(spark._jsparkSession), os.path.abspath(sf_dir), name)
+    cached = _table_cache.get(key)
+    if cached is not None:
+        return cached
     configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div: float division rounds half-µs up, DuckDB truncates
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _table_cache[key] = df
     return df
 
 

@@ -118,6 +118,35 @@ class TestDedup:
         pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.3).collect()
         assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
 
+    def test_ngram_jaccard_df_cap_bounds_adversarial_common_gram(self, spark):
+        """Skew safety: every doc shares one ultra-common gram. Uncapped,
+        the inverted-index join emits a candidate for every pair (n²);
+        with the df cap the hot gram leaves the vocabulary before the
+        self-join, so only genuinely overlapping docs pair up."""
+        n = 60
+        rows = [(i, f"the common gram u{i} v{i} w{i} x{i}") for i in range(n)]
+        rows += [(1000, "dup dup alpha beta gamma delta"), (1001, "dup dup alpha beta gamma delta")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        capped = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.05, max_gram_df=20)
+        got = [(p.id_a, p.id_b) for p in capped.collect()]
+        # 60 docs × shared 'the common gram' would be 1770 candidate pairs
+        # uncapped; capped, only the true near-dup pair survives
+        assert got == [(1000, 1001)]
+        # uncapped run on the same corpus: the hot gram pairs everything
+        uncapped = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.05, max_gram_df=None)
+        assert uncapped.count() > n * (n - 1) / 2
+
+    def test_ngram_jaccard_cap_noop_below_threshold(self, spark):
+        """Default cap (10k docs) never fires at test corpus sizes — the
+        capped operator is bit-identical to exact semantics there."""
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "a b c d e f z"), (3, "q w e r t y u")],
+            ["doc_id", "text"],
+        )
+        exact = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.0, max_gram_df=None)
+        capped = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.0)
+        assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, capped.collect()))
+
 
 class TestAsofJoin:
     def test_latest_right_at_or_before_left(self, spark):

@@ -167,6 +167,48 @@ def test_anomaly_stats_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_tfidf_no_vocab_broadcast_and_no_eager_count(spark):
+    """text_tfidf_top_term's dfreq side is vocabulary-cardinality —
+    unbounded at 100 TB. The plan must not *force* a broadcast of it
+    (AQE may still pick one from real sizes), and building the query
+    must not run an eager driver-side count() job."""
+    import pyspark.sql
+    from graphdbetl_spark.plans.registry import all_queries
+
+    fn = all_queries()["text_tfidf_top_term"]
+    # no eager action during plan construction
+    orig_count = pyspark.sql.DataFrame.count
+    orig_collect = pyspark.sql.DataFrame.collect
+
+    def _boom(self):
+        raise AssertionError("eager action during query construction")
+
+    pyspark.sql.DataFrame.count = _boom
+    pyspark.sql.DataFrame.collect = _boom
+    try:
+        df = fn(spark, SF)
+    finally:
+        pyspark.sql.DataFrame.count = orig_count
+        pyspark.sql.DataFrame.collect = orig_collect
+
+    # With size-based broadcast disabled, only the explicit 1-row n_docs
+    # broadcast survives; a hint on dfreq would broadcast regardless.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df2 = fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df2.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert node_count(plan, "BroadcastHashJoin") == 0
+    assert node_count(plan, "BroadcastNestedLoopJoin") == 1  # the 1-row n_docs
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+
+
 def test_join_strategy_hints_are_honored(spark):
     """Tuning surface: per-join strategy hints override the planner's
     default — the knob used when a dimension outgrows broadcast but a
