@@ -6,13 +6,18 @@ metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched ``mapInPandas`` stages so each Python batch touches a
 bounded number of payload bytes.
 
-The decode step itself is STUBBED (codec libraries are not available
-in this environment — see ``decode_image``); the Spark-side plumbing
-(schema, batching, partition sizing) is real and tested.
+The decode path is REAL for the uncompressed formats a pure-Python
+decoder can handle — binary PPM (P6) and 24-bit uncompressed BMP via
+``struct`` — so the decode → feature → resize pipeline executes end to
+end with no codec libraries. Compressed codecs (jpeg/png/webp) remain
+stubbed behind ``NotImplementedError`` (their libraries are not
+installed here); at deployment only the codec branch of
+``decode_image`` changes — schemas, batching, and partition flow stay.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -62,10 +67,168 @@ def attach_media_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", payload).withColumn("media_meta", meta)
 
 
-def decode_image(payload: bytes) -> object:
-    """Decode an image payload. STUB: real codecs (PIL/opencv) are not
-    installed here; at deployment, swap the body for the real decoder."""
-    raise NotImplementedError("image codec not available in this environment")
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) from top-down row-major RGB bytes."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up, BGR,
+    4-byte row padding) from top-down row-major RGB bytes."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    row_size = (3 * width + 3) & ~3
+    pad = b"\x00" * (row_size - 3 * width)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        bgr = bytearray()
+        for x in range(width):
+            r, g, b = row[3 * x : 3 * x + 3]
+            bgr += bytes((b, g, r))
+        rows.append(bytes(bgr) + pad)
+    pixels = b"".join(rows)
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixels), 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + dib + pixels
+
+
+def decode_image(payload: bytes) -> tuple[str, int, int, bytes]:
+    """Decode an image payload to (format, width, height, rgb) where
+    ``rgb`` is top-down row-major RGB bytes.
+
+    Pure-Python decoders for the uncompressed container formats (PPM
+    P6, 24-bit BMP); compressed codecs stay stubbed — the libraries are
+    not installed in this environment, and a deployment swaps in
+    PIL/opencv in the NotImplementedError branch only.
+    """
+    if payload[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels
+        fields: list[bytes] = []
+        i = 2
+        while len(fields) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment line
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(payload[i:j])
+            i = j
+        i += 1  # the single whitespace after maxval
+        width, height, maxval = (int(f) for f in fields)
+        if maxval != 255:
+            raise NotImplementedError("PPM maxval != 255 not supported")
+        rgb = payload[i : i + width * height * 3]
+        if len(rgb) != width * height * 3:
+            raise ValueError("truncated PPM pixel data")
+        return ("ppm", width, height, rgb)
+    if payload[:2] == b"BM":
+        offset = struct.unpack_from("<I", payload, 10)[0]
+        dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if dib_size < 40 or bpp != 24 or compression != 0:
+            raise NotImplementedError("only 24-bit uncompressed BMP supported")
+        bottom_up = height > 0
+        height = abs(height)
+        row_size = (3 * width + 3) & ~3
+        out = bytearray()
+        for y in range(height):
+            src_y = (height - 1 - y) if bottom_up else y
+            base = offset + src_y * row_size
+            for x in range(width):
+                b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+                out += bytes((r, g, b))
+        return ("bmp", width, height, bytes(out))
+    raise NotImplementedError("compressed image codec not available in this environment")
+
+
+def synthetic_rgb(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic per-id pixel pattern (pure integer arithmetic) —
+    reproducible in any engine, which is what makes the decode pipeline
+    oracle-checkable end to end."""
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            out.append((doc_id * 31 + x * 7 + y * 13) % 256)
+            out.append((doc_id * 17 + x * 5 + y * 11) % 256)
+            out.append((doc_id * 29 + x * 3 + y * 19) % 256)
+    return bytes(out)
+
+
+def attach_synthetic_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 8,
+    height: int = 6,
+    fmt: str = "ppm",
+) -> DataFrame:
+    """Attach a REAL encoded image payload (PPM or BMP) derived
+    deterministically from the id — the fixture generator for the
+    decode → feature → resize pipeline. mapInPandas keeps payload
+    construction Arrow-batched and partition-local (no shuffle)."""
+    encode = encode_ppm if fmt == "ppm" else encode_bmp
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": [
+                        encode(width, height, synthetic_rgb(int(i), width, height))
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def decode_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """REAL decode → feature extraction: parse each payload with
+    ``decode_image`` and emit decoded dimensions + per-channel pixel
+    sums. Sums are exact integers, so the comparison against an oracle
+    carries zero float-formatting risk."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {k.name: [] for k in DECODE_SCHEMA.fields}
+            for _, row in pdf.iterrows():
+                fmt, w, h, rgb = decode_image(bytes(row[payload_col]))
+                rows["doc_id"].append(row[id_col])
+                rows["format"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(sum(rgb[0::3]))
+                rows["sum_g"].append(sum(rgb[1::3]))
+                rows["sum_b"].append(sum(rgb[2::3]))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, DECODE_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -147,16 +310,14 @@ def resize_media(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Resize stage over binary payloads via mapInPandas (the image
-    path): every payload is re-emitted at exactly ``width*height``
-    bytes with its metadata struct updated to the target dimensions.
-
-    The 'resampler' here is deterministic stride-subsampling /
-    zero-padding of the byte stream (decode is stubbed in this
-    environment — see ``decode_image``); a real deployment swaps only
-    the per-batch body for codec decode + interpolate + re-encode. The
-    Arrow batch shape, output schema (payload + typed metadata), and
-    partition flow (follows input, no shuffle) are the production
-    plumbing.
+    path): decodable payloads (PPM/BMP) get a REAL nearest-neighbor
+    resample to ``width×height`` and are re-encoded in their own
+    format; undecodable payloads fall back to deterministic byte
+    stride-subsampling / zero-padding (format 'fake'). A deployment
+    swaps only the codec branch of ``decode_image`` for compressed
+    formats. The Arrow batch shape, output schema (payload + typed
+    metadata), and partition flow (follows input, no shuffle) are the
+    production plumbing.
     """
     target = width * height
 
@@ -164,21 +325,34 @@ def resize_media(
         for pdf in it:
             out_ids, out_payloads, out_meta = [], [], []
             for _, row in pdf.iterrows():
-                data = row[payload_col] or b""
-                if len(data) >= target:
-                    step = len(data) / target
-                    resized = bytes(data[int(i * step)] for i in range(target))
-                else:
-                    resized = data + b"\x00" * (target - len(data))
+                data = bytes(row[payload_col] or b"")
+                try:
+                    fmt, sw, sh, rgb = decode_image(data)
+                    resampled = bytearray()
+                    for y in range(height):
+                        sy = min(int(y * sh / height), sh - 1)
+                        for x in range(width):
+                            sx = min(int(x * sw / width), sw - 1)
+                            base = 3 * (sy * sw + sx)
+                            resampled += rgb[base : base + 3]
+                    encode = encode_ppm if fmt == "ppm" else encode_bmp
+                    resized = encode(width, height, bytes(resampled))
+                except (NotImplementedError, ValueError, IndexError, struct.error):
+                    fmt = "fake"
+                    if len(data) >= target:
+                        step = len(data) / target
+                        resized = bytes(data[int(i * step)] for i in range(target))
+                    else:
+                        resized = data + b"\x00" * (target - len(data))
                 out_ids.append(row[id_col])
                 out_payloads.append(resized)
                 out_meta.append(
                     {
                         "media_type": "image",
-                        "format": "fake",
+                        "format": fmt,
                         "width": width,
                         "height": height,
-                        "n_bytes": target,
+                        "n_bytes": len(resized),
                     }
                 )
             yield pd.DataFrame(

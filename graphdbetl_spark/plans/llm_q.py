@@ -661,10 +661,40 @@ def pack_sequences_q(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow mapInPandas: the
     multimodal plumbing (binary column + metadata struct + batched
-    Python stage) with a deterministic fake feature; the real decoder
-    is stubbed (operators/multimodal.py)."""
+    Python stage) with a deterministic fake feature; see
+    multimodal_decode for the REAL decode path."""
     d = attach_media_columns(T(spark, sf, "documents"), "text")
     return extract_features(d, "payload", "doc_id")
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, x.x, y.y
+        FROM documents d
+        CROSS JOIN generate_series(0, 7) x(x)
+        CROSS JOIN generate_series(0, 5) y(y)
+    )
+    SELECT doc_id, 'ppm' AS format, 8 AS width, 6 AS height,
+           CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 17 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 29 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode end to end: per doc, an encoded binary PPM
+    payload (deterministic pixel pattern) is built, parsed back by the
+    pure-Python decoder, and reduced to decoded dimensions + exact
+    per-channel pixel sums — all inside Arrow-batched mapInPandas
+    stages. The oracle recomputes the pixel sums from the generating
+    formula, so a header mis-parse, stride bug, or channel swap in
+    encode OR decode breaks the hash match."""
+    from graphdbetl_spark.operators.multimodal import attach_synthetic_images, decode_features
+
+    d = attach_synthetic_images(T(spark, sf, "documents"), "doc_id", width=8, height=6, fmt="ppm")
+    return decode_features(d, "payload", "doc_id")
 
 
 @query(

@@ -177,11 +177,74 @@ class TestMultimodal:
         assert feats[1].byte_mean == f"{(97 + 98 + 99) / 3:.4f}"
         assert feats[2].n_bytes == 0
 
-    def test_decode_is_stubbed(self):
+    def test_decode_compressed_is_stubbed(self):
         from graphdbetl_spark.operators.multimodal import decode_image
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG")
+
+    def test_ppm_round_trip(self):
+        from graphdbetl_spark.operators.multimodal import decode_image, encode_ppm, synthetic_rgb
+
+        rgb = synthetic_rgb(7, 5, 4)
+        fmt, w, h, got = decode_image(encode_ppm(5, 4, rgb))
+        assert (fmt, w, h) == ("ppm", 5, 4)
+        assert got == rgb
+
+    def test_ppm_decode_skips_comments(self):
+        from graphdbetl_spark.operators.multimodal import decode_image
+
+        payload = b"P6\n# a comment\n2 1\n255\n" + bytes(range(6))
+        fmt, w, h, rgb = decode_image(payload)
+        assert (fmt, w, h) == ("ppm", 2, 1)
+        assert rgb == bytes(range(6))
+
+    def test_bmp_round_trip_with_row_padding(self):
+        from graphdbetl_spark.operators.multimodal import decode_image, encode_bmp, synthetic_rgb
+
+        # width 3 -> 9-byte rows pad to 12; bottom-up + BGR must both invert
+        rgb = synthetic_rgb(11, 3, 2)
+        fmt, w, h, got = decode_image(encode_bmp(3, 2, rgb))
+        assert (fmt, w, h) == ("bmp", 3, 2)
+        assert got == rgb
+
+    def test_decode_features_end_to_end(self, spark):
+        from graphdbetl_spark.operators.multimodal import (
+            attach_synthetic_images,
+            decode_features,
+            synthetic_rgb,
+        )
+
+        df = spark.createDataFrame([(3,), (9,)], ["doc_id"])
+        for fmt in ("ppm", "bmp"):
+            d = attach_synthetic_images(df, "doc_id", width=4, height=3, fmt=fmt)
+            out = {r.doc_id: r for r in decode_features(d).collect()}
+            for i in (3, 9):
+                rgb = synthetic_rgb(i, 4, 3)
+                assert (out[i].format, out[i].width, out[i].height) == (fmt, 4, 3)
+                assert out[i].sum_r == sum(rgb[0::3])
+                assert out[i].sum_g == sum(rgb[1::3])
+                assert out[i].sum_b == sum(rgb[2::3])
+
+    def test_resize_real_decode_path(self, spark):
+        from graphdbetl_spark.operators.multimodal import (
+            attach_synthetic_images,
+            decode_image,
+            resize_media,
+            synthetic_rgb,
+        )
+
+        df = spark.createDataFrame([(5,)], ["doc_id"])
+        media = attach_synthetic_images(df, "doc_id", width=8, height=6, fmt="ppm")
+        out = resize_media(media, width=4, height=3).collect()[0]
+        assert out.media_meta.format == "ppm"
+        fmt, w, h, rgb = decode_image(bytes(out.payload))
+        assert (fmt, w, h) == ("ppm", 4, 3)
+        # nearest-neighbor: output pixel (0,0) is source pixel (0,0)
+        src = synthetic_rgb(5, 8, 6)
+        assert rgb[:3] == src[:3]
+        # output pixel (1,0) samples source x = 1*8//4 = 2
+        assert rgb[3:6] == src[6:9]
 
     def test_frame_sample_fans_out(self, spark):
         from graphdbetl_spark.operators.multimodal import attach_media_columns, frame_sample
