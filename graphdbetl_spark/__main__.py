@@ -20,6 +20,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("-f", "--config", required=True, help="YAML config file")
     b.add_argument("-o", "--out", required=True, help="output directory")
     b.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    b.add_argument("-m", "--mysql-config-file", default=None,
+                   help="MySQL option file (~/.my.cnf dialect) used as the "
+                        "default 'config file' for mysql sources (reference "
+                        "bin/build-graph-db -m)")
     b.add_argument("--skip-bad-sources", action="store_true",
                    help="warn and skip unreachable sources (reference soft-fail)")
     b.add_argument("--neo4j", action="store_true",
@@ -40,7 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     from graphdbetl_spark.session import get_spark
 
     spark = get_spark("graphdbetl-build", cpus=args.cpus)
-    builder = GraphDBBuilder.from_config_file(spark, args.config)
+    builder = GraphDBBuilder.from_config_file(
+        spark, args.config, mysql_config_file=args.mysql_config_file
+    )
     builder.build(skip_bad_sources=args.skip_bad_sources)
     builder.write(args.out, fmt=args.format)
     if args.neo4j:

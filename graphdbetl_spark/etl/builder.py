@@ -86,20 +86,31 @@ class GraphDBBuilder:
     config: dict[str, Any]
     nodes: dict[str, NodeType] = field(default_factory=dict)
     relationships: dict[str, RelationshipType] = field(default_factory=dict)
+    # Reference contract: GraphDBBuilder(config_file_path, mysql_config_file)
+    # with bin/build-graph-db:11-13 defaulting -m to ~/.my.cnf. When set,
+    # it becomes the default 'config file' for every mysql source that
+    # doesn't declare its own.
+    mysql_config_file: str | None = None
 
     @classmethod
-    def from_config_file(cls, spark: SparkSession, path: str) -> "GraphDBBuilder":
+    def from_config_file(
+        cls, spark: SparkSession, path: str, mysql_config_file: str | None = None
+    ) -> "GraphDBBuilder":
         with open(path) as fh:
-            return cls(spark, yaml.safe_load(fh))
+            return cls(spark, yaml.safe_load(fh), mysql_config_file=mysql_config_file)
 
     # -- config processing (reference _process_config, :292-329; strict,
     # -- unlike the reference's KeyError-swallowing variant, :325-329)
 
     def _source_spec(self, name: str) -> dict[str, Any]:
         try:
-            return self.config["Sources"][name]
+            spec = self.config["Sources"][name]
         except KeyError:
             raise KeyError(f"source {name!r} not declared in Sources") from None
+        kind = (spec.get("source type") or spec.get("type") or "").lower()
+        if kind == "mysql" and self.mysql_config_file and not spec.get("config file"):
+            spec = {**spec, "config file": self.mysql_config_file}
+        return spec
 
     def _read(self, source_name: str, table: str) -> DataFrame:
         return read_source(self.spark, self._source_spec(source_name), table)

@@ -15,11 +15,82 @@ Source spec (what the YAML config's ``Sources:`` section compiles to)::
 
 from __future__ import annotations
 
+import configparser
 import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+# Option-file keys that map onto the JDBC connection (anything else in
+# the file — ssl modes, charsets, prompt settings — is client-local and
+# ignored, as Spark's JDBC connector has its own option namespace).
+_MYSQL_OPTION_KEYS = ("host", "port", "user", "password", "database")
+
+
+def parse_mysql_option_file(
+    path: str, groups: tuple[str, ...] = ("client", "mysql", "connector_python")
+) -> dict[str, str]:
+    """Parse a MySQL option file (``~/.my.cnf`` dialect) into a flat
+    option dict — the reference's actual connection contract
+    (``sql_io.py:4-13`` passes ``option_files=`` to mysql.connector,
+    which reads the [client]/[mysql]/[connector_python] groups;
+    ``bin/build-graph-db:11-13`` defaults ``-m`` to ``~/.my.cnf``).
+
+    Later groups override earlier ones (mysql.connector precedence).
+    Quoted values are unquoted; ``!include`` directives are client-side
+    only and skipped.
+    """
+    path = os.path.expanduser(path)
+    parser = configparser.ConfigParser(
+        allow_no_value=True, strict=False, interpolation=None
+    )
+    with open(path) as fh:
+        # my.cnf allows !include/!includedir directives configparser
+        # chokes on; they reference client-local files, so drop them.
+        text = "".join(line for line in fh if not line.lstrip().startswith("!"))
+    parser.read_string(text, source=path)
+    out: dict[str, str] = {}
+    for group in groups:
+        if parser.has_section(group):
+            for key, value in parser.items(group):
+                if value is None:
+                    continue
+                value = value.strip()
+                if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
+                    value = value[1:-1]
+                out[key.replace("-", "_")] = value
+    return {k: v for k, v in out.items() if k in _MYSQL_OPTION_KEYS}
+
+
+def mysql_source_to_jdbc(source: dict[str, Any]) -> dict[str, Any]:
+    """Compile the reference's mysql source dialect (config.yml:10-13:
+    'source type: mysql', 'database name', 'config file') into a Spark
+    JDBC source spec. An unreachable server surfaces at load() and
+    ``GraphDBBuilder.build(skip_bad_sources=True)`` soft-skips it, the
+    reference's behavior (``graph_db_builder.py:317-319``).
+
+    'config file' is the reference's option-file contract
+    (``sql_io.py:4-13``): values parsed from it are connection
+    DEFAULTS; inline YAML keys override them.
+    """
+    file_opts: dict[str, str] = {}
+    if source.get("config file"):
+        file_opts = parse_mysql_option_file(source["config file"])
+    host = source.get("host", file_opts.get("host", "localhost"))
+    port = source.get("port", file_opts.get("port", 3306))
+    db = source.get(
+        "database name", source.get("database", file_opts.get("database", ""))
+    )
+    url = source.get("url", f"jdbc:mysql://{host}:{port}/{db}")
+    opts = {k: v for k, v in file_opts.items() if k in ("user", "password")}
+    opts.update(
+        {k: v for k, v in source.items()
+         if k in ("user", "password", "driver", "fetchsize",
+                  "partitionColumn", "lowerBound", "upperBound", "numPartitions")}
+    )
+    opts.setdefault("driver", "com.mysql.cj.jdbc.Driver")
+    return {"source type": "jdbc", "url": url, **opts}
 
 
 def read_source(
@@ -38,19 +109,7 @@ def read_source(
     """
     kind = (source.get("source type") or source.get("type") or "parquet").lower()
     if kind == "mysql":
-        # The reference's source kind (config.yml:10-13: 'source type:
-        # mysql', 'database name', 'config file'). Spark-side it is JDBC
-        # with a MySQL URL; an unreachable server surfaces at load() and
-        # GraphDBBuilder.build(skip_bad_sources=True) soft-skips it, the
-        # reference's behavior (graph_db_builder.py:317-319).
-        host = source.get("host", "localhost")
-        port = source.get("port", 3306)
-        db = source.get("database name", source.get("database", ""))
-        url = source.get("url", f"jdbc:mysql://{host}:{port}/{db}")
-        opts = {k: v for k, v in source.items()
-                if k in ("user", "password", "driver", "fetchsize",
-                         "partitionColumn", "lowerBound", "upperBound", "numPartitions")}
-        source = {"source type": "jdbc", "url": url, **opts}
+        source = mysql_source_to_jdbc(source)
         kind = "jdbc"
     if kind == "jdbc":
         reader = spark.read.format("jdbc")
