@@ -51,13 +51,39 @@ HEADLINE = [
 ]
 
 
+def warmup(spark, qs, sf_dir: str) -> None:
+    """Bring the session to steady state before the measured pass.
+
+    The driver may run a single iteration, so cold-start cost would
+    land directly in the recorded numbers. Three caches matter: OS page
+    cache + parquet footers for every headline input; JVM JIT/codegen
+    for the headline plan shapes; and the Python worker pool (first
+    pandas-UDF use pays worker fork + Arrow init, and the pool grows
+    with partition parallelism). A measured-but-unrecorded pass of the
+    full headline set at the bench scale factor warms all three —
+    isolated probes show first-run cost up to 6× steady state (e.g.
+    dedup_minhash 10.7s cold vs 1.75s warm at sf0.1), so without this
+    an n=1 run benchmarks the cold path, not the engine.
+    """
+    from graphdbetl_spark.sources.catalog import TABLES, load_table
+
+    t0 = time.perf_counter()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    for name in HEADLINE:
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # warmup must never fail the bench
+            print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
+    print(f"# warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("graphdbetl-bench")
     qs = all_queries()
 
-    # warmup: JVM/codegen/parquet footer caches
-    qs["schema_peek"](spark, sf_dir).count()
+    warmup(spark, qs, sf_dir)
 
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     times: dict[str, float] = {}
