@@ -458,6 +458,48 @@ def agg_approx(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_bounds",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           true AS approx_within_bound,
+           true AS median_within_range
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_approx_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-checked error bounds for the sketch aggregates: per
+    group, HLL++ approx-distinct must land within 3·rsd (rsd=0.05) of
+    the exact distinct computed in the same plan, and the GK approx
+    median must land between the exact 45th and 55th percentiles (its
+    rank error at default accuracy is 1e-4, far inside that window).
+    The oracle asserts both booleans as literal ``true`` alongside the
+    exact counts, so a sketch drifting out of its published bound —
+    or a broken exact aggregate — breaks the hash match. Companion to
+    the rows-only ``agg_approx``: the approximate family gets a green
+    driver row without pretending sketches are value-reproducible."""
+    o = T(spark, sf, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", 0.05).alias("__approx"),
+        F.expr("percentile(o_totalprice, 0.45)").alias("__p45"),
+        F.expr("percentile(o_totalprice, 0.55)").alias("__p55"),
+        F.percentile_approx("o_totalprice", 0.5).alias("__amed"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("__approx") - F.col("exact_customers"))
+            <= 0.15 * F.col("exact_customers")
+        ).alias("approx_within_bound"),
+        ((F.col("__amed") >= F.col("__p45")) & (F.col("__amed") <= F.col("__p55"))).alias(
+            "median_within_range"
+        ),
+    )
+
+
+@query(
     "agg_grouping_sets",
     oracle="""
     SELECT r.r_name, n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
