@@ -8,8 +8,52 @@ single-column sort layouts only help predicates on that column.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def promote_staged(stage: str, path: str) -> None:
+    """Promote a fully-written staging directory over ``path`` without a
+    window where the data is unrecoverable: the current dataset is moved
+    aside (rename — no delete) before the staged one takes its place, so
+    a crash at any point leaves either the old or the new data intact on
+    disk. The crash window where ``path`` itself is briefly absent is
+    healed by :func:`recover_dataset`. Readers must be quiesced across
+    the swap (directory renames are not isolated from concurrent scans);
+    at warehouse scale use a lakehouse table format, whose metadata
+    pointer makes the same promotion atomic and reader-isolated.
+    """
+    old = path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_dataset(path: str) -> bool:
+    """Heal the promote_staged crash window: if ``path`` is missing but
+    its moved-aside copy exists, restore it. Returns True if restored."""
+    old = path.rstrip("/") + "__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
+def safe_overwrite(df: DataFrame, path: str) -> None:
+    """Crash-safe rewrite of a parquet dataset that ``df``'s lineage may
+    READ FROM: materialize to a staging directory first (the source stays
+    untouched while the plan executes), then swap via
+    :func:`promote_staged`. Unlike cache()+overwrite-in-place, no step
+    recomputes lineage against a half-deleted source, and no crash point
+    loses both copies."""
+    stage = path.rstrip("/") + "__stage"
+    df.write.mode("overwrite").parquet(stage)
+    promote_staged(stage, path)
 
 
 def compact_dataset(
@@ -20,9 +64,10 @@ def compact_dataset(
     """Rewrite a parquet dataset into ~target-sized files. Returns the
     new file count. Uses the dataset's actual on-disk size (not row
     counts) to pick the file count; repartition(n) redistributes evenly.
+    The swap is staged (promote_staged): a crash mid-swap leaves a
+    recoverable copy; readers must be quiesced across it.
     """
-    import os
-
+    recover_dataset(path)
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -33,12 +78,7 @@ def compact_dataset(
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap (true atomicity needs a table format; this is the
-    # filesystem fallback)
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    promote_staged(tmp, path)
     return n_files
 
 
@@ -55,15 +95,18 @@ def _interleave_bits(a: Column, b: Column, bits: int = 21) -> Column:
     return z
 
 
-def zorder_rank(df: DataFrame, col_a: str, col_b: str, buckets: int = 1 << 20) -> Column:
+def zorder_rank(df: DataFrame, col_a: str, col_b: str, buckets: int = 1 << 10) -> Column:
     """Z-order key over two numeric columns, rank-normalized first so
     skew and value range don't break the interleave: each column maps
-    to its ntile bucket, then buckets interleave."""
+    to one of ``buckets`` ntile buckets (rounded up to a power of two),
+    then bucket indices interleave bitwise."""
     from pyspark.sql import Window
 
-    ra = F.ntile(1 << 10).over(Window.orderBy(col_a)) - 1
-    rb = F.ntile(1 << 10).over(Window.orderBy(col_b)) - 1
-    return _interleave_bits(ra.cast("long"), rb.cast("long"), bits=10)
+    bits = max(1, (buckets - 1).bit_length())
+    n = 1 << bits
+    ra = F.ntile(n).over(Window.orderBy(col_a)) - 1
+    rb = F.ntile(n).over(Window.orderBy(col_b)) - 1
+    return _interleave_bits(ra.cast("long"), rb.cast("long"), bits=bits)
 
 
 def write_zordered(

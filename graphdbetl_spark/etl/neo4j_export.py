@@ -25,13 +25,17 @@ from graphdbetl_spark.etl.builder import (
 )
 
 
-def export_for_neo4j_admin(builder: GraphDBBuilder, out_dir: str) -> dict[str, str]:
+def export_for_neo4j_admin(
+    builder: GraphDBBuilder, out_dir: str
+) -> dict[str, dict[str, str]]:
     """Write every built node/relationship table as neo4j-admin import
-    CSVs. Returns {table label: output path}. Property columns keep
-    their names; canonical columns map onto the import headers."""
+    CSVs. Returns ``{"nodes": {label: path}, "relationships": {type:
+    path}}`` — keyed by kind, so a node label and a relationship type
+    sharing a name can't overwrite each other's entry. Property columns
+    keep their names; canonical columns map onto the import headers."""
     if not builder.nodes and not builder.relationships:
         builder.build()
-    written: dict[str, str] = {}
+    written: dict[str, dict[str, str]] = {"nodes": {}, "relationships": {}}
 
     for label, node in builder.nodes.items():
         df = node.dataframe
@@ -43,7 +47,7 @@ def export_for_neo4j_admin(builder: GraphDBBuilder, out_dir: str) -> dict[str, s
         )
         path = os.path.join(out_dir, "nodes", label)
         out.write.mode("overwrite").option("header", "true").option("emptyValue", "").csv(path)
-        written[label] = path
+        written["nodes"][label] = path
 
     for label, rel in builder.relationships.items():
         df = rel.dataframe
@@ -56,6 +60,6 @@ def export_for_neo4j_admin(builder: GraphDBBuilder, out_dir: str) -> dict[str, s
         )
         path = os.path.join(out_dir, "relationships", label)
         out.write.mode("overwrite").option("header", "true").option("emptyValue", "").csv(path)
-        written[label] = path
+        written["relationships"][label] = path
 
     return written

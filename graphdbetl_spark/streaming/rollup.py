@@ -61,16 +61,18 @@ def start_rollup_maintenance(
     spark = stream.sparkSession
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        from graphdbetl_spark.etl.maintenance import recover_dataset, safe_overwrite
+
+        recover_dataset(rollup_path)
         delta = bucket_partials(batch, ts_col, width)
         try:
             existing = spark.read.parquet(rollup_path)
         except Exception:
             existing = None
         merged = merge_rollup(existing, delta)
-        merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(rollup_path)
-        merged.unpersist()
+        # staged write + atomic promote (see streaming/ingest.py): never
+        # overwrite the path the merge plan is still reading from
+        safe_overwrite(merged, rollup_path)
 
     return (
         stream.writeStream.foreachBatch(process)

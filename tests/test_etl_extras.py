@@ -21,7 +21,8 @@ def test_neo4j_export_headers(spark, tmp_path):
     builder = GraphDBBuilder(spark, cfg)
     out = str(tmp_path / "neo4j")
     written = export_for_neo4j_admin(builder, out)
-    assert set(written) >= {"Party", "Nation", "CUSTOMER_FROM_NATION"}
+    assert set(written["nodes"]) >= {"Party", "Nation"}
+    assert set(written["relationships"]) == {"CUSTOMER_FROM_NATION"}
 
     node_dir = os.path.join(out, "nodes", "Nation")
     csv_file = next(f for f in os.listdir(node_dir) if f.endswith(".csv"))

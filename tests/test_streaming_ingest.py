@@ -106,3 +106,30 @@ def test_streaming_decontamination_routes_batches(spark, tmp_path):
         for r in decontaminate_against_eval(all_docs, "text", "doc_id", eval_df).collect()
     }
     assert got_quar == {d for d, c in batch_flags.items() if c}
+
+
+def test_upsert_batch_first_wins_is_arrival_order(spark):
+    """Within a micro-batch, the EARLIEST row's non-null value wins —
+    not the per-column minimum (the vacuous order_by=id degeneracy)."""
+    batch = spark.createDataFrame(
+        [(1, "b", 2.0), (1, "a", 1.0), (1, None, 0.5)],
+        "id int, name string, v double",
+    ).coalesce(1)
+    out = upsert_batch(None, batch, "id").collect()[0]
+    assert (out.name, out.v) == ("b", 2.0)
+
+
+def test_ingest_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between move-aside and promote leaves the table missing
+    but __old intact; the next batch must heal it, not restart from
+    empty state."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from graphdbetl_spark.etl.maintenance import recover_dataset
+
+    table = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id int, name string").write.parquet(table)
+    os.rename(table, table + "__old")  # simulate the crash window
+    assert recover_dataset(table)
+    assert spark.read.parquet(table).count() == 1
+    assert not os.path.exists(table + "__old")
