@@ -103,37 +103,50 @@ def minhash_near_duplicates(
     candidate), which degenerates to ~all-pairs on corpora with shared
     vocabulary; the AND-banding here keeps the candidate set near the
     true near-dup set — the property that survives 100 TB. Returned
-    pairs are exact-verified (jaccard column is exact over shingle
-    sets); recall < 1 per the collision curve.
+    pairs are verified over the hashed shingle sets (jaccard is exact
+    up to 31-bit shingle-hash collisions, ~|sh|²/2³² relative error per
+    pair — the standard hashed-shingle treatment); recall < 1 per the
+    collision curve.
     """
     r = num_hashes // bands
     # Repartition by id before the (CPU-heavy) k×|shingles| hashing:
     # test inputs arrive as one parquet file = one partition, which
     # would serialize the signature computation on a single core.
-    # cache(): the shingle table feeds the bucket self-join AND both
-    # sides of the verification join — uncached, shingling runs 4×.
+    # Shingle strings are hashed to 31-bit ints IMMEDIATELY (string
+    # hashing dominates cost; everything downstream — signatures AND
+    # exact-Jaccard verification — needs only the hashes), so the
+    # cached table and the two verification-join shuffles carry 8-byte
+    # longs, not ~30-byte gram strings.
+    # cache(): the hashed-shingle table feeds the bucket self-join AND
+    # both sides of the verification join — uncached, shingling runs 4×.
     # (At warehouse scale, persist signatures as a table instead.)
+    p = (1 << 31) - 1  # Mersenne prime
     sh = (
         df.repartition(F.col(id_col))
-        .select(F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("sh"))
-        .filter(F.size("sh") > 0)
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    _shingles(F.col(text_col), shingle_n),
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(p)),
+                )
+            ).alias("hs"),
+        )
+        .filter(F.size("hs") > 0)
         .cache()
     )
 
-    # k minhashes. Hash each shingle to an integer ONCE (string hashing
-    # dominates cost), then derive the k functions with the classic
-    # universal family h_i(x) = (a_i·x + b_i) mod p over a 31-bit prime
-    # — products stay < 2^62, so no ANSI long overflow, and the ops are
+    # k minhashes from the shingle hashes with the classic universal
+    # family h_i(x) = (a_i·x + b_i) mod p over a 31-bit prime —
+    # products stay < 2^62, so no ANSI long overflow, and the ops are
     # cheap long arithmetic inside codegen.
-    p = (1 << 31) - 1  # Mersenne prime
     rng = random.Random(42)
     coeffs = [(rng.randrange(1, p), rng.randrange(p)) for _ in range(num_hashes)]
-    hashed = sh.withColumn("hs", F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(p))))
     sig = F.array(*[
         F.array_min(F.transform(F.col("hs"), lambda h: (h * F.lit(a) + F.lit(b)) % p))
         for a, b in coeffs
     ])
-    with_sig = hashed.withColumn("sig", sig)
+    with_sig = sh.withColumn("sig", sig)
 
     # explode into (band_idx, hash-of-r-rows) bucket keys
     band_cols = F.array(*[
@@ -158,9 +171,9 @@ def minhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # exact Jaccard verification over shingle sets
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # exact Jaccard verification over hashed shingle sets
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
