@@ -229,3 +229,22 @@ def test_join_strategy_hints_are_honored(spark):
     with contextlib.redirect_stdout(buf2):
         merged.explain("formatted")
     assert "SortMergeJoin" in buf2.getvalue()
+
+
+def test_driver_priority_slate():
+    """The first 50 registry entries — the driver's round-1 correctness
+    budget — must all be oracle-checked and must span every family
+    (rows-only entries would spend a driver-verdict slot on a weaker
+    check)."""
+    from graphdbetl_spark.plans.registry import _PRIORITY, all_oracles, all_queries
+
+    qs, oracles = list(all_queries()), all_oracles()
+    assert len(_PRIORITY) == len(set(_PRIORITY)) == 50
+    assert qs[:50] == list(_PRIORITY)  # every priority name is registered
+    assert all(name in oracles for name in qs[:50])
+    for must_have in (
+        "dedup_minhash_md5", "multimodal_decode", "stream_session",
+        "node_build_party", "decontaminate_ngrams", "tpch_q5_style",
+        "agg_approx_bounds",
+    ):
+        assert must_have in _PRIORITY
