@@ -73,6 +73,55 @@ def decontaminate_against_eval(
     )
 
 
+def repeated_ngram_coverage(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, min_df: int = 2
+) -> DataFrame:
+    """Cross-document repeated n-gram signal (the corpus-level dedup
+    statistic behind suffix-array substring dedup, Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, how many of its distinct word ``n``-grams appear in at
+    least ``min_df`` documents corpus-wide, and the covered fraction —
+    the thresholding signal for dropping boilerplate-heavy documents.
+
+    Scale shape (the tf-idf shape): grams reduce to 64-bit xxhash64
+    fingerprints at the scan, document frequency is one partial-agg
+    shuffle on the fingerprint, the df-join is a fingerprint equi-join
+    (vocabulary-sized build side — never broadcast; AQE's skew split
+    handles hot grams), and the final per-doc rollup combines map-side
+    to ~one row per document. Nothing is quadratic in corpus size.
+
+    Returns (id_col, n_grams, n_repeated, repeated_frac); zero-gram
+    documents survive with zeros via ``explode_outer``.
+    """
+    grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
+    ex = df.select(F.col(id_col), F.explode_outer(grams).alias("gram")).select(
+        F.col(id_col), F.xxhash64("gram").alias("gfp")
+    )
+    dfreq = (
+        ex.filter(F.col("gfp").isNotNull())
+        .groupBy("gfp")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    flagged = ex.join(dfreq, "gfp", "left")
+    n_grams = F.count("gfp")
+    n_repeated = F.count(F.when(F.col("df") >= min_df, F.lit(1)))
+    return (
+        flagged.groupBy(id_col)
+        .agg(n_grams.alias("n_grams"), n_repeated.alias("n_repeated"))
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.col("n_repeated"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_repeated") / F.col("n_grams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("repeated_frac"),
+        )
+    )
+
+
 def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Redact email / phone / IPv4 literals and count redactions.
 

@@ -138,3 +138,71 @@ def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
     per document (boilerplate/spam filter) — per-row array expressions,
     zero shuffles."""
     return repetition_stats(T(spark, sf, "documents"), "text", "doc_id", n=2)
+
+
+@query(
+    "doc_repeated_ngrams",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                        || toks[i+3] || ' ' || toks[i+4])) AS grams
+        FROM t
+    ), e AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g
+    ), d AS (
+        SELECT gram, count(*) AS df FROM e GROUP BY gram
+    ), cnt AS (
+        SELECT e.doc_id,
+               count(*) AS n_grams,
+               count(CASE WHEN d.df >= 2 THEN 1 END) AS n_repeated
+        FROM e JOIN d USING (gram) GROUP BY e.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(COALESCE(cnt.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(cnt.n_repeated, 0) AS BIGINT) AS n_repeated,
+           CASE WHEN COALESCE(cnt.n_grams, 0) > 0
+                THEN ROUND(cnt.n_repeated::DOUBLE / cnt.n_grams, 6)
+                ELSE 0.0 END AS repeated_frac
+    FROM g LEFT JOIN cnt USING (doc_id)
+    """,
+)
+def doc_repeated_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document repeated 5-gram coverage per document — the
+    corpus-level boilerplate/dedup signal of Lee et al. 2022 (see
+    operators/curation.py repeated_ngram_coverage for the scale shape:
+    fingerprinted grams, one df aggregation, one equi-join, nothing
+    quadratic)."""
+    from graphdbetl_spark.operators.curation import repeated_ngram_coverage
+
+    return repeated_ngram_coverage(T(spark, sf, "documents"), "text", "doc_id", n=5)
+
+
+@query(
+    "curation_domain_cap",
+    oracle="""
+    SELECT doc_id, source, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 10
+    """,
+)
+def curation_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap (the Common-Crawl-style curation policy:
+    no source/domain may contribute more than K documents; survivors
+    are the K best by length with doc_id tiebreak). Reuses
+    topk_per_group, so Catalyst's WindowGroupLimit keeps ~K rows per
+    group per partition ahead of the shuffle — safe under hot-domain
+    skew, the failure mode of a naive per-domain window at 100 TB."""
+    from graphdbetl_spark.operators.joins import topk_per_group
+
+    d = T(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return topk_per_group(d, ["source"], "n_chars", 10, descending=True).select(
+        "doc_id", "source", F.col("rn").cast("int").alias("rn")
+    )
