@@ -489,3 +489,60 @@ def udtf_explode_outer(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("regexp_extract_all(text, 'spark[a-z]*', 0)")
         ).alias("token"),
     )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY n1.n_name, n2.n_name, l_year
+"""
+
+
+@query("sql_frontend_q7_style", oracle=_Q7_SQL)
+def sql_frontend_q7_style(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between nation pairs by year)
+    through the SQL frontend — identical text on both engines. Plan
+    shape: both fact tables shuffle once on their join keys, both
+    nation joins broadcast, the n1 < n2 pair predicate prunes half the
+    dimension cross space before aggregation."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        T(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_Q7_SQL)
+
+
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("sql_frontend_q10_style", oracle=_Q10_SQL)
+def sql_frontend_q10_style(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (top returned-item revenue customers) through
+    the SQL frontend — identical text on both engines. Date filter
+    pushes into the orders scan, the returnflag filter into the
+    lineitem scan; the final ORDER+LIMIT compiles to
+    TakeOrderedAndProject (no global sort), with c_custkey tiebreak so
+    the cutoff is engine-deterministic."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        T(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_Q10_SQL)
