@@ -313,3 +313,29 @@ def running_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     return daily.select(
         "d", "new_users", F.sum("new_users").over(w).cast("long").alias("cum_distinct_users")
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
+           p.value AS purchase_value
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join in its batch form (identical plan
+    semantics; the same operator over readStream carries watermarks on
+    BOTH sides so buffered join state evicts as event time advances —
+    pinned live in tests/test_streaming.py). Attribution shape: each
+    purchase matches the same user's clicks in the preceding 30
+    minutes; the equi-key (user_id) keeps it a hash join with a range
+    residual, never a cross join."""
+    from graphdbetl_spark.streaming.windows import streaming_interval_join
+
+    e = T(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return streaming_interval_join(purchases, clicks, window="30 minutes")
