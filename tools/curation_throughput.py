@@ -10,7 +10,12 @@ three representative stages:
   pass (zero shuffles — pure codegen over the scan);
 - chunk: overlapping context-window chunking (fan-out inside the scan
   stage, zero shuffles);
-- dedup_exact: sha256 + min-id-per-digest (one shuffle).
+- dedup_exact: sha256 + min-id-per-digest (one shuffle);
+- repeated_ngrams: cross-document repeated-5-gram coverage (the
+  tf-idf shape: fingerprint, df aggregate, df join, per-doc rollup)
+  — measured over a per-copy token-suffixed replica so the VOCABULARY
+  grows with the corpus, as it does in reality; identical replicas
+  would keep the document-frequency table artificially flat.
 
 Usage: python tools/curation_throughput.py [REP ...]   (default: 20 200)
 """
@@ -50,11 +55,33 @@ def main() -> None:
         n = d.count()
         n_bytes = d.agg(F.sum(F.octet_length("text"))).first()[0]
 
+        # second replica with per-copy vocabulary for the df-join stage
+        from graphdbetl_spark.operators.curation import repeated_ngram_coverage
+
+        stage_v = f"/tmp/graft_curation_docsv_{rep}"
+        (
+            docs.withColumn("_c", F.explode(F.array(*[F.lit(i) for i in range(rep)])))
+            .withColumn("doc_id", F.col("doc_id") * rep + F.col("_c"))
+            .withColumn(
+                "text",
+                F.regexp_replace(
+                    F.col("text"), F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1x"), F.col("_c").cast("string")),
+                ),
+            )
+            .drop("_c")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(stage_v)
+        )
+        dv = spark.read.parquet(stage_v)
+
         for name, frame in (
             ("scrub+score", scrub_pii(d, "text", "doc_id").join(
                 repetition_stats(d, "text", "doc_id"), "doc_id")),
             ("chunk", chunk_text(d, "text", "doc_id")),
             ("dedup_exact", dedup_exact_text(d, "text", "doc_id")),
+            ("repeated_ngrams", repeated_ngram_coverage(dv, "text", "doc_id", n=5)),
         ):
             t0 = time.perf_counter()
             frame.write.format("noop").mode("overwrite").save()
