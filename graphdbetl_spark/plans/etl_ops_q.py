@@ -332,3 +332,51 @@ def cdc_apply_q(spark: SparkSession, sf: str) -> DataFrame:
     )
     log = upd.unionByName(ins).unionByName(dels)
     return cdc_apply(base, log, "c_custkey", "seq", "op", ["c_name", "c_acctbal"])
+
+
+@query(
+    "er_fuzzy_match",
+    oracle="""
+    WITH dirty AS (
+        SELECT c_custkey AS dirty_id,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN substr(c_name, 1, 11) || 'X' || substr(c_name, 13)
+                    ELSE c_name END AS dirty_name
+        FROM customer
+    )
+    SELECT d.dirty_id, c.c_custkey AS clean_id,
+           CAST(levenshtein(d.dirty_name, c.c_name) AS INTEGER) AS distance
+    FROM dirty d JOIN customer c
+      ON length(d.dirty_name) = length(c.c_name)
+     AND substr(d.dirty_name, length(d.dirty_name) - 3, 4)
+         = substr(c.c_name, length(c.c_name) - 3, 4)
+    WHERE levenshtein(d.dirty_name, c.c_name) <= 1
+    """,
+)
+def er_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution against a dirty feed: every third customer
+    name gets a deterministic mid-string corruption, then blocked fuzzy
+    matching (operators/linkage.py) links the dirty feed back to the
+    clean master — blocking equi-join on (length, last-4 suffix) bounds
+    candidates, Levenshtein <= 1 is the residual. The oracle replays
+    the same corruption, blocking, and distance in SQL, so blocking
+    semantics and edit-distance parity are both hash-checked."""
+    from graphdbetl_spark.operators.linkage import fuzzy_match_pairs
+
+    c = T(spark, sf, "customer")
+    dirty = c.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substring("c_name", 1, 11), F.lit("X"),
+                F.expr("substring(c_name, 13)"),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("dirty_name"),
+    )
+    clean = c.select(F.col("c_custkey").alias("clean_id"), "c_name")
+    return fuzzy_match_pairs(
+        dirty, clean, "dirty_id", "clean_id", "dirty_name", "c_name", max_distance=1
+    )

@@ -345,3 +345,30 @@ class TestVariantType:
         rows = {r.id: r for r in out}
         assert rows[1].k == 87 and rows[1].t0 == "a"
         assert rows[2].k == 3 and rows[2].t0 is None
+
+
+class TestLinkage:
+    def test_blocking_bounds_candidates_and_finds_planted_matches(self, spark):
+        from graphdbetl_spark.operators.linkage import fuzzy_match_pairs
+
+        left = spark.createDataFrame(
+            [(1, "Acme Corp 0001"), (2, "Bcme Corp 0002"), (3, "Acme Corp 9999")],
+            "id long, name string",
+        )
+        # 101 matches 1 with one mid-string edit; 103's edit touches the
+        # last-4 suffix, so blocking (deliberately) never considers it
+        right = spark.createDataFrame(
+            [(101, "AcmeXCorp 0001"), (102, "Bcme Corp 0002"), (103, "Acme Corp 9990")],
+            "id long, name string",
+        )
+        got = {
+            (r.id, r.id_r, r.distance)
+            for r in fuzzy_match_pairs(
+                left.withColumnRenamed("id", "id"),
+                right.withColumnRenamed("id", "id_r").withColumnRenamed("name", "name_r"),
+                "id", "id_r", "name", "name_r", max_distance=1,
+            ).collect()
+        }
+        assert (1, 101, 1) in got
+        assert (2, 102, 0) in got
+        assert all(pair[1] != 103 for pair in got)  # blocked out, not distance-failed
