@@ -130,3 +130,28 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     latest_u1 = [r for r in rows if r.user_id == 1][-1]
     assert latest_u1.n_events == 3
     assert latest_u1.total_value == pytest.approx(17.0)
+
+
+def test_csv_corrupt_record_handling(spark, tmp_path):
+    """Source robustness: malformed CSV rows must be quarantined into
+    the corrupt-record column (PERMISSIVE), not crash the scan or
+    silently vanish — at 100 TB some rows are always broken."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,score\n1,2.5\nnot_an_int,oops_extra,3\n2,4.0\n")
+    from pyspark.sql.types import DoubleType, IntegerType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("id", IntegerType()),
+        StructField("score", DoubleType()),
+        StructField("_corrupt_record", StringType()),
+    ])
+    df = (
+        spark.read.option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema).csv(str(p))
+    ).cache()
+    good = df.filter(df._corrupt_record.isNull())
+    bad = df.filter(df._corrupt_record.isNotNull())
+    assert {(r.id, r.score) for r in good.collect()} == {(1, 2.5), (2, 4.0)}
+    assert bad.count() == 1 and "oops_extra" in bad.collect()[0]._corrupt_record
+    df.unpersist()

@@ -133,3 +133,23 @@ def test_ingest_recovers_from_crashed_swap(spark, tmp_path):
     assert recover_dataset(table)
     assert spark.read.parquet(table).count() == 1
     assert not os.path.exists(table + "__old")
+
+
+def test_upsert_replay_is_idempotent(spark, tmp_path):
+    """At-least-once safety: reprocessing the same micro-batch against
+    the already-merged table must not change it (foreachBatch may
+    replay a batch after a crash-restart)."""
+    from graphdbetl_spark.etl.maintenance import safe_overwrite
+    from graphdbetl_spark.streaming.ingest import upsert_batch
+
+    table = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0)], "id int, name string, v double"
+    )
+    safe_overwrite(upsert_batch(None, batch, "id"), table)
+    first = {tuple(r) for r in spark.read.parquet(table).collect()}
+    # replay the identical batch against the merged state
+    existing = spark.read.parquet(table)
+    safe_overwrite(upsert_batch(existing, batch, "id"), table)
+    second = {tuple(r) for r in spark.read.parquet(table).collect()}
+    assert first == second
