@@ -16,25 +16,37 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_value_cols: list[str],
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` within the same ``on`` key.
+    """For each left row, attach the nearest right row within the same
+    ``on`` key: the latest with ``right_ts <= left_ts`` (``backward``,
+    default) or the earliest with ``right_ts >= left_ts``
+    (``forward``). With ``tolerance`` (an INTERVAL string for
+    timestamps, e.g. ``'2 hours'``), matches farther than the tolerance
+    resolve to NULL — the pandas ``merge_asof`` surface.
 
     Implemented as the merge-sort composition: union both sides tagged,
     one window sort per key ordered by (ts, side) with right rows
-    before left rows on ties, then ``last(value, ignorenulls=True)``
-    over the unbounded-preceding frame carries the most recent right
-    value forward. Cost: ONE shuffle on the key + one sort — linear,
+    before left rows on ties (order reversed for ``forward``), then
+    ``last(value, ignorenulls=True)`` over the unbounded-preceding
+    frame carries the nearest right value across. The matched right
+    timestamp is carried alongside so the tolerance check is one
+    post-projection. Cost: ONE shuffle on the key + one sort — linear,
     unlike the naive equi-join + filter + row_number which materializes
     every (left, right) pair per key. This is the 100 TB-safe shape.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = [c for c in left.columns]
+    carry_cols = list(right_value_cols) + ["__rts"]
     l_tagged = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),  # left sorts after right on ts ties
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_value_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__rts"),
     )
     r_tagged = right.select(
         F.col(on).alias("__k"),
@@ -42,19 +54,34 @@ def asof_join(
         F.lit(0).alias("__side"),
         F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
         *[F.col(c) for c in right_value_cols],
+        F.col(right_ts).alias("__rts"),
     )
     unioned = l_tagged.unionByName(r_tagged)
+    order = (
+        [F.col("__ts").asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col("__ts").desc(), F.col("__side").asc()]
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__carry_{c}") for c in right_value_cols]
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__carry_{c}") for c in carry_cols]
     )
+    if tolerance is None:
+        ok = F.lit(True)
+    elif direction == "backward":
+        ok = F.col("__ts") - F.expr(f"INTERVAL {tolerance}") <= F.col("__carry___rts")
+    else:
+        ok = F.col("__carry___rts") <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
     out = carried.filter(F.col("__side") == 1).select(
         *[F.col("__l").getField(c).alias(c) for c in lcols],
-        *[F.col(f"__carry_{c}").alias(c) for c in right_value_cols],
+        *[
+            F.when(ok, F.col(f"__carry_{c}")).alias(c)
+            for c in right_value_cols
+        ],
     )
     return out
 

@@ -374,6 +374,52 @@ def join_asof_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward_tol",
+    oracle="""
+    WITH views AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), purch AS (
+        SELECT user_id, ts, MAX(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), cand AS (
+        SELECT v.event_id, p.purchase_value,
+               ROW_NUMBER() OVER (PARTITION BY v.event_id ORDER BY p.ts) AS rn
+        FROM views v JOIN purch p ON v.user_id = p.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    )
+    SELECT v.event_id, v.user_id,
+           ROUND(c.purchase_value, 6) AS purchase_value
+    FROM views v LEFT JOIN (SELECT event_id, purchase_value FROM cand WHERE rn = 1) c
+      USING (event_id)
+    """,
+)
+def join_asof_forward_tol(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join with tolerance (the pandas merge_asof
+    surface): each view attaches the EARLIEST purchase by the same user
+    within the following 2 hours, NULL when none lands inside the
+    window. Purchases pre-aggregate to one row per (user, ts) so the
+    nearest match is unique in both engines. Same one-shuffle
+    merge-sort composition as the backward join — direction only flips
+    the window sort order, tolerance is a post-projection check on the
+    carried match timestamp."""
+    ev = T(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        views, purch, on="user_id", left_ts="ts", right_ts="ts",
+        right_value_cols=["purchase_value"],
+        direction="forward", tolerance="2 hours",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("purchase_value", 6).alias("purchase_value")
+    )
+
+
+@query(
     "join_cross",
     oracle="""
     SELECT r1.r_name AS from_region, r2.r_name AS to_region

@@ -372,3 +372,55 @@ class TestLinkage:
         assert (1, 101, 1) in got
         assert (2, 102, 0) in got
         assert all(pair[1] != 103 for pair in got)  # blocked out, not distance-failed
+
+
+class TestAsofVariants:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, "k", 100), (2, "k", 200), (3, "k", 300)],
+            "id long, k string, ts long",
+        )
+        right = spark.createDataFrame(
+            [("k", 90, 9.0), ("k", 150, 15.0), ("k", 290, 29.0)],
+            "k string, ts long, rv double",
+        )
+        return left, right
+
+    def test_forward_direction(self, spark):
+        from graphdbetl_spark.operators.joins import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r.id: r.rv
+            for r in asof_join(
+                left, right, "k", "ts", "ts", ["rv"], direction="forward"
+            ).collect()
+        }
+        # nearest FOLLOWING right row; ts=300 has none ahead -> NULL
+        assert out == {1: 15.0, 2: 29.0, 3: None}
+
+    def test_backward_tolerance_nullifies_stale_matches(self, spark):
+        from graphdbetl_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "k", "2024-01-01 10:00:00"), (2, "k", "2024-01-01 20:00:00")],
+            "id long, k string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        right = spark.createDataFrame(
+            [("k", "2024-01-01 09:30:00", 1.0)], "k string, ts string, rv double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {
+            r.id: r.rv
+            for r in asof_join(
+                left, right, "k", "ts", "ts", ["rv"], tolerance="2 hours"
+            ).collect()
+        }
+        # 10:00 is within 2h of 09:30; 20:00 is not -> stale match nulled
+        assert out == {1: 1.0, 2: None}
+
+    def test_bad_direction_rejected(self, spark):
+        from graphdbetl_spark.operators.joins import asof_join
+
+        left, right = self._frames(spark)
+        with pytest.raises(ValueError):
+            asof_join(left, right, "k", "ts", "ts", ["rv"], direction="sideways")
