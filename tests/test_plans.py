@@ -248,3 +248,30 @@ def test_driver_priority_slate():
         "agg_approx_bounds",
     ):
         assert must_have in _PRIORITY
+
+
+def test_domain_cap_uses_window_group_limit(spark):
+    """The per-domain cap must keep ~K rows per group per partition
+    ahead of the shuffle (partial + final WindowGroupLimit) — the
+    property that makes it safe under hot-domain skew."""
+    df = all_queries()["curation_domain_cap"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_q10_order_limit_compiles_to_take_ordered(spark):
+    """ORDER BY + LIMIT must become TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a global sort."""
+    df = all_queries()["sql_frontend_q10_style"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert node_count(plan, "Sort ") == 0 or "GlobalSort" not in plan
+
+
+def test_decontaminate_broadcasts_fingerprints_not_corpus(spark):
+    """The eval-gram side must broadcast (corpus never shuffles for the
+    membership check) and the probe column must be the 8-byte
+    fingerprint, not gram strings."""
+    df = all_queries()["decontaminate_ngrams"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "gfp" in plan
