@@ -546,3 +546,17 @@ def sql_frontend_q10_style(spark: SparkSession, sf: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "nation"):
         T(spark, sf, t).createOrReplaceTempView(t)
     return spark.sql(_Q10_SQL)
+
+
+@query("scan_text", oracle="SELECT text AS value FROM documents")
+def scan_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw text-line ingestion (the entry format of most LLM corpus
+    pipelines: one document per line, no schema): documents round-trip
+    through ``df.write.text`` / ``spark.read.text`` — partition-
+    parallel on both sides, each task streaming its split — and the
+    read-back must reproduce the corpus exactly (fixture texts are
+    newline-free, making line<->document a bijection)."""
+    d = T(spark, sf, "documents")
+    out = os.path.join(tempfile.gettempdir(), f"graft_text_{os.path.basename(sf)}")
+    d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
+    return spark.read.text(out)
