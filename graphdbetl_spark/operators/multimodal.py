@@ -360,3 +360,112 @@ def resize_media(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, RESIZED_SCHEMA)
+
+
+# ----------------------------------------------------------- audio (WAV/PCM)
+
+
+def encode_wav(sample_rate: int, channels: int, pcm16: bytes) -> bytes:
+    """Canonical RIFF/WAVE container around 16-bit little-endian PCM —
+    pure stdlib, the audio analogue of encode_ppm."""
+    if len(pcm16) % (2 * channels):
+        raise ValueError("pcm16 length must be a multiple of 2*channels")
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    data = struct.pack("<4sI", b"data", len(pcm16)) + pcm16
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE") + fmt + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a PCM16 WAV payload to (sample_rate, channels, samples).
+    Compressed audio codecs (mp3/ogg/flac) stay stubbed — as with
+    decode_image, only this branch changes at deployment."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("compressed audio codec not available in this environment")
+    pos, sample_rate, channels, bits = 12, None, None, None
+    samples: list[int] = []
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit PCM WAV supported")
+        elif cid == b"data":
+            samples = list(struct.unpack(f"<{len(body) // 2}h", body))
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or not samples:
+        raise ValueError("truncated WAV: missing fmt or data chunk")
+    return (sample_rate, channels, samples)
+
+
+def synthetic_pcm16(doc_id: int, n_samples: int) -> bytes:
+    """Deterministic mono int16 pattern (pure integer arithmetic) —
+    engine-reproducible, so the audio decode path is oracle-checkable
+    exactly like synthetic_rgb for images."""
+    return struct.pack(
+        f"<{n_samples}h",
+        *(((doc_id * 31 + i * 7) % 65536) - 32768 for i in range(n_samples)),
+    )
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_samples", LongType()),
+        StructField("sum_abs", LongType()),
+    ]
+)
+
+
+def attach_synthetic_audio(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 480, sample_rate: int = 16000
+) -> DataFrame:
+    """Attach a REAL encoded WAV payload derived deterministically from
+    the id — Arrow-batched, partition-local (no shuffle)."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": [
+                        encode_wav(sample_rate, 1, synthetic_pcm16(int(i), n_samples))
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode -> features: parse each WAV with decode_wav and
+    emit format fields plus exact integer sample sums (sum and sum-of-
+    absolute — the integer core of DC offset and mean amplitude), so
+    oracle comparison carries zero float risk."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in AUDIO_SCHEMA.fields}
+            for _, row in pdf.iterrows():
+                rate, ch, samples = decode_wav(bytes(row[payload_col]))
+                rows["doc_id"].append(row[id_col])
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_samples"].append(len(samples))
+                rows["sum_samples"].append(sum(samples))
+                rows["sum_abs"].append(sum(abs(s) for s in samples))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_SCHEMA)

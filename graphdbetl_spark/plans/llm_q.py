@@ -759,3 +759,31 @@ def dedup_cluster_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     return base.select(
         "doc_id", "component", (F.row_number().over(w) == 1).alias("kept")
     )
+
+
+@query(
+    "multimodal_audio_decode",
+    oracle="""
+    WITH samp AS (
+        SELECT d.doc_id, ((d.doc_id * 31 + i.i * 7) % 65536) - 32768 AS v
+        FROM documents d CROSS JOIN generate_series(0, 479) i(i)
+    )
+    SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
+           CAST(480 AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+    FROM samp GROUP BY doc_id
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode end to end (the WAV analogue of
+    multimodal_decode): per doc, a deterministic PCM16 waveform is
+    encoded into a RIFF/WAVE container, parsed back by the pure-Python
+    decoder, and reduced to format fields + exact integer sample sums
+    inside Arrow-batched mapInPandas stages. The oracle recomputes the
+    sums from the generating formula, so a header mis-parse, chunk-walk
+    bug, or endianness error in encode OR decode breaks the match."""
+    from graphdbetl_spark.operators.multimodal import attach_synthetic_audio, audio_features
+
+    d = attach_synthetic_audio(T(spark, sf, "documents"), "doc_id", n_samples=480)
+    return audio_features(d, "payload", "doc_id")

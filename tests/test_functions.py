@@ -424,3 +424,56 @@ class TestAsofVariants:
         left, right = self._frames(spark)
         with pytest.raises(ValueError):
             asof_join(left, right, "k", "ts", "ts", ["rv"], direction="sideways")
+
+
+class TestAudio:
+    def test_wav_round_trip(self):
+        import struct
+
+        from graphdbetl_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+            synthetic_pcm16,
+        )
+
+        pcm = synthetic_pcm16(11, 32)
+        rate, ch, samples = decode_wav(encode_wav(8000, 1, pcm))
+        assert (rate, ch, len(samples)) == (8000, 1, 32)
+        assert struct.pack("<32h", *samples) == pcm
+
+    def test_wav_chunk_walk_skips_extra_chunks(self):
+        import struct
+
+        from graphdbetl_spark.operators.multimodal import decode_wav, encode_wav
+
+        wav = encode_wav(16000, 1, struct.pack("<2h", 5, -5))
+        # splice a LIST chunk (odd size -> exercises word-alignment) before data
+        head, rest = wav[:12], wav[12:]
+        extra = struct.pack("<4sI", b"LIST", 3) + b"abc\x00"
+        spliced = head + extra + rest
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        rate, ch, samples = decode_wav(spliced)
+        assert samples == [5, -5]
+
+    def test_compressed_audio_is_stubbed(self):
+        from graphdbetl_spark.operators.multimodal import decode_wav
+
+        with pytest.raises(NotImplementedError):
+            decode_wav(b"ID3\x04mp3data")
+
+    def test_audio_features_end_to_end(self, spark):
+        from graphdbetl_spark.operators.multimodal import (
+            attach_synthetic_audio,
+            audio_features,
+            synthetic_pcm16,
+        )
+        import struct
+
+        df = spark.createDataFrame([(4,), (9,)], ["doc_id"])
+        d = attach_synthetic_audio(df, "doc_id", n_samples=16, sample_rate=22050)
+        out = {r.doc_id: r for r in audio_features(d).collect()}
+        for i in (4, 9):
+            samples = struct.unpack("<16h", synthetic_pcm16(i, 16))
+            assert out[i].sample_rate == 22050 and out[i].n_samples == 16
+            assert out[i].sum_samples == sum(samples)
+            assert out[i].sum_abs == sum(abs(s) for s in samples)
