@@ -469,3 +469,126 @@ def audio_features(df: DataFrame, payload_col: str = "payload", id_col: str = "d
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_SCHEMA)
+
+
+# ------------------------------------------------- video (PPM frame stream)
+
+
+def encode_ppm_stream(frames: list[bytes]) -> bytes:
+    """Concatenated-PPM video container (the raw-MJPEG shape: a stream
+    of independently decodable frames, no index)."""
+    return b"".join(frames)
+
+
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-PPM stream into frames by walking each
+    header's declared dimensions — the real work a frame demuxer does.
+    Raises on a malformed header mid-stream (no silent resync)."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"not a PPM frame at offset {pos}")
+        # reuse the image decoder's header walk to find the pixel extent
+        _fmt, w, h, _rgb = decode_image(payload[pos:])
+        # recompute the header length: decode_image consumed it
+        i, fields = 2, 0
+        while fields < 3:
+            while payload[pos + i : pos + i + 1].isspace():
+                i += 1
+            if payload[pos + i : pos + i + 1] == b"#":
+                while payload[pos + i : pos + i + 1] != b"\n":
+                    i += 1
+                continue
+            while not payload[pos + i : pos + i + 1].isspace():
+                i += 1
+            fields += 1
+        i += 1  # single whitespace after maxval
+        end = pos + i + w * h * 3
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+def attach_synthetic_video(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 8,
+    width: int = 8,
+    height: int = 6,
+) -> DataFrame:
+    """Attach a REAL multi-frame video payload (concatenated PPM
+    frames, frame f seeded by doc_id*1000+f) — Arrow-batched,
+    partition-local."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": [
+                        encode_ppm_stream(
+                            [
+                                encode_ppm(
+                                    width, height,
+                                    synthetic_rgb(int(i) * 1000 + f, width, height),
+                                )
+                                for f in range(n_frames)
+                            ]
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def video_frame_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every: int = 2,
+) -> DataFrame:
+    """REAL frame sampling + decode: demux the PPM stream, keep every
+    ``every``-th frame (keyframe-style temporal subsampling — the
+    standard vision-pretraining reduction), decode each kept frame, and
+    emit exact per-channel pixel sums. One input row fans out to
+    ceil(n_frames/every) rows inside mapInPandas — no explode, no
+    shuffle; output partitioning follows the input."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in VIDEO_FRAME_SCHEMA.fields}
+            for _, row in pdf.iterrows():
+                for idx, frame in enumerate(split_ppm_stream(bytes(row[payload_col]))):
+                    if idx % every:
+                        continue
+                    _fmt, w, h, rgb = decode_image(frame)
+                    rows["doc_id"].append(row[id_col])
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_r"].append(sum(rgb[0::3]))
+                    rows["sum_g"].append(sum(rgb[1::3]))
+                    rows["sum_b"].append(sum(rgb[2::3]))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, VIDEO_FRAME_SCHEMA)

@@ -787,3 +787,39 @@ def multimodal_audio_decode(spark: SparkSession, sf: str) -> DataFrame:
 
     d = attach_synthetic_audio(T(spark, sf, "documents"), "doc_id", n_samples=480)
     return audio_features(d, "payload", "doc_id")
+
+
+@query(
+    "multimodal_video_frames",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, f.f AS frame_idx, x.x, y.y,
+               d.doc_id * 1000 + f.f AS seed
+        FROM documents d
+        CROSS JOIN (SELECT 0 AS f UNION ALL SELECT 2 UNION ALL SELECT 4 UNION ALL SELECT 6) f
+        CROSS JOIN generate_series(0, 7) x(x)
+        CROSS JOIN generate_series(0, 5) y(y)
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           8 AS width, 6 AS height,
+           CAST(SUM((seed * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((seed * 17 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((seed * 29 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video path end to end: per doc, an 8-frame concatenated-PPM
+    stream (raw-MJPEG shape) is built, demuxed by walking frame
+    headers, temporally subsampled (every 2nd frame), and each kept
+    frame decoded to exact per-channel pixel sums — all inside
+    Arrow-batched mapInPandas with no shuffle. The oracle recomputes
+    the sampled frames' sums from the generating formula, so demux
+    offsets, the sampling cadence, and the decoder all gate the hash."""
+    from graphdbetl_spark.operators.multimodal import (
+        attach_synthetic_video,
+        video_frame_features,
+    )
+
+    d = attach_synthetic_video(T(spark, sf, "documents"), "doc_id", n_frames=8)
+    return video_frame_features(d, "payload", "doc_id", every=2)

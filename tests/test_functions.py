@@ -477,3 +477,32 @@ class TestAudio:
             assert out[i].sample_rate == 22050 and out[i].n_samples == 16
             assert out[i].sum_samples == sum(samples)
             assert out[i].sum_abs == sum(abs(s) for s in samples)
+
+
+class TestVideo:
+    def test_split_rejects_garbage_midstream(self):
+        from graphdbetl_spark.operators.multimodal import (
+            encode_ppm,
+            split_ppm_stream,
+            synthetic_rgb,
+        )
+
+        good = encode_ppm(2, 2, synthetic_rgb(1, 2, 2))
+        with pytest.raises(ValueError):
+            split_ppm_stream(good + b"JUNK" + good)
+
+    def test_video_frame_features_samples_every_other(self, spark):
+        from graphdbetl_spark.operators.multimodal import (
+            attach_synthetic_video,
+            synthetic_rgb,
+            video_frame_features,
+        )
+
+        df = spark.createDataFrame([(3,)], ["doc_id"])
+        vid = attach_synthetic_video(df, "doc_id", n_frames=5, width=4, height=3)
+        out = {r.frame_idx: r for r in video_frame_features(vid, every=2).collect()}
+        assert set(out) == {0, 2, 4}  # temporal subsampling cadence
+        for f in (0, 2, 4):
+            rgb = synthetic_rgb(3 * 1000 + f, 4, 3)
+            assert out[f].sum_r == sum(rgb[0::3])
+            assert (out[f].width, out[f].height) == (4, 3)
