@@ -42,6 +42,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # join side and row-filter the big side's scan (shuffle-reduction at
     # scale; free when inapplicable).
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # zstd over the snappy default for every parquet the engine writes:
+    # ~25-40% smaller files at comparable scan speed — at 100 TB that is
+    # tens of TB of storage and scan I/O per copy of the corpus.
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 _configured_sessions: "set[int]" = set()
