@@ -109,3 +109,77 @@ def test_chunking_covers_text_exactly(spark, texts, stride, extra):
             assert ctext == t[cid * stride : cid * stride + size]
         # full coverage: every char index falls inside some chunk window
         assert (len(chunks) - 1) * stride + size >= len(t)
+
+
+# ---------------------------------------------------------- media codecs
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=2**40),
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_bmp_roundtrip_any_dims(doc_id, w, h):
+    """Both image codecs must invert exactly for any dimensions —
+    including widths whose BMP rows need padding (w % 4 != 0)."""
+    from graphdbetl_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        synthetic_rgb,
+    )
+
+    rgb = synthetic_rgb(doc_id, w, h)
+    for enc, fmt in ((encode_ppm, "ppm"), (encode_bmp, "bmp")):
+        got_fmt, gw, gh, got = decode_image(enc(w, h, rgb))
+        assert (got_fmt, gw, gh, got) == (fmt, w, h, rgb)
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=2**40),
+    n=st.integers(min_value=1, max_value=64),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_any_length(doc_id, n, rate):
+    import struct
+
+    from graphdbetl_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        synthetic_pcm16,
+    )
+
+    pcm = synthetic_pcm16(doc_id, n)
+    grate, ch, samples = decode_wav(encode_wav(rate, 1, pcm))
+    assert (grate, ch) == (rate, 1)
+    assert struct.pack(f"<{n}h", *samples) == pcm
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=2**20),
+    n_frames=st.integers(min_value=1, max_value=6),
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_stream_demux_any_shape(doc_id, n_frames, w, h):
+    """Demux must recover exactly the frames that were concatenated,
+    for any frame count and dimensions (headers are variable-width)."""
+    from graphdbetl_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        encode_ppm_stream,
+        split_ppm_stream,
+        synthetic_rgb,
+    )
+
+    frames = [
+        encode_ppm(w, h, synthetic_rgb(doc_id * 1000 + f, w, h))
+        for f in range(n_frames)
+    ]
+    out = split_ppm_stream(encode_ppm_stream(frames))
+    assert out == frames
+    for f, fr in enumerate(out):
+        assert decode_image(fr)[3] == synthetic_rgb(doc_id * 1000 + f, w, h)
