@@ -32,6 +32,7 @@ def decontaminate_against_eval(
     id_col: str,
     eval_df: DataFrame,
     n: int = 5,
+    force_broadcast: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: flag every candidate-training document
     that shares at least one word ``n``-gram with any document in
@@ -47,6 +48,14 @@ def decontaminate_against_eval(
     false-positive rate of ~|eval|·|corpus|/2^64, vanishing against the
     filter's own n-gram-overlap noise.
 
+    The broadcast is ADAPTIVE by default: AQE broadcasts the eval-gram
+    set when its measured size allows and falls back to a shuffle
+    semi-join when it doesn't — a forced broadcast measured 36× wall at
+    30× corpus on the synthetic benchmark (whose eval split grows with
+    the corpus) and is a driver-OOM hazard whenever the eval side isn't
+    actually small. ``force_broadcast=True`` restores the hint for the
+    production case of a fixed, known-small benchmark suite.
+
     Returns (id_col, contaminated: boolean) for candidate documents.
     """
     grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
@@ -54,11 +63,13 @@ def decontaminate_against_eval(
     eval_grams = (
         eval_df.select(F.explode(grams).alias("gram")).select(gram_fp).distinct()
     )
+    if force_broadcast:
+        eval_grams = F.broadcast(eval_grams)
     doc_grams = df.select(F.col(id_col), F.explode(grams).alias("gram")).select(
         F.col(id_col), gram_fp
     )
     contaminated = (
-        doc_grams.join(F.broadcast(eval_grams), "gfp", "left_semi")
+        doc_grams.join(eval_grams, "gfp", "left_semi")
         .select(id_col)
         .distinct()
         .withColumn("contaminated", F.lit(True))
