@@ -823,3 +823,42 @@ def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
 
     d = attach_synthetic_video(T(spark, sf, "documents"), "doc_id", n_frames=8)
     return video_frame_features(d, "payload", "doc_id", every=2)
+
+
+@query(
+    "sim_ivf_recall_floor",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_floor_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def sim_ivf_recall_floor(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-checked quality bound for the ANN family (the
+    agg_approx_bounds pattern): exact brute-force top-10 and IVF top-10
+    run in the same plan; the single output row asserts aggregate
+    recall@10 >= 0.3 as a literal boolean the oracle pins true. The
+    whole pipeline is seeded and deterministic, so this is a stable
+    engine property, not a statistical one — a probing or centroid
+    regression flips the boolean and breaks the hash match."""
+    from graphdbetl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_cosine_topk,
+    )
+
+    e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
+    q = e.filter(F.col("vec_id") < 5)
+    brute = cosine_topk_bruteforce(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_cosine_topk(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = brute.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    agg = brute.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("__n_true"),
+    ).crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("__n_hit"))))
+    return agg.select(
+        "n_queries",
+        ((F.col("__n_hit") / F.col("__n_true")) >= 0.3).alias("recall_floor_ok"),
+    )
