@@ -862,3 +862,39 @@ def sim_ivf_recall_floor(spark: SparkSession, sf: str) -> DataFrame:
         "n_queries",
         ((F.col("__n_hit") / F.col("__n_true")) >= 0.3).alias("recall_floor_ok"),
     )
+
+
+@query(
+    "sim_lsh_recall_floor",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_floor_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def sim_lsh_recall_floor(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH companion to sim_ivf_recall_floor: BucketedRandomProjection
+    LSH top-10 vs exact brute force in one plan, aggregate recall@10
+    >= 0.15 pinned as a literal boolean (LSH on uniform-random vectors
+    is the family's worst case, hence the lower deterministic floor)."""
+    from graphdbetl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        lsh_cosine_topk,
+    )
+
+    e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
+    q = e.filter(F.col("vec_id") < 5)
+    brute = cosine_topk_bruteforce(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_cosine_topk(e, q, "vec_id", "embedding", k=10, seed=42).select(
+        "query_id", "neighbor_id"
+    )
+    hits = brute.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    agg = brute.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("__n_true"),
+    ).crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("__n_hit"))))
+    return agg.select(
+        "n_queries",
+        ((F.col("__n_hit") / F.col("__n_true")) >= 0.15).alias("recall_floor_ok"),
+    )
