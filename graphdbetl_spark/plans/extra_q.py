@@ -560,3 +560,27 @@ def scan_text(spark: SparkSession, sf: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), f"graft_text_{os.path.basename(sf)}")
     d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
     return spark.read.text(out)
+
+
+_Q19_SQL = """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 25 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@query("sql_frontend_q19_style", oracle=_Q19_SQL)
+def sql_frontend_q19_style(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive multi-attribute predicates) through
+    the SQL frontend — the stress case for predicate handling: Catalyst
+    must keep the OR-of-ANDs as a join residual while still pushing the
+    derivable per-table disjunctions (brand/size on the part scan,
+    quantity bounds on the lineitem scan) down to parquet."""
+    for t in ("lineitem", "part"):
+        T(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_Q19_SQL)
