@@ -30,6 +30,7 @@ _FAMILY_MODULES = (
     "graphdbetl_spark.plans.pipeline_q",
     "graphdbetl_spark.plans.etl_ops_q",
     "graphdbetl_spark.plans.analytics_q",
+    "graphdbetl_spark.plans.tpch_q",
     "graphdbetl_spark.plans.relational",
     "graphdbetl_spark.plans.expressions",
 )

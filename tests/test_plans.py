@@ -275,3 +275,30 @@ def test_decontaminate_broadcasts_fingerprints_not_corpus(spark):
     df = all_queries()["decontaminate_ngrams"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "gfp" in plan
+
+
+def test_q21_exists_pair_becomes_semi_and_anti(spark):
+    """Q21's EXISTS + NOT EXISTS must decorrelate into left-semi and
+    left-anti joins (no nested-loop re-execution per row), all keyed on
+    l_orderkey so one shuffle partitioning serves the whole chain."""
+    df = all_queries()["sql_frontend_q21_style"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q16_not_in_is_anti_join_and_q22_scalar_broadcasts(spark):
+    """Q16's NOT IN blacklist must plan as a join (anti/null-aware),
+    never a per-row subquery; Q22's AVG threshold must evaluate once as
+    a scalar subquery node."""
+    plan16 = (
+        all_queries()["sql_frontend_q16_style"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan16 or "NullAware" in plan16
+    plan22 = (
+        all_queries()["sql_frontend_q22_style"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Subquery" in plan22 or "scalar-subquery" in plan22
+    assert "LeftAnti" in plan22
