@@ -23,6 +23,7 @@ from graphdbetl_spark.functions.text import (
 )
 from graphdbetl_spark.functions.vectors import cosine_similarity
 from graphdbetl_spark.operators.dedup import (
+    _tokens,
     dedup_exact_text,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -898,3 +899,98 @@ def sim_lsh_recall_floor(spark: SparkSession, sf: str) -> DataFrame:
         "n_queries",
         ((F.col("__n_hit") / F.col("__n_true")) >= 0.15).alias("recall_floor_ok"),
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                   / 127.0 AS scale
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, scale, embedding,
+               list_transform(embedding, x -> CAST(round(x / scale) AS INT)) AS codes
+        FROM e WHERE scale > 0
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(list_sum(codes) AS BIGINT) AS q_sum,
+           CAST(list_min(codes) AS INT) AS q_min,
+           CAST(list_max(codes) AS INT) AS q_max,
+           ROUND(list_max(list_transform(range(1, len(codes) + 1),
+                 i -> abs(embedding[i] - codes[i] * scale))), 6) AS max_abs_err
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the standard 4x storage/bandwidth reduction for trillion-row vector
+    stores (scale = max|x|/127, code = round(x/scale)). Emits exact
+    integer aggregates of the codes plus the reconstruction error bound,
+    so the whole quantize→dequantize path is oracle-checked value-for-
+    value, not just row counts. Zero shuffle: every expression is a
+    per-row higher-order array function inside the scan stage, so at
+    100 TB this is a single map-only pass (the write side would keep the
+    codes column and drop the float array). Promotion order (float32
+    element → float64 arithmetic) matches IEEE in both engines, and
+    round() ties go away-from-zero in both, so codes are bit-identical."""
+    e = T(spark, sf, "embeddings")
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x))) / F.lit(127.0)
+    base = e.select("vec_id", "embedding", scale.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    codes = F.transform("embedding", lambda x: F.round(x / F.col("scale")).cast("int"))
+    staged = base.select("vec_id", "scale", "embedding", codes.alias("codes"))
+    q_sum = F.aggregate(
+        "codes", F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")
+    )
+    # err must be computed BEFORE the projection that rounds `scale`:
+    # lateral column aliasing would otherwise bind F.col("scale") inside
+    # the lambda to the rounded sibling alias in the same select list.
+    err = F.array_max(
+        F.zip_with("embedding", "codes", lambda x, c: F.abs(x - c * F.col("scale")))
+    )
+    staged = staged.withColumn("__err", err)
+    return staged.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        q_sum.alias("q_sum"),
+        F.array_min("codes").cast("int").alias("q_min"),
+        F.array_max("codes").cast("int").alias("q_max"),
+        F.round("__err", 6).alias("max_abs_err"),
+    )
+
+
+@query(
+    "text_feature_hashing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM t GROUP BY doc_id, bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature hashing (HashingTF analogue) over the document corpus:
+    token → md5-derived bucket in [0, 256), term frequency per
+    (doc, bucket) — the fixed-width sparse vectorization quality
+    classifiers and fastText-style filters train on. Uses the repo's
+    md5-family idiom (first 8 hex chars → BIGINT, engine-portable), so
+    unlike hash()-based HashingTF the buckets are ORACLE-CHECKED
+    bit-for-bit. Scale shape: explode happens inside the scan stage and
+    the (doc_id, bucket) aggregate does map-side partials, so the
+    shuffle carries at most 256 rows per document regardless of
+    document length; no vocabulary state anywhere (that is the point
+    of the hashing trick at 100 TB)."""
+    d = T(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    bucket = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 256
+    return tok.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("tf"))
