@@ -101,7 +101,8 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 WHERE n.n_name = 'NATION_3'
 GROUP BY l.l_partkey
 HAVING SUM(l.l_extendedprice * l.l_quantity) > (
-    SELECT SUM(l2.l_extendedprice * l2.l_quantity) * 0.001
+    SELECT 3.0 * SUM(l2.l_extendedprice * l2.l_quantity)
+               / COUNT(DISTINCT l2.l_partkey)
     FROM lineitem l2
     JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
     JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
@@ -117,8 +118,10 @@ def sql_frontend_q11_style(spark: SparkSession, sf: str) -> DataFrame:
     broadcast-joins it against the per-part aggregate — the fact table
     is scanned twice but never widened. Part value uses
     extendedprice×quantity in place of the missing ps_supplycost×
-    ps_availqty; the 0.1% threshold scales with the data like the
-    spec's fraction does."""
+    ps_availqty; the threshold is 3× the mean per-part value rather
+    than the spec's fixed corpus fraction, so the survivor set stays
+    non-degenerate at every scale factor instead of emptying as the
+    part count grows."""
     _views(spark, sf, "lineitem", "supplier", "nation")
     return spark.sql(_Q11_SQL)
 
