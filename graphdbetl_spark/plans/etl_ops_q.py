@@ -380,3 +380,73 @@ def er_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     return fuzzy_match_pairs(
         dirty, clean, "dirty_id", "clean_id", "dirty_name", "c_name", max_distance=1
     )
+
+
+@query(
+    "agg_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 4) AS sum_l_quantity,
+           ROUND(SUM(l_extendedprice), 4) AS sum_l_extendedprice
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py): a hot grouping
+    key spreads over 16 salt sub-keys in phase 1, phase 2 combines the
+    partials — the standard mitigation when one key owns a double-digit
+    share of a 100 TB table and a single reducer would own it all.
+    l_returnflag (3 values over 60k+ rows) IS that pathological shape,
+    so the query exercises the operator on genuinely hot keys, and the
+    oracle proves the two-phase split is lossless against a plain
+    GROUP BY."""
+    from graphdbetl_spark.operators.skew import salted_count_sum
+
+    out = salted_count_sum(
+        T(spark, sf, "lineitem"),
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice"],
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("sum_l_quantity", 4).alias("sum_l_quantity"),
+        F.round("sum_l_extendedprice", 4).alias("sum_l_extendedprice"),
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l.l_quantity), 4) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Salt-and-replicate equi-join (operators/skew.py): fact rows get
+    a random salt, the dim side replicates across all 8 salts, and the
+    join key becomes (key, salt) so one hot fact key lands on 8
+    reducers instead of one. This is the fallback when AQE's runtime
+    skew split can't apply (downstream op pins the partitioning) and
+    the dim side exceeds the broadcast threshold. The oracle proves the
+    rewrite is result-identical to the plain join; dim-side cost (×8
+    replication) is the documented price."""
+    from graphdbetl_spark.operators.skew import replicated_skew_join
+
+    joined = replicated_skew_join(
+        T(spark, sf, "lineitem").select("l_partkey", "l_quantity"),
+        T(spark, sf, "part").select("p_partkey", "p_brand").withColumnRenamed(
+            "p_partkey", "l_partkey"
+        ),
+        "l_partkey",
+        salt_buckets=8,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
