@@ -169,8 +169,11 @@ def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # exact µs arithmetic: cast("long") truncates to seconds and can
-    # misclassify a gap within 1s of the threshold
-    us = F.unix_micros(F.col("ts"))
+    # misclassify a gap within 1s of the threshold. The cast("timestamp")
+    # accepts both TIMESTAMP and TIMESTAMP_NTZ scans (parquet without a
+    # UTC-adjusted annotation reads as NTZ); session tz is pinned UTC so
+    # the conversion is exact and gap differences are unaffected.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
     brk = F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(

@@ -56,6 +56,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div: float division rounds half-µs up, DuckDB truncates
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Parquet timestamps written without the isAdjustedToUTC annotation
+    # read as TIMESTAMP_NTZ, which watermarks / unix_micros / tz
+    # functions reject. Session tz is pinned UTC (session.py), so the
+    # NTZ -> TIMESTAMP cast is value-exact (DuckDB oracles see the same
+    # naive values) and restores the engine-canonical TimestampType.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     _table_cache[key] = df
     return df
 
