@@ -246,3 +246,60 @@ def chunk_text(
             ).alias("chunk_text"),
         )
     )
+
+
+def repeated_ngram_scrub(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, min_df: int = 2
+) -> DataFrame:
+    """Remove cross-document repeated n-gram SPANS from document text —
+    the removal step of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr) at word-n-gram granularity: a token is scrubbed when
+    any n-gram covering it occurs in at least ``min_df`` distinct
+    documents corpus-wide. Complements
+    :func:`repeated_ngram_coverage`, which only *measures* the overlap.
+
+    Scale shape: positional n-grams reduce to 64-bit xxhash64
+    fingerprints at the scan; document frequency is one distinct +
+    partial-agg shuffle on the fingerprint; the df table is filtered to
+    grams with df >= min_df BEFORE joining back (repeated vocabulary is
+    a sliver of total vocabulary, so AQE can broadcast it and the probe
+    side never shuffles); repeated-gram start positions then collapse
+    to ONE array row per affected document, and the final text rebuild
+    is a zero-shuffle higher-order filter over the token array — no
+    token-level explode ever reaches a shuffle.
+
+    Returns (id_col, n_tokens, n_removed, scrubbed_text); documents
+    with nothing scrubbed survive with their text reassembled
+    (single-space normalized) and n_removed = 0.
+    """
+    grams = _word_ngrams(_tokens(F.col(text_col)), n)
+    ex = (
+        df.select(F.col(id_col), F.posexplode(grams).alias("p0", "gram"))
+        .select(F.col(id_col), (F.col("p0") + 1).alias("pos"), F.xxhash64("gram").alias("gfp"))
+    )
+    rep = (
+        ex.select(id_col, "gfp")
+        .distinct()
+        .groupBy("gfp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gfp")
+    )
+    starts = (
+        ex.join(rep, "gfp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
+    )
+    out = df.join(starts, id_col, "left")
+    toks = _tokens(F.col(text_col))
+    sarr = F.coalesce(F.col("__starts"), F.expr("array()").cast("array<int>"))
+    covered = lambda p: F.exists(sarr, lambda s: (p >= s) & (p <= s + F.lit(n - 1)))  # noqa: E731
+    kept = F.filter(toks, lambda x, i: ~covered(i + 1))
+    n_tokens = F.size(toks)
+    return out.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_tokens - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("scrubbed_text"),
+    )

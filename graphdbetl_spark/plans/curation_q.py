@@ -206,3 +206,55 @@ def curation_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     return topk_per_group(d, ["source"], "n_chars", 10, descending=True).select(
         "doc_id", "source", F.col("rn").cast("int").alias("rn")
     )
+
+
+@query(
+    "dedup_repeated_ngram_scrub",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), g0 AS (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+            i -> struct_pack(pos := i,
+                 gram := toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                      || toks[i+3] || ' ' || toks[i+4]))) AS s
+        FROM t
+    ), g AS (
+        SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.gram AS gram FROM g0
+    ), rep AS (
+        SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        GROUP BY gram HAVING count(*) >= 2
+    ), cov AS (
+        SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+        FROM (SELECT doc_id, unnest([pos, pos+1, pos+2, pos+3, pos+4]) AS p
+              FROM g WHERE gram IN (SELECT gram FROM rep))
+    ), tok AS (
+        SELECT doc_id, CAST(s.p AS BIGINT) AS p, s.tok AS tok
+        FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                i -> struct_pack(p := i, tok := toks[i]))) AS s FROM t)
+    ), agg AS (
+        SELECT tok.doc_id,
+               count(*) AS n_tokens,
+               count(cov.p) AS n_removed,
+               COALESCE(string_agg(CASE WHEN cov.p IS NULL THEN tok.tok END,
+                                   ' ' ORDER BY tok.p), '') AS scrubbed_text
+        FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.scrubbed_text, '') AS scrubbed_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_repeated_ngram_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-removal substring dedup (Lee et al. 2022 ExactSubstr at
+    5-gram granularity): scrub every token covered by a 5-gram that
+    occurs in >= 2 distinct documents. The measurement companion is
+    doc_repeated_ngrams; see operators/curation.py
+    repeated_ngram_scrub for the scale shape (fingerprinted grams,
+    df-filtered join, zero-shuffle higher-order text rebuild)."""
+    from graphdbetl_spark.operators.curation import repeated_ngram_scrub
+
+    return repeated_ngram_scrub(T(spark, sf, "documents"), "text", "doc_id", n=5)

@@ -85,3 +85,47 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[1]["n_grams"] == 4 and out[1]["dup_frac"] == 0.75
     assert out[2]["dup_frac"] == 0.0
     assert out[3]["n_grams"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_repeated_ngram_scrub_removes_shared_spans(spark):
+    from graphdbetl_spark.operators.curation import repeated_ngram_scrub
+
+    shared = "alpha beta gamma delta epsilon"  # one 5-gram, in docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} zeta"),
+            (3, "totally unrelated words here okay"),
+            (4, "tiny doc"),  # < 5 tokens: no grams, untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_ngram_scrub(df, "text", "doc_id").collect()}
+
+    # the shared span (and only it) is scrubbed from both carriers
+    assert out[1]["scrubbed_text"] == "one two three four"
+    assert out[1]["n_tokens"] == 9 and out[1]["n_removed"] == 5
+    assert out[2]["scrubbed_text"] == "zeta"
+    assert out[2]["n_removed"] == 5
+    # unique docs and sub-n docs pass through intact
+    assert out[3]["scrubbed_text"] == "totally unrelated words here okay"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["scrubbed_text"] == "tiny doc"
+    assert out[4]["n_removed"] == 0
+
+
+def test_repeated_ngram_scrub_merges_overlapping_spans(spark):
+    from graphdbetl_spark.operators.curation import repeated_ngram_scrub
+
+    # doc 1 and doc 2 share a 6-token run -> two overlapping repeated
+    # 5-grams in each; covered positions must union, not double-count
+    run = "a b c d e f"
+    df = spark.createDataFrame(
+        [(1, f"x {run} y"), (2, f"{run} tail")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_ngram_scrub(df, "text", "doc_id").collect()}
+    assert out[1]["scrubbed_text"] == "x y"
+    assert out[1]["n_removed"] == 6
+    assert out[2]["scrubbed_text"] == "tail"
+    assert out[2]["n_removed"] == 6
