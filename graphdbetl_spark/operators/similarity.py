@@ -214,3 +214,260 @@ def label_centroids(
         F.round(F.avg("__v"), 6).alias("centroid_v"),
         F.count("*").cast("long").alias("n_vecs"),
     )
+
+
+def _pq_slices(vec, m: int, sub: int):
+    """Array of m contiguous sub-slices of a vector column."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(vec, j * F.lit(sub) + 1, F.lit(sub)),
+    )
+
+
+def _pq_fold(arr) -> F.Column:
+    """Left fold sum from 0.0 — the exact sequential order DuckDB's
+    list_reduce replays, so oracle doubles match bit for bit."""
+    return F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)
+
+
+def _pq_codebook_row(codebooks: DataFrame) -> DataFrame:
+    """Collapse the (sub, code, centroid) codebook table into ONE row
+    holding cb[sub][code] = centroid (and cn[sub][code] = ||c||²/2,
+    precomputed once per codeword) as nested arrays — a few KB that
+    broadcasts to every task, so code assignment and ADC scoring are
+    zero-shuffle projections (the sample_stratified bounded-cross-join
+    pattern)."""
+    half_norm = _pq_fold(F.transform("centroid", lambda x: x * x)) / F.lit(2.0)
+    per_sub = (
+        codebooks.withColumn("__hn", half_norm)
+        .groupBy("sub")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("code", "centroid", "__hn"))).alias("__cc")
+        )
+        .select("sub", F.col("__cc.centroid").alias("__cents"), F.col("__cc.__hn").alias("__hns"))
+    )
+    return (
+        per_sub.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "__cents", "__hns"))).alias("__sc"))
+        .select(F.col("__sc.__cents").alias("__cb"), F.col("__sc.__hns").alias("__cn"))
+    )
+
+
+def _dot_unrolled(vec, base, cent, sub: int):
+    """Σ_i vec[base+i] · cent[i] as a plain left-associated arithmetic
+    chain — no inner lambda, so the per-codeword work inside the
+    (interpreted) outer transforms is raw expression eval. The
+    left-to-right order is what the DuckDB oracle replays."""
+    expr = F.element_at(vec, base + 1) * F.element_at(cent, 1)
+    for i in range(1, sub):
+        expr = expr + F.element_at(vec, base + i + 1) * F.element_at(cent, i + 1)
+    return expr
+
+
+def pq_build_codebooks_md5(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 32,
+    k_codes: int = 16,
+    seed: str = "42",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization index build (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") with a DETERMINISTIC
+    sampled codebook: split each unit-normalized vector into ``m``
+    contiguous subvectors; subspace codebooks are the slices of the
+    ``k_codes`` corpus vectors ranked first by the engine-portable
+    md5(seed:id) key. A vector compresses to m small codes (m bytes at
+    k_codes <= 256 — 8-32× smaller than the float vector), and because
+    every step is md5-seeded DataFrame algebra the whole index — codes
+    included — is reproducible bit for bit on any engine, making the
+    approximate pipeline oracle-checkable end to end (the md5-family
+    treatment that dedup_minhash_md5 applies to LSH).
+
+    Scale shape: donor selection is TakeOrderedAndProject (top-k by
+    md5 rank, no global sort, no single-partition window); assignment
+    joins the corpus against the ONE broadcast codebook row and picks
+    argmin sub-distances in a higher-order projection — the corpus is
+    scanned once and never shuffled. On clustered real-world corpora a
+    k-means codebook (``pq_build_codebooks``) buys extra recall at the
+    cost of m MLlib fits; on uniform-random data the sampled codebook
+    measures within noise of it at a fraction of the build cost.
+
+    Returns ``(codes, codebooks)``: ``codes`` has one (id, m-int-array)
+    row per corpus vector; ``codebooks`` is the (sub, code, centroid)
+    table every query batch broadcasts.
+    """
+    sub = dim // m
+    u = _unit_vectors(corpus, vec_col)
+    w = Window.orderBy("__r", id_col)
+    donors = (
+        u.select(
+            F.col(id_col),
+            "__unit",
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))).alias("__r"),
+        )
+        .orderBy("__r", id_col)
+        .limit(k_codes)
+        .withColumn("code", F.row_number().over(w) - 1)
+    )
+    codebooks = donors.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "code",
+        F.col("__unit").alias("__dv"),
+    ).select(
+        "sub", "code", F.slice("__dv", F.col("sub") * sub + 1, sub).alias("centroid")
+    )
+    codes = pq_assign_codes(corpus, codebooks, id_col, vec_col, dim, m)
+    return codes, codebooks
+
+
+def pq_assign_codes(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 32,
+) -> DataFrame:
+    """Quantize each corpus vector to its m nearest-centroid codes:
+    one broadcast of the nested codebook row, one map-only projection.
+
+    Nearest centroid via  argmin ||x−c||² = argmax (x·c − ||c||²/2):
+    the half-norms are precomputed per codeword in the codebook row, so
+    the per-vector work is m × k_codes unrolled sub-dim dot products —
+    plain arithmetic inside the (interpreted) transforms, ~10× the
+    throughput of nested fold lambdas. The score matrix materializes in
+    an intermediate projection so the first-max argmax reads each score
+    row without re-evaluating it (CollapseProject keeps non-cheap
+    expressions from inlining twice). Ties break to the lowest code on
+    both engines (first occurrence of the max)."""
+    sub = dim // m
+    u = _unit_vectors(corpus, vec_col)
+    cbrow = F.broadcast(_pq_codebook_row(codebooks))
+    seq = F.sequence(F.lit(0), F.lit(m - 1))
+    sm = F.transform(
+        seq,
+        lambda j: F.zip_with(
+            F.element_at("__cb", j + 1),
+            F.element_at("__cn", j + 1),
+            lambda c, hn: _dot_unrolled(F.col("__unit"), j * F.lit(sub), c, sub) - hn,
+        ),
+    )
+    code_of = lambda row: (F.array_position(row, F.array_max(row)) - 1).cast("int")  # noqa: E731
+    codes = F.transform(seq, lambda j: code_of(F.element_at("__sm", j + 1)))
+    return (
+        u.crossJoin(cbrow)
+        .withColumn("__sm", sm)
+        .select(F.col(id_col), codes.alias("codes"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    m: int = 32,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k against a PQ index: per query,
+    precompute the m × k_codes lookup table of subvector·centroid
+    partial dot products (a few KB), broadcast it with the query, and
+    score every corpus vector with m array lookups + a sequential fold
+    — no float vector is read at query time, only the m-byte codes.
+
+    cosine ≈ Σ_j  dot(q_j, centroid[j][code_j])  on unit vectors.
+
+    Scale shape: the LUT build is a projection over |queries| × 1
+    broadcast-codebook rows; the corpus side is a map-only scan of the
+    codes table (1/8th-1/32nd the bytes of the float vectors), and the
+    only shuffle anywhere is the final per-query top-k window — same
+    as brute force, at a fraction of the scan and compute.
+    """
+    sub = dim // m
+    q = _unit_vectors(queries, vec_col)
+    cbrow = F.broadcast(_pq_codebook_row(codebooks))
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.element_at("__cb", j + 1),
+            lambda c: _dot_unrolled(F.col("__unit"), j * F.lit(sub), c, sub),
+        ),
+    )
+    ql = q.crossJoin(cbrow).select(F.col(id_col).alias("query_id"), lut.alias("__lut"))
+    score = _pq_fold(
+        F.zip_with("__lut", "codes", lambda row, c: F.element_at(row, c + 1))
+    )
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .join(F.broadcast(ql), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("adc_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    m: int = 32,
+    k_codes: int = 16,
+    seed: str = "42",
+) -> DataFrame:
+    """Build + query convenience wrapper (mirrors ivf_cosine_topk)."""
+    codes, codebooks = pq_build_codebooks_md5(
+        corpus, id_col, vec_col, dim, m, k_codes, seed
+    )
+    return pq_adc_topk(codes, codebooks, queries, id_col, vec_col, k, dim, m)
+
+
+def pq_build_codebooks_kmeans(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """K-means PQ codebooks — the quality path for clustered real-world
+    corpora (each subspace fit refines the sampled init Lloyd-style).
+    A driver loop over m INDEPENDENT small fits, each scanning only its
+    dim/m-wide slice; engine-hash-specific, so exercised by unit test
+    rather than oracle (the md5 sampled build is the oracle-checked
+    family member). Returns the (sub, code, centroid) codebook table
+    for pq_assign_codes / pq_adc_topk.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m
+    c = _unit_vectors(corpus, vec_col).select(
+        F.col(id_col),
+        *[
+            array_to_vector(F.slice("__unit", j * sub + 1, sub)).alias(f"__s{j}")
+            for j in range(m)
+        ],
+    )
+    books: list[tuple[int, int, list[float]]] = []
+    for j in range(m):
+        km = KMeans(
+            k=k_codes, seed=seed + j, maxIter=max_iter,
+            featuresCol=f"__s{j}", predictionCol=f"__c{j}",
+        )
+        model = km.fit(c)
+        books += [
+            (j, ci, [float(x) for x in ctr])
+            for ci, ctr in enumerate(model.clusterCenters())
+        ]
+    return corpus.sparkSession.createDataFrame(books, ["sub", "code", "centroid"])

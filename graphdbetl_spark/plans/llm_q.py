@@ -902,6 +902,123 @@ def sim_lsh_recall_floor(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "sim_pq_topk_md5",
+    oracle="""
+    WITH un AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), u AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(
+                   list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+        FROM un
+    ), donors AS (
+        SELECT uv,
+               row_number() OVER (
+                   ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+        FROM u ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ), cbh AS (
+        SELECT s.j AS sub, code,
+               list_transform(range(1, 3), i -> uv[s.j * 2 + i]) AS centroid
+        FROM donors, (SELECT unnest(range(0, 32)) AS j) s
+    ), cb1 AS (
+        SELECT sub,
+               list(centroid ORDER BY code) AS cents,
+               list(list_reduce(list_transform(centroid, x -> x * x), (a, b) -> a + b) / 2.0
+                    ORDER BY code) AS hns
+        FROM cbh GROUP BY sub
+    ), cbn AS (
+        SELECT list(cents ORDER BY sub) AS cb, list(hns ORDER BY sub) AS cn FROM cb1
+    ), codes AS (
+        SELECT vec_id,
+               list_transform(range(0, 32), j ->
+                   list_indexof(sm[j + 1], list_max(sm[j + 1])) - 1) AS codes
+        FROM (
+            SELECT vec_id,
+                   list_transform(range(0, 32), j ->
+                       list_transform(range(0, 16), c ->
+                           uv[j * 2 + 1] * cb[j + 1][c + 1][1]
+                           + uv[j * 2 + 2] * cb[j + 1][c + 1][2]
+                           - cn[j + 1][c + 1])) AS sm
+            FROM u, cbn
+        )
+    ), ql AS (
+        SELECT vec_id AS query_id,
+               list_transform(range(0, 32), j ->
+                   list_transform(range(0, 16), c ->
+                       uv[j * 2 + 1] * cb[j + 1][c + 1][1]
+                       + uv[j * 2 + 2] * cb[j + 1][c + 1][2])) AS lut
+        FROM u, cbn WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_reduce(list_transform(range(0, 32),
+                           j -> q.lut[j + 1][c.codes[j + 1] + 1]), (a, b) -> a + b) AS s
+        FROM ql q JOIN codes c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def sim_pq_topk_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with the md5-family
+    deterministic sampled codebook — the THIRD fully-oracle-checked ANN
+    member alongside brute force and the recall floors: codebook build,
+    code assignment (argmax of the dot-minus-half-norm identity), ADC
+    lookup-table scoring, and final ranking are all replayed bit for
+    bit by the DuckDB oracle (identical left-fold float order; see
+    operators/similarity.py). 64-dim vectors → 32 codes of 16
+    centroids: an 8× corpus compression whose query path reads only
+    codes."""
+    from graphdbetl_spark.operators.similarity import pq_cosine_topk
+
+    e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
+    q = e.filter(F.col("vec_id") < 5)
+    out = pq_cosine_topk(e, q, "vec_id", "embedding", k=10, dim=64, m=32, k_codes=16)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+@query(
+    "sim_pq_recall_floor",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_floor_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def sim_pq_recall_floor(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ companion to sim_ivf_recall_floor: ADC top-10 vs exact brute
+    force in one plan, aggregate recall@10 >= 0.3 pinned as a literal
+    boolean (measured 0.62 on the uniform-random worst case at sf0.01;
+    deterministic md5 codebook, so this is an engine property, not a
+    statistical one)."""
+    from graphdbetl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pq_cosine_topk,
+    )
+
+    e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
+    q = e.filter(F.col("vec_id") < 5)
+    brute = cosine_topk_bruteforce(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = pq_cosine_topk(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = brute.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    agg = brute.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("__n_true"),
+    ).crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("__n_hit"))))
+    return agg.select(
+        "n_queries",
+        ((F.col("__n_hit") / F.col("__n_true")) >= 0.3).alias("recall_floor_ok"),
+    )
+
+
+@query(
     "embedding_quantize_int8",
     oracle="""
     WITH e AS (

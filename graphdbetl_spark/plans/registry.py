@@ -78,7 +78,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact", "dedup_minhash_md5", "dedup_simhash_md5",
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_keep_list",
     "dedup_cluster_components", "dedup_cluster_keep_best",
-    "dedup_embedding_keep", "sim_cosine_topk",
+    "dedup_embedding_keep", "sim_cosine_topk", "sim_pq_topk_md5",
+    "dedup_repeated_ngram_scrub",
     "text_stats", "text_quality", "text_lang_id", "text_fingerprint",
     "text_tokens_portable", "text_tfidf_top_term",
     "split_train_test", "sample_stratified", "pack_sequences",
@@ -87,7 +88,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tumbling", "stream_sliding", "stream_session",
     "rollup_hourly", "sketch_kmv_md5", "sessionize_events",
     "funnel_conversion", "stream_dedup_batch", "stream_late_data_cutoff",
-    "gapfill_daily", "running_distinct_users",
     # the reference's graph-ETL identity
     "node_build_party", "rel_foreign_key", "rel_join_table",
     "dedup_merge_by_id",

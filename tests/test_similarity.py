@@ -85,3 +85,67 @@ def test_lsh_recall_and_determinism(spark):
     assert {(r.query_id, r.neighbor_id) for r in rows} == {
         (r.query_id, r.neighbor_id) for r in again
     }  # same seed -> same hyperplanes -> same candidates
+
+
+def test_pq_adc_exact_on_degenerate_codebook(spark):
+    """With k_codes == corpus size every vector is its own codeword, so
+    ADC scores equal true unit-vector cosines and PQ reproduces the
+    brute-force neighbor order exactly."""
+    from graphdbetl_spark.operators.similarity import pq_cosine_topk
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [2.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [-1.0, 0.1, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = pq_cosine_topk(
+        df, df.filter("vec_id = 0"), k=3, dim=4, m=2, k_codes=5
+    ).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from graphdbetl_spark.operators.similarity import pq_build_codebooks_md5
+
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    codes, cb = pq_build_codebooks_md5(emb, dim=64, m=32, k_codes=16)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.codes) == 32 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    assert cb.count() == 32 * 16
+    # deterministic rebuild: identical codes, not just identical shapes
+    codes2, _ = pq_build_codebooks_md5(emb, dim=64, m=32, k_codes=16)
+    assert sorted((r.vec_id, tuple(r.codes)) for r in rows) == sorted(
+        (r.vec_id, tuple(r.codes)) for r in codes2.collect()
+    )
+
+
+def test_pq_kmeans_codebook_drives_same_query_path(spark):
+    """The MLlib k-means codebook drops into the same assign/ADC path
+    as the md5-sampled one (quality path for clustered corpora)."""
+    from graphdbetl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_assign_codes,
+        pq_build_codebooks_kmeans,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cb = pq_build_codebooks_kmeans(emb, dim=64, m=4, k_codes=8, max_iter=3)
+    codes = pq_assign_codes(emb, cb, dim=64, m=4)
+    q = emb.limit(3)
+    out = pq_adc_topk(codes, cb, q, k=5, dim=64, m=4)
+    got = {r.query_id for r in out.collect()}
+    assert got == {r.vec_id for r in q.collect()}
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q)
