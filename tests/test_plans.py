@@ -302,3 +302,25 @@ def test_q16_not_in_is_anti_join_and_q22_scalar_broadcasts(spark):
     )
     assert "Subquery" in plan22 or "scalar-subquery" in plan22
     assert "LeftAnti" in plan22
+
+
+def test_pq_query_path_single_shuffle(spark):
+    """PQ ADC: codebook + LUT broadcast, corpus codes scan map-only —
+    the ONLY exchange in the whole query is the final per-query top-k
+    window, and WindowGroupLimit prunes to ~k rows per partition before
+    it (same partial top-k the brute-force path gets)."""
+    plan = plan_of(spark, "sim_pq_topk_md5")
+    assert node_count(plan, "Exchange") == 1
+    assert node_count(plan, "BroadcastNestedLoopJoin") >= 2
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_repeated_ngram_scrub_broadcasts_filtered_grams(spark):
+    """Span scrub: the df>=2-filtered repeated-gram table (a sliver of
+    the vocabulary) lands on the broadcast side of the join back, and
+    nothing in the pipeline goes quadratic."""
+    plan = plan_of(spark, "dedup_repeated_ngram_scrub")
+    assert node_count(plan, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert node_count(plan, "Exchange") <= 3
