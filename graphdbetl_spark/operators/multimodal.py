@@ -592,3 +592,47 @@ def video_frame_features(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_samples", LongType()),
+        StructField("sum_abs", LongType()),
+    ]
+)
+
+
+def audio_chunk_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    chunk_samples: int = 160,
+) -> DataFrame:
+    """Fixed-window audio chunking — the framing step every speech
+    feature pipeline starts with (10 ms frames at 16 kHz = 160
+    samples): decode each WAV ONCE, then emit one row per window with
+    exact integer sums. One-to-many fan-out inside Arrow-batched
+    mapInPandas, partition-local like frame_sample — no shuffle, no
+    payload duplication (windows carry reduced features, not bytes).
+    The final (possibly short) window is kept, so windows partition the
+    samples exactly: per-chunk sums must re-add to the whole-file sums
+    (asserted in tests and by the shared oracle formula)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in AUDIO_CHUNK_SCHEMA.fields}
+            for _, row in pdf.iterrows():
+                _rate, _ch, samples = decode_wav(bytes(row[payload_col]))
+                for ci in range(0, len(samples), chunk_samples):
+                    w = samples[ci : ci + chunk_samples]
+                    rows["doc_id"].append(row[id_col])
+                    rows["chunk_idx"].append(ci // chunk_samples)
+                    rows["n_samples"].append(len(w))
+                    rows["sum_samples"].append(sum(w))
+                    rows["sum_abs"].append(sum(abs(s) for s in w))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, AUDIO_CHUNK_SCHEMA)

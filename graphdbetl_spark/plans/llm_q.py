@@ -791,6 +791,38 @@ def multimodal_audio_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH samp AS (
+        SELECT d.doc_id, i.i // 160 AS chunk_idx,
+               ((d.doc_id * 31 + i.i * 7) % 65536) - 32768 AS v
+        FROM documents d CROSS JOIN generate_series(0, 479) i(i)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+    FROM samp GROUP BY doc_id, chunk_idx
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-window audio framing over REAL decoded WAV payloads: 480
+    samples per doc -> three 160-sample (10 ms @ 16 kHz) windows, one
+    row each with exact integer sums — the one-to-many audio analogue
+    of frame_sample, closing the "audio fixed-window chunking" TODO now
+    that the PCM16 decode path is real. The oracle recomputes every
+    window from the generating formula, so a mis-aligned window
+    boundary or a dropped tail sample breaks the hash."""
+    from graphdbetl_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        audio_chunk_features,
+    )
+
+    d = attach_synthetic_audio(T(spark, sf, "documents"), "doc_id", n_samples=480)
+    return audio_chunk_features(d, "payload", "doc_id", chunk_samples=160)
+
+
+@query(
     "multimodal_video_frames",
     oracle="""
     WITH px AS (

@@ -478,6 +478,27 @@ class TestAudio:
             assert out[i].sum_samples == sum(samples)
             assert out[i].sum_abs == sum(abs(s) for s in samples)
 
+    def test_audio_chunks_partition_exactly(self, spark):
+        """Fixed windows (incl. the short tail) partition the samples:
+        chunk sums re-add to the whole-file sums, window boundaries at
+        exact multiples of chunk_samples."""
+        from graphdbetl_spark.operators.multimodal import (
+            attach_synthetic_audio,
+            audio_chunk_features,
+            audio_features,
+        )
+
+        df = spark.createDataFrame([(4,), (9,)], ["doc_id"])
+        d = attach_synthetic_audio(df, "doc_id", n_samples=50, sample_rate=16000)
+        chunks = audio_chunk_features(d, chunk_samples=16).collect()
+        whole = {r.doc_id: r for r in audio_features(d).collect()}
+        for i in (4, 9):
+            mine = sorted((r for r in chunks if r.doc_id == i), key=lambda r: r.chunk_idx)
+            assert [r.chunk_idx for r in mine] == [0, 1, 2, 3]
+            assert [r.n_samples for r in mine] == [16, 16, 16, 2]  # 50 = 3*16 + 2
+            assert sum(r.sum_samples for r in mine) == whole[i].sum_samples
+            assert sum(r.sum_abs for r in mine) == whole[i].sum_abs
+
 
 class TestVideo:
     def test_split_rejects_garbage_midstream(self):
