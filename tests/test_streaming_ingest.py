@@ -153,3 +153,53 @@ def test_upsert_replay_is_idempotent(spark, tmp_path):
     safe_overwrite(upsert_batch(existing, batch, "id"), table)
     second = {tuple(r) for r in spark.read.parquet(table).collect()}
     assert first == second
+
+
+def test_exactly_once_sink_collapses_replays(spark, tmp_path):
+    """Two-phase commit sink: a real streamed batch lands once; manual
+    replays of the same batchId (Structured Streaming's at-least-once
+    contract) are no-ops at every crash point in the protocol."""
+    from graphdbetl_spark.streaming.txn_sink import (
+        committed_batches,
+        exactly_once_sink,
+        write_batch_exactly_once,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    batch_df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
+    )
+    batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(exactly_once_sink(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert committed_batches(out) == {0}
+    assert spark.read.parquet(out).count() == 3
+
+    # straight replay of a committed batch: no-op
+    assert write_batch_exactly_once(batch_df, 0, out) is False
+    assert spark.read.parquet(out).count() == 3
+
+    # crash between rename and marker: data dir present, marker gone —
+    # replay must re-stamp without duplicating data
+    os.remove(os.path.join(out, "_commits", "0.json"))
+    assert write_batch_exactly_once(batch_df, 0, out) is True
+    assert committed_batches(out) == {0}
+    assert spark.read.parquet(out).count() == 3
+
+    # crash mid-stage: leftover staging must not leak into the dataset
+    stage = os.path.join(out, "_staging", "1")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "junk.parquet"), "w") as f:
+        f.write("partial")
+    assert spark.read.parquet(out).count() == 3  # _staging invisible
+    assert write_batch_exactly_once(batch_df, 1, out) is True
+    assert spark.read.parquet(out).count() == 6
+    assert committed_batches(out) == {0, 1}
