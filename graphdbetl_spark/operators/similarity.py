@@ -471,3 +471,77 @@ def pq_build_codebooks_kmeans(
             for ci, ctr in enumerate(model.clusterCenters())
         ]
     return corpus.sparkSession.createDataFrame(books, ["sub", "code", "centroid"])
+
+
+def ivfpq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_clusters: int = 16,
+    n_probe: int = 6,
+    m: int = 32,
+    k_codes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the two-level ANN architecture of the FAISS IVFPQ index
+    (Jégou et al. 2011 §V) — an IVF coarse quantizer restricts each
+    query to ``n_probe`` cells, and within the probed cells candidates
+    are scored by PQ asymmetric distance instead of full float vectors.
+
+    Composition of the two existing indexes: the corpus is scanned once
+    per index build (cells + codes), and the per-query cost is
+    (n_probe/n_clusters) of the corpus at 1/8th the bytes — the shape
+    that serves billion-vector corpora. Candidate restriction is the
+    same equi-join on cell id as ivf_query; ADC scoring joins the
+    broadcast per-query LUT; one exchange total at query time (the
+    final top-k window). Recall compounds the two approximations
+    (unprobed-cell misses × quantization error); rows-only by
+    construction, with the brute-force recall floor pattern as its
+    quality check.
+    """
+    corpus_cells, centroids = ivf_build_index(corpus, id_col, vec_col, n_clusters, seed)
+    codes, codebooks = pq_build_codebooks_md5(
+        corpus, id_col, vec_col, dim, m, k_codes, str(seed)
+    )
+    cells = corpus_cells.select("neighbor_id", "cell").join(
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes"), "neighbor_id"
+    )
+
+    q = _unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__unit")
+    )
+    cell_rank = Window.partitionBy("query_id").orderBy(F.col("cell_cos").desc(), F.col("cell"))
+    sub = dim // m
+    cbrow = F.broadcast(_pq_codebook_row(codebooks))
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.element_at("__cb", j + 1),
+            lambda c: _dot_unrolled(F.col("__unit"), j * F.lit(sub), c, sub),
+        ),
+    )
+    probed = (
+        q.join(F.broadcast(centroids))
+        .withColumn("cell_cos", cosine_similarity(F.col("__unit"), F.col("centroid")))
+        .withColumn("cell_rn", F.row_number().over(cell_rank))
+        .filter(F.col("cell_rn") <= n_probe)
+        .select("query_id", "__unit", "cell")
+        .crossJoin(cbrow)
+        .select("query_id", "cell", lut.alias("__lut"))
+    )
+    score = _pq_fold(
+        F.zip_with("__lut", "codes", lambda row, c: F.element_at(row, c + 1))
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("adc_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

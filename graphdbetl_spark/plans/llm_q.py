@@ -933,6 +933,22 @@ def sim_lsh_recall_floor(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("sim_ivfpq_topk")  # compounded approximation -> rows-only
+def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ two-level ANN (FAISS IVFPQ architecture): coarse k-means
+    cells restrict each query to n_probe cells; within them, candidates
+    score by PQ asymmetric distance over 8x-compressed codes — the
+    billion-vector serving shape. Quality guard: pytest recall floor vs
+    brute force (operators/similarity.py ivfpq_cosine_topk)."""
+    from graphdbetl_spark.operators.similarity import ivfpq_cosine_topk
+
+    e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfpq_cosine_topk(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 @query(
     "sim_pq_topk_md5",
     oracle="""
