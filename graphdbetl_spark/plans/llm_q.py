@@ -579,6 +579,46 @@ def text_tfidf_top_term(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ), pairs AS (
+        SELECT w[i] AS a, w[i + 1] AS b
+        FROM (SELECT string_split(w, '') AS w FROM tok),
+             LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    )
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY a, b
+    ORDER BY n DESC, a, b LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjacent-symbol pair frequencies over word characters — the
+    counting step of one BPE merge round (Sennrich et al. 2016), i.e.
+    the inner loop of tokenizer training expressed corpus-parallel:
+    explode words, explode adjacent char pairs (zip_with of the char
+    array against its own tail — O(len), no quadratic slicing), one
+    partial-agg shuffle on the pair, top-50 via TakeOrderedAndProject.
+    At 100 TB this is exactly how each merge round distributes; the
+    driver only ever sees the top pair."""
+    d = T(spark, sf, "documents")
+    words = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    chars = F.split("w", "")
+    hd = F.slice(chars, 1, F.greatest(F.size(chars) - 1, F.lit(0)))
+    tl = F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0)))
+    pairs = words.select(
+        F.explode(F.zip_with(hd, tl, lambda x, y: F.struct(x.alias("a"), y.alias("b")))).alias("p")
+    ).select("p.a", "p.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(50)
+    )
+
+
 # ------------------------------------------------- sampling / packing
 
 
@@ -600,6 +640,28 @@ def split_train_test(spark: SparkSession, sf: str) -> DataFrame:
     return train_test_split(T(spark, sf, "documents"), "doc_id", test_pct=10).select(
         "doc_id", "split"
     )
+
+
+@query(
+    "split_group_aware",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 < 10
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def split_group_aware(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe split: hash the GROUP key (source/domain), not the
+    document id, so near-duplicate documents from one domain can never
+    straddle train and test — the contamination mode a per-doc split
+    invites (Lee et al. 2022 §6). Same deterministic md5-bucket
+    mechanics as split_train_test; zero shuffles (the split is a pure
+    projection of the group column)."""
+    from graphdbetl_spark.operators.sampling import train_test_split
+
+    d = T(spark, sf, "documents").select("doc_id", "source")
+    return train_test_split(d, "source", test_pct=10).select("doc_id", "source", "split")
 
 
 @query(
