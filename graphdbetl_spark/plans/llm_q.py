@@ -57,6 +57,45 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_exact_text(T(spark, sf, "documents"), "text", "doc_id")
 
 
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+                   AS is_new
+        FROM documents
+    ), newb AS (
+        SELECT doc_id, sha256(text) AS d FROM split WHERE is_new
+    ), corp AS (
+        SELECT DISTINCT sha256(text) AS d FROM split WHERE NOT is_new
+    )
+    SELECT n.doc_id, (c.d IS NOT NULL) AS is_duplicate
+    FROM newb n LEFT JOIN corp c USING (d)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup — the PRODUCTION shape of exact dedup:
+    a new batch (deterministic 10% md5 split stands in for today's
+    arrivals) is checked against the digest index of the existing
+    corpus. The batch side is small, so AQE broadcasts its digests and
+    the corpus-side index scan never shuffles; at warehouse scale the
+    corpus digests are a persisted table bucketed by digest, making
+    repeat ingests an exchange-free co-located join. Complements
+    dedup_exact (whole-corpus groupBy), which re-shuffles EVERYTHING
+    per run — at 100 TB you run that once, then this forever after."""
+    from graphdbetl_spark.operators.sampling import hash_bucket
+
+    d = T(spark, sf, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    digest = F.sha2(F.col("text"), 256).alias("__d")
+    newb = d.filter(b < 10).select("doc_id", digest)
+    corp = d.filter(b >= 10).select(digest).distinct().withColumn("__dup", F.lit(True))
+    return newb.join(corp, "__d", "left").select(
+        "doc_id", F.coalesce("__dup", F.lit(False)).alias("is_duplicate")
+    )
+
+
 @query("dedup_minhash")  # banded-LSH recall < 1 -> rows-only
 def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs over 3-gram shingles (exact
