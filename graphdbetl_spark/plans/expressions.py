@@ -267,3 +267,57 @@ def nfkd_fold(spark: SparkSession, sf: str) -> DataFrame:
         nfkd_ascii_fold(F.col("c_name")).alias("folded"),
         F.length("c_name").alias("orig_len"),
     )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(bit_and(c_custkey) AS BIGINT) AS and_key,
+           CAST(bit_or(c_custkey) AS BIGINT) AS or_key,
+           CAST(bit_xor(c_custkey) AS BIGINT) AS xor_key
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and/bit_or/bit_xor) — set
+    fingerprints and flag-mask rollups; partial-aggregable like any
+    commutative monoid, so map-side combine applies."""
+    c = T(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.bit_and("c_custkey").alias("and_key"),
+        F.bit_or("c_custkey").alias("or_key"),
+        F.bit_xor("c_custkey").alias("xor_key"),
+    )
+
+
+@query(
+    "map_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           c_acctbal * 2 AS doubled_bal,
+           CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS kept_entries,
+           c_acctbal + c_custkey AS zipped_sum,
+           'K_acctbal' AS renamed_key
+    FROM customer
+    """,
+)
+def map_funcs2(spark: SparkSession, sf: str) -> DataFrame:
+    """Advanced map higher-order functions — transform_values,
+    map_filter, map_zip_with, transform_keys — flattened to scalars so
+    the oracle hash sees plain columns (the map mechanics are what is
+    under test; the values have closed-form equivalents)."""
+    c = T(spark, sf, "customer")
+    m = F.create_map(F.lit("acctbal"), F.col("c_acctbal"))
+    m2 = F.create_map(F.lit("acctbal"), F.col("c_custkey").cast("double"))
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(m, lambda k, v: v > 0)
+    zipped = F.map_zip_with(m, m2, lambda k, v1, v2: v1 + v2)
+    renamed = F.transform_keys(m, lambda k, v: F.concat(F.lit("K_"), k))
+    return c.select(
+        "c_custkey",
+        F.element_at(doubled, F.lit("acctbal")).alias("doubled_bal"),
+        F.size(kept).alias("kept_entries"),
+        F.element_at(zipped, F.lit("acctbal")).alias("zipped_sum"),
+        F.map_keys(renamed).getItem(0).alias("renamed_key"),
+    )
