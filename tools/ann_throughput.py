@@ -1,5 +1,5 @@
-"""ANN throughput: brute-force vs IVF cosine top-k at increasing
-corpus multiples.
+"""ANN throughput: brute-force vs IVF vs PQ-ADC cosine top-k at
+increasing corpus multiples.
 
 Replicates the sf0.1 embeddings table REP× (fresh vec_ids; values
 unchanged — throughput is value-independent) and measures, for a fixed
@@ -26,6 +26,8 @@ from graphdbetl_spark.operators.similarity import (
     cosine_topk_bruteforce,
     ivf_build_index,
     ivf_query,
+    pq_adc_topk,
+    pq_build_codebooks_md5,
 )
 from graphdbetl_spark.session import get_spark
 from graphdbetl_spark.sources.catalog import load_table
@@ -70,10 +72,24 @@ def main() -> None:
         ivf_q = time.perf_counter() - t0
         cells.unpersist()
 
+        t0 = time.perf_counter()
+        codes, books = pq_build_codebooks_md5(corpus)
+        codes = codes.cache()
+        codes.count()  # materialize the codes table (8x smaller than floats)
+        pq_build = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        pq_adc_topk(codes, books, queries, k=10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        pq_q = time.perf_counter() - t0
+        codes.unpersist()
+
         print(
             f"rep={rep:4d} vectors={n:>10,}  brute={brute:6.1f}s "
             f"({8 * n / brute:>12,.0f} scored/s)  ivf_build={build:6.1f}s (one-off)  "
-            f"ivf_query={ivf_q:6.1f}s  probe_fraction={6 / 32:.2f}",
+            f"ivf_query={ivf_q:6.1f}s  probe_fraction={6 / 32:.2f}  "
+            f"pq_build={pq_build:6.1f}s (one-off)  pq_query={pq_q:6.1f}s",
             flush=True,
         )
 
