@@ -230,6 +230,22 @@ def _pq_fold(arr) -> F.Column:
     return F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)
 
 
+
+def _adc_score(m: int):
+    """ADC score Σ_j lut[j][codes[j]+1] as a zip_with + left fold.
+
+    Measured NEGATIVE result (BASELINE.md): unrolling this into an
+    m-term element_at chain — the trick that won 4× on the subvector
+    dot products — is 2× SLOWER here: each chain term re-extracts the
+    j-th LUT sub-array (a 16-double copy per term per row), while the
+    fold walks the nested array in place. Unroll scalar arithmetic;
+    keep folds for indexed lookups into nested arrays.
+    """
+    return _pq_fold(
+        F.zip_with("__lut", "codes", lambda row, c: F.element_at(row, c + 1))
+    )
+
+
 def _pq_codebook_row(codebooks: DataFrame) -> DataFrame:
     """Collapse the (sub, code, centroid) codebook table into ONE row
     holding cb[sub][code] = centroid (and cn[sub][code] = ||c||²/2,
@@ -398,9 +414,7 @@ def pq_adc_topk(
         ),
     )
     ql = q.crossJoin(cbrow).select(F.col(id_col).alias("query_id"), lut.alias("__lut"))
-    score = _pq_fold(
-        F.zip_with("__lut", "codes", lambda row, c: F.element_at(row, c + 1))
-    )
+    score = _adc_score(m)
     scored = (
         codes.select(F.col(id_col).alias("neighbor_id"), "codes")
         .join(F.broadcast(ql), F.col("query_id") != F.col("neighbor_id"))
@@ -532,9 +546,7 @@ def ivfpq_cosine_topk(
         .crossJoin(cbrow)
         .select("query_id", "cell", lut.alias("__lut"))
     )
-    score = _pq_fold(
-        F.zip_with("__lut", "codes", lambda row, c: F.element_at(row, c + 1))
-    )
+    score = _adc_score(m)
     scored = (
         F.broadcast(probed)
         .join(cells, "cell")
