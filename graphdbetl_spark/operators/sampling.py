@@ -89,3 +89,40 @@ def balance_uniform(df: DataFrame, id_col: str, strata_col: str) -> DataFrame:
         .filter(F.col("__rn") <= F.col("__mn"))
         .select(id_col, strata_col)
     )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    factors_pct: dict[str, int],
+    default_pct: int = 100,
+) -> DataFrame:
+    """Epoch upsampling with FRACTIONAL repeat factors — the mixture
+    re-weighting a training run applies to its high-quality sources
+    (e.g. 2.5 epochs of wiki against 1 of web): factors are integer
+    PERCENTS (250 = 2.5×), each row repeats ``pct // 100`` times plus
+    one more iff its md5 bucket falls under ``pct % 100`` — the same
+    deterministic hash-membership used by every split/sample here, so
+    the realized mixture is exact in expectation, reproducible across
+    engines/runs/partitionings, and integer-only (no float fuzz in
+    membership).
+
+    Zero shuffles: the repeat count is a projection and the fan-out is
+    an in-stage explode of ``sequence(0, n-1)`` — rows multiply inside
+    whatever scan is already running, exactly like chunking. Output
+    gains an ``epoch`` column (0-based copy index) so downstream
+    packing can interleave epochs rather than emit them back to back.
+    """
+    pct: Column = F.lit(default_pct)
+    for k, v in sorted(factors_pct.items()):
+        pct = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(pct)
+    whole = (pct / 100).cast("int")
+    extra = (hash_bucket(F.col(id_col)) < pct % 100).cast("int")
+    n = (whole + extra).alias("__n")
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )

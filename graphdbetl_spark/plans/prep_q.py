@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphdbetl_spark.operators.curation import chunk_text
-from graphdbetl_spark.operators.sampling import balance_uniform
+from graphdbetl_spark.operators.sampling import balance_uniform, mixture_upsample
 from graphdbetl_spark.operators.similarity import label_centroids
 from graphdbetl_spark.plans.registry import query
 from graphdbetl_spark.sources.catalog import load_table as T
@@ -61,6 +61,37 @@ def mixture_balance(spark: SparkSession, sf: str) -> DataFrame:
     engines and cluster sizes — see balance_uniform for the skew-free
     hash-threshold variant used at corpus scale)."""
     return balance_uniform(T(spark, sf, "documents"), "doc_id", "lang")
+
+
+@query(
+    "mixture_upsample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 130 ELSE 100 END AS pct
+        FROM documents
+    ), n AS (
+        SELECT doc_id, source,
+               pct // 100
+               + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                           < pct % 100
+                      THEN 1 ELSE 0 END AS copies
+        FROM f
+    )
+    SELECT doc_id, source, CAST(e.e AS INT) AS epoch
+    FROM n, LATERAL (SELECT unnest(range(0, copies)) AS e) e
+    WHERE copies > 0
+    """,
+)
+def mixture_upsample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Fractional epoch upsampling (src0 2.5x, src1 1.3x, rest 1x):
+    deterministic md5-bucket fractional membership, zero-shuffle
+    in-stage fan-out with an epoch index — see
+    operators/sampling.py mixture_upsample."""
+    d = T(spark, sf, "documents").select("doc_id", "source")
+    return mixture_upsample(d, "doc_id", "source", {"src0": 250, "src1": 130}).select(
+        "doc_id", "source", F.col("epoch").cast("int").alias("epoch")
+    )
 
 
 @query(
