@@ -387,8 +387,9 @@ def er_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(l_quantity), 4) AS sum_l_quantity,
-           ROUND(SUM(l_extendedprice), 4) AS sum_l_extendedprice
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_l_extendedprice
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -403,17 +404,25 @@ def agg_salted(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY."""
     from graphdbetl_spark.operators.skew import salted_count_sum
 
+    # Decimal sums: bit-exact under ANY partial-aggregation order, so
+    # the salted two-phase split stays hash-identical to the oracle's
+    # single GROUP BY at every scale (a float sum rounded at 4 held to
+    # sf0.01 but diverged at sf0.1's 600k-row accumulation order —
+    # money columns get DecimalType, per the repo-wide rounding rule).
+    li = T(spark, sf, "lineitem").withColumns(
+        {
+            "l_quantity": F.col("l_quantity").cast("decimal(18,2)"),
+            "l_extendedprice": F.col("l_extendedprice").cast("decimal(18,2)"),
+        }
+    )
     out = salted_count_sum(
-        T(spark, sf, "lineitem"),
-        ["l_returnflag"],
-        ["l_quantity", "l_extendedprice"],
-        salt_buckets=16,
+        li, ["l_returnflag"], ["l_quantity", "l_extendedprice"], salt_buckets=16
     )
     return out.select(
         "l_returnflag",
         "n_rows",
-        F.round("sum_l_quantity", 4).alias("sum_l_quantity"),
-        F.round("sum_l_extendedprice", 4).alias("sum_l_extendedprice"),
+        F.col("sum_l_quantity").cast("double").alias("sum_l_quantity"),
+        F.col("sum_l_extendedprice").cast("double").alias("sum_l_extendedprice"),
     )
 
 
