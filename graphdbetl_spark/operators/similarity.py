@@ -216,14 +216,6 @@ def label_centroids(
     )
 
 
-def _pq_slices(vec, m: int, sub: int):
-    """Array of m contiguous sub-slices of a vector column."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.slice(vec, j * F.lit(sub) + 1, F.lit(sub)),
-    )
-
-
 def _pq_fold(arr) -> F.Column:
     """Left fold sum from 0.0 — the exact sequential order DuckDB's
     list_reduce replays, so oracle doubles match bit for bit."""
