@@ -179,15 +179,23 @@ def sql_frontend_q13_style(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_Q13_SQL)
 
 
+# revenue accumulates as DECIMAL: the argmax predicate compares
+# across GROUPS, so two suppliers with identical line items must land
+# on the identical total regardless of per-partition accumulation
+# order (float sums broke the tie set on the 10x replica, where every
+# supplier has 9 value-identical clones); the per-row product stays
+# double (same IEEE result on both engines), only the SUM is exact.
 _Q15_SQL = """
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+               AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
     GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 4) AS total_revenue
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
 FROM supplier s
 JOIN revenue r ON s.s_suppkey = r.supplier_no
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
