@@ -446,11 +446,15 @@ def join_cross(spark: SparkSession, sf: str) -> DataFrame:
     "agg_hash",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_price,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -460,14 +464,22 @@ def join_cross(spark: SparkSession, sf: str) -> DataFrame:
 def agg_hash(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape: partial (map-side) + final hash aggregation,
     Catalyst-chosen — the engine's headline scan-heavy aggregate."""
+    # Money sums accumulate as DECIMAL (exact under any partial-agg
+    # order at any scale — float sums rounded at 2/4 diverged from the
+    # oracle at the 6M-row replica); per-row products stay double, and
+    # averages derive from the exact sums so they inherit the property.
     li = T(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
+    sq = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    sbp = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    sdp = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+    cnt = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.count(F.lit(1)).alias("count_order"),
+        sq.cast("double").alias("sum_qty"),
+        sbp.cast("double").alias("sum_base_price"),
+        sdp.cast("double").alias("sum_disc_price"),
+        F.round(sq.cast("double") / cnt, 4).alias("avg_qty"),
+        F.round(sbp.cast("double") / cnt, 4).alias("avg_price"),
+        cnt.alias("count_order"),
     )
 
 
