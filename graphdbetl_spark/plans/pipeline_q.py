@@ -49,6 +49,66 @@ def dedup_embedding_keep(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_keep_blocked",
+    oracle="""
+    WITH u AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), bkt AS (
+        SELECT vec_id, label, v, (CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * (ARRAY[1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0])[i]), (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * (ARRAY[-1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0])[i]), (a, b) -> a + b) >= 0 THEN 2 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * (ARRAY[-1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0])[i]), (a, b) -> a + b) >= 0 THEN 4 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * (ARRAY[-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0])[i]), (a, b) -> a + b) >= 0 THEN 8 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * (ARRAY[1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0])[i]), (a, b) -> a + b) >= 0 THEN 16 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * (ARRAY[1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0])[i]), (a, b) -> a + b) >= 0 THEN 32 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * (ARRAY[1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0])[i]), (a, b) -> a + b) >= 0 THEN 64 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * (ARRAY[1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0])[i]), (a, b) -> a + b) >= 0 THEN 128 ELSE 0 END) AS bucket FROM u
+    ), pairs AS (
+        SELECT b.vec_id AS dropped
+        FROM bkt a JOIN bkt b
+          ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    )
+    SELECT vec_id, vec_id NOT IN (SELECT dropped FROM pairs) AS keep
+    FROM embeddings
+    """,
+)
+def dedup_embedding_keep_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-policy over HYPERPLANE-blocked embedding pairs: the
+    min-id-survives rule of dedup_embedding_keep running on the
+    (label x 256-sign-bucket) candidate space that stays linear when
+    label cardinality is fixed — the keep policy whose pair stage
+    actually survives 10x (see dedup_embedding_lsh_blocked and the
+    BASELINE.md blocking-cardinality finding). Near-identical vectors
+    land in the same bucket (identical ones always do), so clone
+    collapse — the dedup case that matters — is preserved."""
+    from graphdbetl_spark.plans.llm_q import _lsh_hyperplanes
+
+    planes = _lsh_hyperplanes()
+    e = T(spark, sf, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_p = lambda p: F.aggregate(  # noqa: E731
+        F.zip_with("v", F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    u = e.select("vec_id", "label", dv.alias("v"))
+    bucket = None
+    for k, p in enumerate(planes):
+        term = F.when(dot_p(p) >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    bkt = u.withColumn("bucket", bucket)
+    a = bkt.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+                   F.col("bucket").alias("ba"), F.col("v").alias("va"))
+    b = bkt.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+                   F.col("bucket").alias("bb"), F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("ba") == F.col("bb"))
+               & (F.col("id_a") < F.col("id_b")))
+        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= 0.35)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return e.select("vec_id").join(
+        dropped.withColumn("__d", F.lit(1)), "vec_id", "left"
+    ).select("vec_id", F.col("__d").isNull().alias("keep"))
+
+
+@query(
     "pipeline_prepare_corpus",
     oracle="""
     WITH scored AS (
