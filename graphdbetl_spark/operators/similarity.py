@@ -272,6 +272,18 @@ def _dot_unrolled(vec, base, cent, sub: int):
     return expr
 
 
+def _pq_check(dim: int, m: int) -> None:
+    """PQ subspaces must tile the vector exactly: ``sub = dim // m``
+    would otherwise silently drop the trailing ``dim % m`` dimensions
+    from codebooks, assignment, and ADC scores — biased results with
+    no error raised. Fail loudly instead."""
+    if m <= 0 or dim % m != 0:
+        raise ValueError(
+            f"PQ requires dim divisible by m (got dim={dim}, m={m}); "
+            f"the trailing {dim % m if m > 0 else dim} dims would be dropped"
+        )
+
+
 def pq_build_codebooks_md5(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -306,6 +318,7 @@ def pq_build_codebooks_md5(
     row per corpus vector; ``codebooks`` is the (sub, code, centroid)
     table every query batch broadcasts.
     """
+    _pq_check(dim, m)
     sub = dim // m
     u = _unit_vectors(corpus, vec_col)
     w = Window.orderBy("__r", id_col)
@@ -350,6 +363,7 @@ def pq_assign_codes(
     row without re-evaluating it (CollapseProject keeps non-cheap
     expressions from inlining twice). Ties break to the lowest code on
     both engines (first occurrence of the max)."""
+    _pq_check(dim, m)
     sub = dim // m
     u = _unit_vectors(corpus, vec_col)
     cbrow = F.broadcast(_pq_codebook_row(codebooks))
@@ -395,6 +409,7 @@ def pq_adc_topk(
     only shuffle anywhere is the final per-query top-k window — same
     as brute force, at a fraction of the scan and compute.
     """
+    _pq_check(dim, m)
     sub = dim // m
     q = _unit_vectors(queries, vec_col)
     cbrow = F.broadcast(_pq_codebook_row(codebooks))
@@ -457,6 +472,7 @@ def pq_build_codebooks_kmeans(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    _pq_check(dim, m)
     sub = dim // m
     c = _unit_vectors(corpus, vec_col).select(
         F.col(id_col),
@@ -520,6 +536,7 @@ def ivfpq_cosine_topk(
         F.col(id_col).alias("query_id"), F.col("__unit")
     )
     cell_rank = Window.partitionBy("query_id").orderBy(F.col("cell_cos").desc(), F.col("cell"))
+    _pq_check(dim, m)
     sub = dim // m
     cbrow = F.broadcast(_pq_codebook_row(codebooks))
     lut = F.transform(

@@ -252,36 +252,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(
-               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(
-               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-               list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.2
-    """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.2) within label blocks —
-    blocking keeps the pair space linear-ish; at 100 TB the block key
-    comes from LSH buckets instead."""
-    e = T(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), _dvec(F.col("embedding")).alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), _dvec(F.col("embedding")).alias("vb"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.2)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
-    )
-
-
 def _lsh_hyperplanes(n_planes: int = 8, dim: int = 64, seed: str = "42") -> list[list[float]]:
     """Deterministic ±1 hyperplanes from hashlib-md5 bits — plain
     Python, so the SAME literal vectors embed in the Spark plan and the
@@ -322,21 +292,22 @@ def _embedding_lsh_oracle(n_planes: int = 8, threshold: float = 0.2) -> str:
     """
 
 
-@query("dedup_embedding_lsh_blocked", oracle=_embedding_lsh_oracle())
-def dedup_embedding_lsh_blocked(spark: SparkSession, sf: str) -> DataFrame:
+def _embedding_blocked_pairs(
+    spark: SparkSession, sf: str, n_planes: int = 8, threshold: float = 0.2
+) -> DataFrame:
     """Embedding near-dup pairs with SIMILARITY-PRESERVING blocking:
-    random-hyperplane sign buckets (8 md5-derived ±1 planes → 256
+    random-hyperplane sign buckets (md5-derived ±1 planes → 2^b
     buckets) compound the label block, so block population — and the
     per-block quadratic — shrinks geometrically with plane count
     instead of being pinned to the label cardinality. Measured at the
-    10× replica: the label-only variant (dedup_embedding_cosine) went
+    10× replica: the label-only all-pairs variant went
     quadratic-per-block (fixed label count ⇒ 100× pair work for 10×
     rows) while this one stays tractable; plane count is the knob that
     scales blocking with the corpus (b ≈ log₂ n). Hyperplanes are
     literal ±1 vectors derived from md5 bits in plain Python, so the
     oracle replays the exact buckets — candidate generation is
     oracle-checked, like the minhash md5 family."""
-    planes = _lsh_hyperplanes()
+    planes = _lsh_hyperplanes(n_planes)
     e = T(spark, sf, "embeddings")
     v = _dvec(F.col("embedding"))
     dot_p = lambda p: F.aggregate(  # noqa: E731
@@ -358,6 +329,59 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf: str) -> DataFrame:
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("ba") == F.col("bb"))
                & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+@query("dedup_embedding_cosine", oracle=_embedding_lsh_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.2) — DEFAULT path is the
+    hyperplane-blocked candidate generation (label block compounded
+    with 8 md5-derived sign bits), the form proven tractable at the
+    10× replica; the label-only all-pairs form is the explicitly gated
+    dedup_embedding_cosine_exact. A 100 TB caller hitting the obvious
+    name gets the scale-safe plan (r2 verdict ask #2)."""
+    return _embedding_blocked_pairs(spark, sf)
+
+
+@query("dedup_embedding_lsh_blocked", oracle=_embedding_lsh_oracle())
+def dedup_embedding_lsh_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    """Alias surface for the hyperplane-blocked pair generator (kept so
+    callers who adopted the explicit r2 name keep working); see
+    _embedding_blocked_pairs for the plan and scale argument."""
+    return _embedding_blocked_pairs(spark, sf)
+
+
+@query(
+    "dedup_embedding_cosine_exact",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.2
+    """,
+)
+def dedup_embedding_cosine_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """GATED exact variant: ALL pairs within each label block (no
+    similarity-preserving bucketing). Quadratic in block population —
+    the 10× campaign measured it >180 s (killed) because label
+    cardinality is fixed while rows grow. Appropriate only at test
+    scale or as a recall oracle for the blocked default; at corpus
+    scale call dedup_embedding_cosine (hyperplane-blocked). Same gate
+    rationale as join_cross."""
+    e = T(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), _dvec(F.col("embedding")).alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), _dvec(F.col("embedding")).alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
         .withColumn("cos", cos)
         .filter(F.col("cos") >= 0.2)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))

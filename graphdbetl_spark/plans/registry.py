@@ -65,41 +65,56 @@ def _load() -> None:
         importlib.import_module(mod)
 
 
-# The correctness driver visits queries in dict order and its budget
-# covered exactly the first 50 in round 1 — so the first 50 here are a
-# hand-curated, all-oracle-checked slate spanning every family (LLM
-# dedup/similarity/text, streaming, the reference's graph-ETL
-# identity, curation, prep, SQL frontend, sketch bounds). Rows-only
-# entries are deliberately excluded from the slate: they'd spend a
-# driver-verdict slot on a weaker check. Everything else follows in
-# registration (family) order.
+# The correctness driver visits queries in dict order with a ~50-query
+# budget per round. Rounds 1+2 attested 96 distinct queries; this
+# round's slate is rotated (r2 verdict ask #1) to the queries that have
+# never appeared in a driver CORRECTNESS file: the r2-added oracles the
+# advisor flagged as unexercised, every never-checked TPC-H shape, the
+# analytics / etl-ops families, and the join/window core. All entries
+# below are oracle-backed (rows-only entries would spend a driver slot
+# on a weaker check); the remaining never-attested queries follow
+# immediately after the slate so any extra driver budget reaches them
+# before the already-attested families, which register last.
 _PRIORITY: tuple[str, ...] = (
-    # LLM pipeline: dedup / similarity / text / multimodal
-    "dedup_exact", "dedup_minhash_md5", "dedup_simhash_md5",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_keep_list",
-    "dedup_cluster_components", "dedup_cluster_keep_best",
-    "dedup_embedding_keep", "sim_cosine_topk", "sim_pq_topk_md5",
-    "dedup_repeated_ngram_scrub",
-    "text_stats", "text_quality", "text_lang_id", "text_fingerprint",
-    "text_tokens_portable", "text_tfidf_top_term",
-    "split_train_test", "sample_stratified", "pack_sequences",
-    "multimodal_features", "multimodal_decode",
-    # streaming / temporal
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "rollup_hourly", "sketch_kmv_md5", "sessionize_events",
-    "funnel_conversion", "stream_dedup_batch", "stream_late_data_cutoff",
-    # the reference's graph-ETL identity
-    "node_build_party", "rel_foreign_key", "rel_join_table",
-    "dedup_merge_by_id",
-    # curation / prep
-    "decontaminate_ngrams", "pii_scrub", "shuffle_deterministic",
-    "chunk_documents", "mixture_balance", "budget_select",
-    "pipeline_prepare_corpus",
-    # SQL frontend
-    "tpch_q5_style", "sql_frontend_q3", "sql_frontend_q1",
-    "sql_frontend_q18", "sql_frontend_recursive", "sql_frontend_q2_style",
-    # sketch-bounds companion (gives the approximate family a green row)
-    "agg_approx_bounds",
+    # r2-added oracles the advisor flagged as never driver-exercised
+    "bpe_pair_counts", "dedup_incremental", "dedup_embedding_lsh_blocked",
+    "dedup_embedding_keep_blocked", "split_group_aware", "mixture_upsample",
+    "multimodal_audio_chunks", "agg_bitwise", "map_funcs2",
+    # TPC-H shapes never driver-checked (q1/q3/q5/q18/recursive/q2 were)
+    "sql_frontend_q4", "sql_frontend_q6", "sql_frontend_q7_style",
+    "sql_frontend_q8_style", "sql_frontend_q9_style",
+    "sql_frontend_q10_style", "sql_frontend_q11_style",
+    "sql_frontend_q12_style", "sql_frontend_q13_style",
+    "sql_frontend_q14", "sql_frontend_q15_style", "sql_frontend_q16_style",
+    "sql_frontend_q17", "sql_frontend_q19_style", "sql_frontend_q20_style",
+    "sql_frontend_q21_style", "sql_frontend_q22_style",
+    # analytics
+    "gapfill_daily", "retention_cohorts", "events_anomaly_zscore",
+    "running_distinct_users", "ngram_topk_per_lang",
+    # etl ops
+    "node_upsert", "scd2_history", "cdc_apply", "dq_checks",
+    "snapshot_diff", "profile_table", "histogram_bins", "er_fuzzy_match",
+    # join / window / reshape core
+    "join_right", "join_asof_forward_tol", "range_join_bucketized",
+    "join_skew_salted", "agg_salted", "win_rank_variants",
+    "win_range_frame", "pivot_status", "unpivot_metrics", "udaf_grouped",
+    "udtf_explode",
+    # --- driver budget line (~50): remaining never-attested entries ---
+    "udtf_explode_outer", "agg_stats", "agg_percentile_exact",
+    "agg_decimal", "str_funcs2", "date_funcs2", "regex_extract",
+    "sink_parquet", "sink_csv", "sink_json", "scan_orc", "scan_text",
+    "multimodal_audio_decode", "multimodal_video_frames",
+    "sim_ivf_recall_floor", "sim_lsh_recall_floor", "sim_pq_recall_floor",
+    "embedding_quantize_int8", "text_feature_hashing", "doc_repetition",
+    "doc_repeated_ngrams", "curation_domain_cap", "embedding_centroids",
+    "pipeline_chunk_pack", "graph_degree_stats", "graph_triangle_count",
+    "graph_two_hop", "graph_pagerank", "stream_interval_join",
+    # dedup_embedding_cosine changed semantics in r3 (hyperplane-blocked
+    # default, r2 verdict ask #2) — re-attest ahead of old greens
+    "dedup_embedding_cosine",
+    # rows-only never-attested (weaker check, lowest rotation priority)
+    "dedup_minhash", "dedup_simhash", "sim_ivf_topk", "sim_lsh_topk",
+    "sim_ivfpq_topk", "text_tokens", "sketch_kmv_distinct",
 )
 
 

@@ -23,9 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 # Option-file keys that map onto the JDBC connection (anything else in
-# the file — ssl modes, charsets, prompt settings — is client-local and
-# ignored, as Spark's JDBC connector has its own option namespace).
+# the file — prompt settings, pager — is client-local and ignored, as
+# Spark's JDBC connector has its own option namespace).
 _MYSQL_OPTION_KEYS = ("host", "port", "user", "password", "database")
+
+# my.cnf client options with a Connector/J equivalent: parsed keys are
+# normalized (dash→underscore), then emitted VERBATIM as Spark JDBC
+# reader options — Spark forwards every option it doesn't recognize to
+# the JDBC driver as a connection property, so these reach Connector/J
+# untouched. connect-timeout is seconds client-side, milliseconds in
+# Connector/J (the one value conversion).
+_MYSQL_DIALECT_KEYS = {
+    "ssl_mode": "sslMode",
+    "default_character_set": "characterEncoding",
+    "connect_timeout": "connectTimeout",
+}
 
 
 def parse_mysql_option_file(
@@ -60,7 +72,11 @@ def parse_mysql_option_file(
                 if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
                     value = value[1:-1]
                 out[key.replace("-", "_")] = value
-    return {k: v for k, v in out.items() if k in _MYSQL_OPTION_KEYS}
+    return {
+        k: v
+        for k, v in out.items()
+        if k in _MYSQL_OPTION_KEYS or k in _MYSQL_DIALECT_KEYS
+    }
 
 
 def mysql_source_to_jdbc(source: dict[str, Any]) -> dict[str, Any]:
@@ -84,11 +100,23 @@ def mysql_source_to_jdbc(source: dict[str, Any]) -> dict[str, Any]:
     )
     url = source.get("url", f"jdbc:mysql://{host}:{port}/{db}")
     opts = {k: v for k, v in file_opts.items() if k in ("user", "password")}
+    # MySQL-dialect client options → Connector/J property names. Spark
+    # forwards unrecognized reader options to the driver as connection
+    # properties, so the values below reach Connector/J verbatim.
+    for cnf_key, jdbc_key in _MYSQL_DIALECT_KEYS.items():
+        if cnf_key in file_opts:
+            value = file_opts[cnf_key]
+            if cnf_key == "connect_timeout":  # seconds → milliseconds
+                value = str(int(value) * 1000)
+            opts[jdbc_key] = value
     opts.update(
         {k: v for k, v in source.items()
          if k in ("user", "password", "driver", "fetchsize",
                   "partitionColumn", "lowerBound", "upperBound", "numPartitions")}
     )
+    # Inline dialect properties (YAML `properties:` map) pass through
+    # verbatim and override the option file, like the other inline keys.
+    opts.update({str(k): str(v) for k, v in (source.get("properties") or {}).items()})
     opts.setdefault("driver", "com.mysql.cj.jdbc.Driver")
     return {"source type": "jdbc", "url": url, **opts}
 

@@ -24,6 +24,15 @@ replay detects the completed move and just re-stamps the marker
 same); die after marker → replay is a no-op. Readers see only
 committed batches by construction (``_staging``/``_commits`` are
 underscore-prefixed, which parquet listing ignores).
+
+CONTRACT: ``out_dir`` is owned by exactly one streaming checkpoint.
+BatchIds are only unique within a checkpoint — if the checkpoint is
+deleted and a new query restarts at batchId 0 against an out_dir that
+still holds ``batch=0`` from the prior run, the re-stamp branch would
+mark the stale data committed instead of rewriting it (the
+"deterministic content per batchId" premise no longer holds). Pair
+the out_dir's lifetime with the checkpoint's: start a fresh out_dir
+whenever you start a fresh checkpoint.
 """
 
 from __future__ import annotations
@@ -42,11 +51,15 @@ def _commit_dir(out_dir: str) -> str:
 
 
 def committed_batches(out_dir: str) -> set[int]:
-    """BatchIds with a durable commit marker."""
+    """BatchIds with a durable commit marker. Non-numeric ``*.json``
+    names (editor droppings, foreign files) are ignored rather than
+    crashing recovery."""
     d = _commit_dir(out_dir)
     if not os.path.isdir(d):
         return set()
-    return {int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")}
+    return {
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json") and f[:-5].isdigit()
+    }
 
 
 def _stamp(out_dir: str, batch_id: int, n_rows: int | None) -> None:

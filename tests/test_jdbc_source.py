@@ -133,6 +133,53 @@ prompt = mysql>
             == "jdbc:mysql://db.example.org:3307/aopdb"
         )
 
+    FULL_CNF = """\
+[client]
+host = mysql.prod.internal.example
+port = 3306
+user = etl
+password = "p@ss w0rd"
+ssl-mode = REQUIRED
+default-character-set = utf8mb4
+connect-timeout = 10
+
+[mysql]
+database = aopdb
+prompt = mysql>
+pager = less
+"""
+
+    def test_full_mysql_option_map_emitted_verbatim(self, tmp_path):
+        """r2 verdict ask #7: the EXACT jdbc:mysql:// URL + driver-class
+        option map from a ~/.my.cnf + YAML `config file:` key — dialect
+        options emitted as Connector/J properties (Spark forwards
+        unknown reader options to the driver verbatim), client-local
+        noise (prompt/pager) dropped, no server needed."""
+        from graphdbetl_spark.sources.readers import mysql_source_to_jdbc
+
+        p = tmp_path / "my.cnf"
+        p.write_text(self.FULL_CNF)
+        spec = mysql_source_to_jdbc(
+            {
+                "source type": "mysql",
+                "config file": str(p),
+                "fetchsize": 10000,
+                "properties": {"rewriteBatchedStatements": "true"},
+            }
+        )
+        assert spec == {
+            "source type": "jdbc",
+            "url": "jdbc:mysql://mysql.prod.internal.example:3306/aopdb",
+            "driver": "com.mysql.cj.jdbc.Driver",
+            "user": "etl",
+            "password": "p@ss w0rd",
+            "sslMode": "REQUIRED",
+            "characterEncoding": "utf8mb4",
+            "connectTimeout": "10000",  # my.cnf seconds → Connector/J ms
+            "fetchsize": 10000,
+            "rewriteBatchedStatements": "true",
+        }
+
     def test_cli_accepts_m_flag(self, capsys):
         """python -m graphdbetl_spark build -m ... parses (reference
         bin/build-graph-db -m)."""
