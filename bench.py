@@ -48,6 +48,13 @@ HEADLINE = [
     "ngram_topk_per_lang",
     "retention_cohorts",
     "sql_frontend_q6",
+    # r2 additions promoted into driver-visible bench evidence (r2
+    # verdict ask #4): PQ ANN query, ExactSubstr scrub, binary decode,
+    # and the now-default hyperplane-blocked embedding dedup.
+    "sim_pq_topk_md5",
+    "dedup_repeated_ngram_scrub",
+    "multimodal_decode",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -45,6 +45,69 @@ def stratified_hash_sample(
     return df.filter(b < rate)
 
 
+def sharded_running_sum_before(
+    df: DataFrame,
+    order_cols: list[str],
+    size_col: Column,
+    n_shards: int = 256,
+) -> tuple[DataFrame, Column]:
+    """EXACT global running sum (strictly-preceding rows in
+    ``order_cols`` order) as a distributed prefix-sum — no
+    single-partition window over the data.
+
+    Shards are contiguous ranges of the leading order column, cut at
+    sampled quantile boundaries (``approxQuantile``, one scan; the
+    boundaries embed as literals so shard assignment is a shuffle-free
+    projection). Because any contiguous split preserves the global
+    order, running-sum-within-shard + the cumulative total of all
+    preceding shards equals the global running sum exactly, wherever
+    the sampled boundaries happen to land. The only unpartitioned
+    window runs over the per-shard totals — one row per shard, bounded
+    by ``n_shards``, not by the data.
+
+    Returns ``(df_with_shard, cum_before_column)``; callers select
+    from the returned frame. Falls back to a single explicit shard
+    when the leading column isn't numeric (quantiles undefined) —
+    small-input gate, same semantics.
+    """
+    lead = order_cols[0]
+    try:
+        probs = [i / n_shards for i in range(1, n_shards)]
+        bounds = sorted(set(df.approxQuantile(lead, probs, 0.01))) if probs else []
+    except Exception:
+        bounds = []
+    if bounds:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        shard = F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(F.col(lead) >= b, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+    else:
+        shard = F.lit(0).cast("long")
+    p = df.withColumn("__shard", shard)
+    wp = (
+        Window.partitionBy("__shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within_before = F.coalesce(F.sum(size_col).over(wp), F.lit(0))
+    totals = p.groupBy("__shard").agg(F.sum(size_col).cast("long").alias("__tot"))
+    # cumulative shard offsets via a triangular self-join over the
+    # per-shard totals (≤ n_shards rows) — no window at all, so
+    # nothing here is single-partition over data-sized input
+    preceding = totals.select(
+        F.col("__shard").alias("__s2"), F.col("__tot").alias("__t2")
+    )
+    offsets = (
+        totals.join(preceding, F.col("__s2") < F.col("__shard"), "left")
+        .groupBy("__shard")
+        .agg(F.coalesce(F.sum("__t2"), F.lit(0)).alias("__off"))
+    )
+    return p.join(F.broadcast(offsets), "__shard"), F.col("__off") + within_before
+
+
 def pack_sequences(
     df: DataFrame, id_col: str, size_col: Column, budget: int
 ) -> DataFrame:
@@ -52,13 +115,13 @@ def pack_sequences(
     pack_id = floor(cumulative_size_before / budget).
 
     The streaming-pack approximation used for LLM sequence packing at
-    corpus scale (exact bin packing is NP-hard and order-dependent);
-    one global window — at 100 TB, partition by shard first and pack
-    within shards.
+    corpus scale (exact bin packing is NP-hard and order-dependent).
+    The running sum is the distributed quantile-sharded prefix-sum
+    (``sharded_running_sum_before``) — bit-identical to a global
+    window, but the data-sized windows are all partition-local.
     """
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
-    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
-    return df.select(
+    p, cum_before = sharded_running_sum_before(df, [id_col], size_col)
+    return p.select(
         F.col(id_col),
         size_col.cast("long").alias("n_tokens"),
         F.floor(cum_before / budget).cast("long").alias("pack_id"),

@@ -209,23 +209,25 @@ def budget_select(spark: SparkSession, sf: str) -> DataFrame:
 def pipeline_chunk_pack(spark: SparkSession, sf: str) -> DataFrame:
     """Composition pipeline: chunk documents (200/150) → portable token
     count per chunk → greedy 512-token sequence packing. Chunking and
-    counting fuse into the scan stage; the pack step is one running-sum
-    window (global order here for oracle determinism — at corpus scale
-    partition the window by shard, as pack_sequences documents)."""
+    counting fuse into the scan stage; the pack step is the
+    quantile-sharded distributed prefix-sum (exact global running sum
+    in (doc_id, chunk_id) order — chunks of one doc share its shard,
+    so contiguity holds on the composite order)."""
     from graphdbetl_spark.operators.dedup import _tokens
+    from graphdbetl_spark.operators.sampling import sharded_running_sum_before
 
     chunks = chunk_text(T(spark, sf, "documents"), "text", "doc_id", size=200, stride=150)
-    w = Window.orderBy("doc_id", "chunk_id").rowsBetween(
-        Window.unboundedPreceding, -1
+    sized = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size(_tokens(F.col("chunk_text"))).cast("long").alias("n_tokens"),
     )
-    return (
-        chunks.select(
-            "doc_id",
-            "chunk_id",
-            F.size(_tokens(F.col("chunk_text"))).cast("long").alias("n_tokens"),
-        )
-        .withColumn(
-            "pack_id",
-            F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 512).cast("long"),
-        )
+    p, cum_before = sharded_running_sum_before(
+        sized, ["doc_id", "chunk_id"], F.col("n_tokens")
+    )
+    return p.select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.floor(cum_before / 512).cast("long").alias("pack_id"),
     )

