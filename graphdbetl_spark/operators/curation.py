@@ -14,7 +14,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from graphdbetl_spark.operators.dedup import _tokens, _word_ngrams
+from graphdbetl_spark.operators.dedup import _tokens, _word_ngram_hashes
+from graphdbetl_spark.operators.skew import ensure_scan_parallelism
 from graphdbetl_spark.operators.sampling import hash_bucket
 
 # PII patterns chosen to be portable between Java regex (Spark) and
@@ -58,15 +59,12 @@ def decontaminate_against_eval(
 
     Returns (id_col, contaminated: boolean) for candidate documents.
     """
-    grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
-    gram_fp = F.xxhash64(F.col("gram")).alias("gfp")
-    eval_grams = (
-        eval_df.select(F.explode(grams).alias("gram")).select(gram_fp).distinct()
-    )
+    grams = F.array_distinct(_word_ngram_hashes(_tokens(F.col(text_col)), n))
+    eval_grams = eval_df.select(F.explode(grams).alias("gfp")).distinct()
     if force_broadcast:
         eval_grams = F.broadcast(eval_grams)
-    doc_grams = df.select(F.col(id_col), F.explode(grams).alias("gram")).select(
-        F.col(id_col), gram_fp
+    doc_grams = ensure_scan_parallelism(df, id_col).select(
+        F.col(id_col), F.explode(grams).alias("gfp")
     )
     contaminated = (
         doc_grams.join(eval_grams, "gfp", "left_semi")
@@ -110,9 +108,9 @@ def repeated_ngram_coverage(
     Returns (id_col, n_grams, n_repeated, repeated_frac); zero-gram
     documents survive with zeros via ``explode_outer``.
     """
-    grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
-    ex = df.select(F.col(id_col), F.explode_outer(grams).alias("gram")).select(
-        F.col(id_col), F.xxhash64("gram").alias("gfp")
+    grams = F.array_distinct(_word_ngram_hashes(_tokens(F.col(text_col)), n))
+    ex = ensure_scan_parallelism(df, id_col).select(
+        F.col(id_col), F.explode_outer(grams).alias("gfp")
     )
     repeated = (
         ex.filter(F.col("gfp").isNotNull())
@@ -195,7 +193,7 @@ def repetition_stats(
 
     Pure per-row array expressions — no shuffle, no UDF.
     """
-    grams = _word_ngrams(_tokens(F.col(text_col)), n)
+    grams = _word_ngram_hashes(_tokens(F.col(text_col)), n)
     n_grams = F.size(grams)
     n_distinct = F.size(F.array_distinct(grams))
     dup_frac = F.when(
@@ -273,18 +271,22 @@ def repeated_ngram_scrub(
     with nothing scrubbed survive with their text reassembled
     (single-space normalized) and n_removed = 0.
     """
-    grams = _word_ngrams(_tokens(F.col(text_col)), n)
-    ex = (
-        df.select(F.col(id_col), F.posexplode(grams).alias("p0", "gram"))
-        .select(F.col(id_col), (F.col("p0") + 1).alias("pos"), F.xxhash64("gram").alias("gfp"))
-    )
+    df = ensure_scan_parallelism(df, id_col)
+    gh = _word_ngram_hashes(_tokens(F.col(text_col)), n)
+    # Document frequency WITHOUT a (doc, gram) distinct exchange: dedup
+    # gram fingerprints doc-locally (array_distinct in the scan
+    # projection), so post-explode rows are already unique per document
+    # and one partial-agg count IS the df — the corpus-wide distinct
+    # shuffle the previous form paid is gone.
     rep = (
-        ex.select(id_col, "gfp")
-        .distinct()
+        df.select(F.explode(F.array_distinct(gh)).alias("gfp"))
         .groupBy("gfp")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
         .select("gfp")
+    )
+    ex = df.select(F.col(id_col), F.posexplode(gh).alias("p0", "gfp")).select(
+        F.col(id_col), (F.col("p0") + 1).alias("pos"), "gfp"
     )
     starts = (
         ex.join(rep, "gfp", "left_semi")

@@ -76,6 +76,26 @@ def _word_ngrams(toks: Column, n: int) -> Column:
     return grams
 
 
+def _word_ngram_hashes(toks: Column, n: int) -> Column:
+    """64-bit n-gram fingerprints WITHOUT materializing gram strings:
+    hash each token once, then chain-combine the n shifted hash arrays
+    with ``xxhash64(acc, next)`` (xxhash64 over two longs — a fixed
+    16-byte JVM-native mix per position, vs allocating and re-hashing
+    progressively longer concat strings). 3-4× cheaper per token at the
+    scan, which is where every n-gram pipeline spends its map side.
+    Fingerprint identity: equal token sequences ⇒ equal fingerprint;
+    collisions are the usual ~|grams|²/2⁶⁴. Use when only gram
+    IDENTITY matters (df counts, semi-joins); use :func:`_word_ngrams`
+    when the gram text itself is needed (oracle replay via md5)."""
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(th, 1, m)
+    for j in range(1, n):
+        shifted = F.slice(th, j + 1, m)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.xxhash64(a, b))
+    return grams
+
+
 def _shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a document."""
     return F.array_distinct(_word_ngrams(_tokens(text_col), n))

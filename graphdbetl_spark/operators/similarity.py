@@ -13,6 +13,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from graphdbetl_spark.functions.vectors import cosine_similarity, l2_norm
+from graphdbetl_spark.operators.skew import (
+    ensure_scan_parallelism as _ensure_scan_parallelism,
+)
 
 
 def cosine_topk_bruteforce(
@@ -77,6 +80,8 @@ def ivf_cosine_topk(
 def _unit_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     norm = l2_norm(F.col(vec_col))
     return df.withColumn("__unit", F.transform(vec_col, lambda x: (x / norm).cast("double")))
+
+
 
 
 def ivf_build_index(
@@ -380,7 +385,7 @@ def pq_assign_codes(
     both engines (first occurrence of the max)."""
     _pq_check(dim, m)
     sub = dim // m
-    u = _unit_vectors(corpus, vec_col)
+    u = _unit_vectors(_ensure_scan_parallelism(corpus, id_col), vec_col)
     cbrow = F.broadcast(_pq_codebook_row(codebooks))
     seq = F.sequence(F.lit(0), F.lit(m - 1))
     sm = F.transform(

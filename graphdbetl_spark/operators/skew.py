@@ -13,6 +13,27 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def ensure_scan_parallelism(df: DataFrame, key_col: str) -> DataFrame:
+    """Local-scale adapter for compute-bound per-row pipelines (n-gram
+    fingerprinting, PQ code assignment: hundreds of expression evals
+    per row). Small test files are single-row-group parquet, so the
+    scan is ONE task and the whole map side serializes on one core no
+    matter how many cores exist. When the incoming plan has materially
+    fewer partitions than the session's parallelism, hash-repartition
+    on the id column (deterministic, order-insensitive downstream; the
+    shuffled bytes are the small raw input, not the exploded
+    intermediate). At cluster scale inputs arrive in many splits, the
+    guard never fires, and no exchange is added to the hot path."""
+    try:
+        nparts = df.rdd.getNumPartitions()
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # non-classic sessions: keep the plan untouched
+        return df
+    if nparts * 4 <= target:
+        return df.repartition(target, F.col(key_col))
+    return df
+
+
 def salted_count_sum(
     df: DataFrame,
     keys: list[str],
