@@ -73,6 +73,57 @@ def quality_score(text: Column) -> Column:
     return F.round(0.4 * len_ok + 0.3 * (1.0 - punct_ratio) + 0.3 * wordlen_ok, 4)
 
 
+# Fixed stopword list for the classifier feature below (and reusable
+# by other ratio features). A real deployment swaps in a per-language
+# list; the operator shape (token ∈ broadcast-literal set) is identical.
+_EN_STOPWORDS = (
+    "the", "and", "of", "to", "in", "is", "that", "with",
+    "a", "for", "on", "as", "it", "by", "at", "from",
+)
+
+
+def quality_logit(text: Column) -> Column:
+    """Model-based quality score in (0,1): a logistic regression over
+    five cheap portable text features — the operator shape of a
+    fastText-style quality classifier (as used for pretraining-corpus
+    filtering) with FIXED, documented coefficients standing in for
+    trained weights (the runtime plumbing — feature extraction in the
+    scan projection, a dot product, a sigmoid — is identical, and
+    that's what this engine owns; the weights belong to the modeler).
+
+    Features: punctuation ratio, stopword ratio, mean word length,
+    log10 document length, duplicate-token fraction. All JVM-side
+    expressions, zero shuffle, RE2-portable so a SQL oracle replays
+    the score bit for bit at 6 decimals.
+    """
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(1.0))
+    tok = tokens(F.lower(text))
+    n_tok = F.size(tok)
+    stop_ratio = F.when(
+        n_tok > 0,
+        F.size(F.filter(tok, lambda t: t.isin(*_EN_STOPWORDS))) / n_tok,
+    ).otherwise(F.lit(0.0))
+    mean_wordlen = F.when(
+        n_tok > 0,
+        F.aggregate(tok, F.lit(0), lambda a, t: a + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    log_len = F.log10(n.cast("double") + F.lit(1.0))
+    dup_frac = F.when(
+        n_tok > 0, (n_tok - F.size(F.array_distinct(tok))) / n_tok
+    ).otherwise(F.lit(0.0))
+    z = (
+        F.lit(-1.0)
+        - 4.0 * punct_ratio
+        + 3.0 * stop_ratio
+        + 0.2 * mean_wordlen
+        + 0.5 * log_len
+        - 2.0 * dup_frac
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
 # Tiny per-language marker lexicons for heuristic language ID. At real
 # scale this would be a character-n-gram profile model; the operator
 # shape (score per language → argmax) is identical.

@@ -206,6 +206,44 @@ def repetition_stats(
     )
 
 
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """LM-based quality signal in the CCNet mold (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document by the mean log10 probability of its
+    tokens under the corpus's OWN unigram language model — the cheap,
+    fully-distributed stand-in for perplexity filtering (low scores =
+    rare-token-heavy gibberish; implausibly high = boilerplate).
+
+    Scale shape: pass 1 estimates the LM — token counts via one
+    partial-agg shuffle on the token (map-side combine collapses each
+    partition's duplicates first); the corpus-total is a one-row
+    broadcast. Pass 2 joins the vocabulary back to the exploded corpus
+    with the strategy left to AQE — broadcast when the vocab fits,
+    shuffle join with skew-split at billion-token vocabulary (the
+    text_tfidf_top_term posture) — then one per-document partial agg.
+    Nothing driver-side, no UDF.
+
+    Returns (id_col, n_tokens, mean_logprob) with mean_logprob rounded
+    to 6 decimals (values are O(1); double accumulation noise across
+    engines is ~1e-13).
+    """
+    toks = _tokens(F.col(text_col))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    cnt = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = cnt.agg(F.sum("__c").alias("__t"))
+    lm = cnt.crossJoin(F.broadcast(total)).select(
+        "tok", F.log10(F.col("__c") / F.col("__t")).alias("__lp")
+    )
+    return (
+        ex.join(lm, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+        )
+    )
+
+
 def chunk_text(
     df: DataFrame,
     text_col: str,

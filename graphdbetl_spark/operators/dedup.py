@@ -101,6 +101,46 @@ def _shingles(text_col: Column, n: int = 3) -> Column:
     return F.array_distinct(_word_ngrams(_tokens(text_col), n))
 
 
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm) at word-``k``-gram granularity: hash every
+    k-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum; the distinct minima are the document's
+    fingerprint set. Guarantees any shared run of ≥ w+k-1 tokens
+    produces at least one shared fingerprint, at ~2/(w+1) the density
+    of full k-gram sets — the classic fingerprint-budget/recall trade.
+    This is the set-of-minima variant (fingerprint positions dropped):
+    the matching property only needs the set.
+
+    Hashes use the engine-portable md5-family idiom (first 12 hex
+    chars → 48-bit BIGINT) so a SQL oracle replays the selection bit
+    for bit. Pure per-row array expressions inside the scan — zero
+    shuffle before the final explode/distinct; window minima cost
+    O(len·w) per doc with w small and constant.
+
+    Returns (id_col, fp) exploded rows, one per distinct fingerprint;
+    documents with at least one k-gram but fewer than w of them yield
+    the single global minimum (the algorithm's short-document case).
+    """
+    grams = _word_ngrams(_tokens(F.col(text_col)), k)
+    gh = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long")
+    )
+    m = F.size(gh) - (w - 1)
+    wins = (
+        F.when(m >= 1, F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                                   lambda i: F.array_min(F.slice(gh, i, w))))
+        .when(F.size(gh) >= 1, F.array(F.array_min(gh)))
+        .otherwise(F.expr("array()").cast("array<bigint>"))
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,

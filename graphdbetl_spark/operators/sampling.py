@@ -45,6 +45,52 @@ def stratified_hash_sample(
     return df.filter(b < rate)
 
 
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 32,
+    token_text_col: str | None = None,
+    char_count_col: str | None = None,
+) -> DataFrame:
+    """Deterministic output-sharding manifest for a training corpus:
+    assign every row a stable shard by the portable md5 hash bucket of
+    its id, and roll up the per-shard statistics a dataloader needs to
+    plan epochs (row count, token and char budgets, id range).
+
+    This is the bookkeeping step between curation and the trainer: the
+    writer partitions by ``shard`` (partitionBy on write → one
+    directory per shard, no sort), and the manifest is the shard-level
+    contract checked at load time. Hash sharding gives ±O(√n) balance
+    with zero coordination — one partial-agg shuffle on the shard key,
+    collapsing map-side to ``n_shards`` rows per partition.
+
+    Returns one row per shard:
+    (shard, n_rows, n_tokens, n_chars, min_id, max_id).
+    """
+    from graphdbetl_spark.functions.text import token_count
+
+    n_tokens = (
+        token_count(F.col(token_text_col)) if token_text_col else F.lit(0)
+    )
+    n_chars = F.col(char_count_col) if char_count_col else F.lit(0)
+    return (
+        df.select(
+            (hash_bucket(F.col(id_col), 10_000) % n_shards).alias("shard"),
+            F.col(id_col).alias("__id"),
+            n_tokens.cast("long").alias("__tok"),
+            n_chars.cast("long").alias("__ch"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__tok").alias("n_tokens"),
+            F.sum("__ch").alias("n_chars"),
+            F.min("__id").alias("min_id"),
+            F.max("__id").alias("max_id"),
+        )
+    )
+
+
 def sharded_running_sum_before(
     df: DataFrame,
     order_cols: list[str],

@@ -657,6 +657,116 @@ def text_tokens_portable(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), cnt AS (
+        SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt
+    ), lm AS (
+        SELECT tok, log10(c / t) AS lp FROM cnt, tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 6) AS mean_logprob
+    FROM tok JOIN lm USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality filter signal (Wenzek et al. 2020): mean
+    log10 token probability under the corpus's own unigram LM — the
+    distributed stand-in for perplexity filtering. Two passes: token
+    counts (one partial-agg shuffle), then an AQE-strategied vocab join
+    back (see operators/curation.py unigram_logprob)."""
+    from graphdbetl_spark.operators.curation import unigram_logprob
+
+    return unigram_logprob(T(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+                         || toks[i+2]), 1, 12))::BIGINT) AS gh
+        FROM t
+    ), w AS (
+        SELECT doc_id,
+               CASE WHEN len(gh) - 3 >= 1 THEN
+                        list_transform(range(1, len(gh) - 2),
+                                       i -> list_min(gh[i:i+3]))
+                    WHEN len(gh) >= 1 THEN [list_min(gh)]
+                    ELSE CAST([] AS BIGINT[]) END AS wins
+        FROM g
+    )
+    SELECT DISTINCT doc_id, fp
+    FROM (SELECT doc_id, unnest(wins) AS fp FROM w)
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS) at word
+    3-gram granularity, window 4: per-window minima of md5-family gram
+    hashes, distinct per document. Zero shuffle before the final
+    explode; the fingerprint SET (not positions) is the matching
+    contract — see operators/dedup.py winnow_fingerprints."""
+    from graphdbetl_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(T(spark, sf, "documents"), "text", "doc_id", k=3, w=4)
+
+
+@query(
+    "text_quality_classifier",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, length(text) AS n,
+               length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t <> '') AS tok
+        FROM documents
+    ), x AS (
+        SELECT doc_id,
+               CASE WHEN n > 0 THEN CAST(punct AS DOUBLE) / n ELSE 1.0 END AS punct_ratio,
+               CASE WHEN len(tok) > 0 THEN
+                   CAST(len(list_filter(tok, t -> t IN
+                       ('the','and','of','to','in','is','that','with',
+                        'a','for','on','as','it','by','at','from'))) AS DOUBLE)
+                   / len(tok) ELSE 0.0 END AS stop_ratio,
+               CASE WHEN len(tok) > 0 THEN
+                   CAST(list_reduce(list_transform(tok, t -> length(t)),
+                                    (a, b) -> a + b) AS DOUBLE) / len(tok)
+                   ELSE 0.0 END AS mwl,
+               log10(CAST(n AS DOUBLE) + 1.0) AS log_len,
+               CASE WHEN len(tok) > 0 THEN
+                   CAST(len(tok) - len(list_distinct(tok)) AS DOUBLE) / len(tok)
+                   ELSE 0.0 END AS dup_frac
+        FROM f
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-1.0 - 4.0 * punct_ratio + 3.0 * stop_ratio
+                 + 0.2 * mwl + 0.5 * log_len - 2.0 * dup_frac))), 6) AS q_score
+    FROM x
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality scoring: logistic regression over five
+    portable text features (fastText-classifier operator shape with
+    fixed documented weights — see functions/text.py quality_logit).
+    Complements the heuristic text_quality band score."""
+    from graphdbetl_spark.functions.text import quality_logit
+
+    d = T(spark, sf, "documents")
+    return d.select("doc_id", quality_logit(F.col("text")).alias("q_score"))
+
+
 @query("text_tokens")  # BPE-ish split uses lookarounds (not RE2) -> rows-only
 def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting two ways: whitespace words and a BPE-ish

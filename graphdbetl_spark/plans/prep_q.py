@@ -231,3 +231,41 @@ def pipeline_chunk_pack(spark: SparkSession, sf: str) -> DataFrame:
         "n_tokens",
         F.floor(cum_before / 512).cast("long").alias("pack_id"),
     )
+
+
+@query(
+    "shard_manifest",
+    oracle="""
+    WITH s AS (
+        SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 10000) % 8 AS shard,
+               doc_id,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t <> '')) AS tok,
+               n_chars
+        FROM documents
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM s GROUP BY shard
+    """,
+)
+def shard_manifest_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic output-shard manifest (8 shards by portable md5
+    hash bucket): per-shard row/token/char budgets and id range — the
+    curation→trainer handoff contract. One partial-agg shuffle
+    collapsing to n_shards rows (operators/sampling.py
+    shard_manifest)."""
+    from graphdbetl_spark.operators.sampling import shard_manifest
+
+    return shard_manifest(
+        T(spark, sf, "documents"),
+        "doc_id",
+        n_shards=8,
+        token_text_col="text",
+        char_count_col="n_chars",
+    )

@@ -1,0 +1,77 @@
+"""Tests for the r3 training-pipeline additions: unigram-LM scoring,
+winnowing fingerprints, the logistic quality classifier, and shard
+manifests."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from graphdbetl_spark.functions.text import quality_logit
+from graphdbetl_spark.operators.curation import unigram_logprob
+from graphdbetl_spark.operators.dedup import winnow_fingerprints
+from graphdbetl_spark.operators.sampling import shard_manifest
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: 4 tokens total; "a" appears 2x (p=0.5), "b" and "c" once
+    # (p=0.25). doc 1 = "a b" -> mean(log10 .5, log10 .25)
+    df = spark.createDataFrame([(1, "a b"), (2, "a c")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in unigram_logprob(df, "text", "doc_id").collect()}
+    expect = round((math.log10(0.5) + math.log10(0.25)) / 2, 6)
+    assert rows[1]["n_tokens"] == 2
+    assert rows[1]["mean_logprob"] == pytest.approx(expect, abs=1e-6)
+    assert rows[2]["mean_logprob"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # Winnowing guarantee: a shared token run of >= w+k-1 (= 6) tokens
+    # yields at least one shared fingerprint between the documents.
+    shared = "u v w x y z"
+    df = spark.createDataFrame(
+        [(1, f"p q r {shared}"), (2, f"{shared} m n o")], ["doc_id", "text"]
+    )
+    fps = winnow_fingerprints(df, "text", "doc_id", k=3, w=4)
+    by_doc = (
+        fps.groupBy("doc_id").agg(F.collect_set("fp").alias("s")).collect()
+    )
+    sets = {r["doc_id"]: set(r["s"]) for r in by_doc}
+    assert sets[1] & sets[2], "shared 6-token run must share a fingerprint"
+
+
+def test_winnow_short_doc_gets_one_fingerprint(spark):
+    # >= k tokens but fewer than k+w-1: single global-min fingerprint.
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    assert winnow_fingerprints(df, "text", "doc_id", k=3, w=4).count() == 1
+    # < k tokens: no grams, no fingerprints, and no row (explode drops it)
+    df2 = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    assert winnow_fingerprints(df2, "text", "doc_id", k=3, w=4).count() == 0
+
+
+def test_quality_logit_orders_quality(spark):
+    good = "the cat sat on the mat and it was a fine day for everyone there"
+    bad = "!!! ??? ;;; ::: @@@ ### $$$ %%% ^^^ &&& *** ((( )))"
+    df = spark.createDataFrame([(1, good), (2, bad)], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", quality_logit(F.col("text")).alias("q")).collect()
+    }
+    assert 0.0 < rows[2] < rows[1] < 1.0
+
+
+def test_shard_manifest_partitions_everything_once(spark):
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 5 + 1), (i % 5 + 1) * 4) for i in range(100)],
+        ["doc_id", "text", "n_chars"],
+    )
+    man = shard_manifest(
+        df, "doc_id", n_shards=8, token_text_col="text", char_count_col="n_chars"
+    ).collect()
+    assert sum(r["n_rows"] for r in man) == 100
+    assert sum(r["n_chars"] for r in man) == sum((i % 5 + 1) * 4 for i in range(100))
+    assert {r["shard"] for r in man} <= set(range(8))
+    # stable: same input -> same assignment
+    man2 = shard_manifest(
+        df, "doc_id", n_shards=8, token_text_col="text", char_count_col="n_chars"
+    ).collect()
+    assert sorted(map(tuple, man)) == sorted(map(tuple, man2))
