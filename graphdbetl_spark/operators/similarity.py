@@ -266,6 +266,41 @@ def _pq_codebook_row(codebooks: DataFrame) -> DataFrame:
     )
 
 
+def md5_sampled_centroids(
+    u: DataFrame, id_col: str, k: int, seed: str = "42", vec_col: str = "__unit"
+) -> DataFrame:
+    """Deterministic k-centroid sample for semantic clustering: the k
+    corpus vectors ranked first by the engine-portable md5(seed:id)
+    key, numbered 0..k-1 (the PQ donor-selection pattern — top-k via
+    TakeOrderedAndProject, join-rank numbering on the tiny survivor
+    set, no single-partition window). Stands in for a k-means fit
+    where bit-for-bit cross-engine reproducibility matters more than
+    centroid quality (SemDeDup's clustering step is robust to the
+    choice; see dedup_semantic_clusters)."""
+    base = (
+        u.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))).alias("__r"),
+        )
+        .orderBy("__r", id_col)
+        .limit(k)
+    )
+    peers = base.select(F.col("__r").alias("__r2"), F.col(id_col).alias("__i2"))
+    ranks = (
+        base.select(id_col, "__r")
+        .join(
+            peers,
+            (F.col("__r2") < F.col("__r"))
+            | ((F.col("__r2") == F.col("__r")) & (F.col("__i2") < F.col(id_col))),
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(F.count("__i2").cast("int").alias("cell"))
+    )
+    return base.join(ranks, id_col).select("cell", F.col(vec_col).alias("centroid"))
+
+
 def _dot_unrolled(vec, base, cent, sub: int):
     """Σ_i vec[base+i] · cent[i] as a plain left-associated arithmetic
     chain — no inner lambda, so the per-codeword work inside the

@@ -354,6 +354,120 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf: str) -> DataFrame:
     return _embedding_blocked_pairs(spark, sf)
 
 
+def _semantic_clusters_oracle(k: int = 8, n_planes: int = 8, threshold: float = 0.2) -> str:
+    planes = _lsh_hyperplanes(n_planes)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(range(1, 65), "
+        f"i -> v[i] * (ARRAY{p})[i]), (a, b) -> a + b) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+    WITH un AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), u AS (
+        SELECT vec_id, v,
+               list_transform(v, x -> x / sqrt(
+                   list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+        FROM un
+    ), d AS (
+        SELECT uv AS cuv,
+               row_number() OVER (
+                   ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+        FROM u ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+    ), dots AS (
+        SELECT u.vec_id, d.cell,
+               list_reduce(list_transform(range(1, 65),
+                           i -> u.uv[i] * d.cuv[i]), (a, b) -> a + b) AS dt
+        FROM u CROSS JOIN d
+    ), asn AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dt DESC, cell) AS rn
+            FROM dots) WHERE rn = 1
+    ), bkt AS (
+        SELECT u.vec_id, asn.cell, u.v, {bucket_terms} AS bucket
+        FROM u JOIN asn USING (vec_id)
+    ), pairs AS (
+        SELECT DISTINCT b.vec_id AS id_b
+        FROM bkt a JOIN bkt b
+          ON a.cell = b.cell AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+    )
+    SELECT bkt.vec_id, CAST(bkt.cell AS INT) AS cell,
+           pairs.id_b IS NULL AS keep
+    FROM bkt LEFT JOIN pairs ON bkt.vec_id = pairs.id_b
+    """
+
+
+@query("dedup_semantic_clusters", oracle=_semantic_clusters_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings,
+    then drop all but one member of every intra-cluster near-duplicate
+    group. Clustering uses the md5-sampled deterministic centroids
+    (k-means stand-in, bit-reproducible on any engine — the PQ donor
+    pattern); each vector assigns to its max-dot centroid via a
+    broadcast of the k-row centroid table and a struct-min partial agg
+    (map-only, no window). The intra-cluster pair join compounds the
+    cell with 8 md5-hyperplane sign bits — the r2 lesson that a block
+    key must GROW with the corpus (fixed k cells alone would be
+    quadratic-per-cell); the keep policy drops any vector with a
+    smaller-id neighbor at cosine ≥ 0.2 in its block.
+
+    Returns (vec_id, cell, keep) for the whole corpus; downstream
+    filters keep = true. Candidate generation, assignment, and keep
+    policy are ALL replayed by the DuckDB oracle."""
+    from graphdbetl_spark.functions.vectors import cosine_similarity
+    from graphdbetl_spark.operators.similarity import md5_sampled_centroids
+
+    e = T(spark, sf, "embeddings")
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    u = e.select("vec_id", _dvec(F.col("embedding")).alias("v")).withColumn(
+        "uv", F.transform("v", lambda x: x / norm)
+    )
+    cents = md5_sampled_centroids(u, "vec_id", k=8, vec_col="uv")
+    dt = F.aggregate(
+        F.zip_with("uv", "centroid", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+    )
+    asn = (
+        u.crossJoin(F.broadcast(cents))
+        .select("vec_id", F.struct((-dt).alias("nd"), F.col("cell").alias("c")).alias("__s"))
+        .groupBy("vec_id")
+        .agg(F.min("__s").alias("__m"))
+        .select("vec_id", F.col("__m.c").alias("cell"))
+    )
+    planes = _lsh_hyperplanes(8)
+    dot_p = lambda p: F.aggregate(  # noqa: E731
+        F.zip_with("v", F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    bucket = None
+    for j, p in enumerate(planes):
+        term = F.when(dot_p(p) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    bkt = u.join(asn, "vec_id").withColumn("bucket", bucket)
+    a = bkt.select(F.col("vec_id").alias("id_a"), F.col("cell").alias("ca"),
+                   F.col("bucket").alias("ba"), F.col("v").alias("va"))
+    b = bkt.select(F.col("vec_id").alias("id_b"), F.col("cell").alias("cb"),
+                   F.col("bucket").alias("bb"), F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ba") == F.col("bb"))
+               & (F.col("id_a") < F.col("id_b")))
+        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= 0.2)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        bkt.join(dropped, "vec_id", "left")
+        .select("vec_id", "cell", F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"))
+    )
+
+
 @query(
     "dedup_embedding_cosine_exact",
     oracle=f"""

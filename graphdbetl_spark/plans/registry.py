@@ -114,7 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     # r3 additions (oracle-backed; next rotation's slate candidates)
     "text_unigram_logprob", "text_winnow_fingerprints",
-    "text_quality_classifier", "shard_manifest",
+    "text_quality_classifier", "shard_manifest", "dedup_semantic_clusters",
     # rows-only never-attested (weaker check, lowest rotation priority)
     "dedup_minhash", "dedup_simhash", "sim_ivf_topk", "sim_lsh_topk",
     "sim_ivfpq_topk", "text_tokens", "sketch_kmv_distinct",

@@ -75,3 +75,16 @@ def test_shard_manifest_partitions_everything_once(spark):
         df, "doc_id", n_shards=8, token_text_col="text", char_count_col="n_chars"
     ).collect()
     assert sorted(map(tuple, man)) == sorted(map(tuple, man2))
+
+
+def test_md5_sampled_centroids_number_cells_densely(spark):
+    from graphdbetl_spark.operators.similarity import md5_sampled_centroids
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], ["vec_id", "uv"]
+    )
+    cents = md5_sampled_centroids(df, "vec_id", k=8, vec_col="uv").collect()
+    assert sorted(r["cell"] for r in cents) == list(range(8))
+    # deterministic across invocations
+    again = md5_sampled_centroids(df, "vec_id", k=8, vec_col="uv").collect()
+    assert sorted(map(tuple, cents)) == sorted(map(tuple, again))
