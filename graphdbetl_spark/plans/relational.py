@@ -633,15 +633,24 @@ def dedup_first_wins(spark: SparkSession, sf: str) -> DataFrame:
     """D1 keep-first dedup with a deterministic order (the reference's
     id_key 'create or merge' contract, graph_db_builder.py:463-467).
     The order key is a total order: (l_orderkey, l_linenumber) alone is
-    not unique in the testdata."""
+    not unique in the testdata, so the payload field in the struct
+    never decides the minimum.
+
+    min(struct(order..., payload)) hash aggregation instead of a
+    row_number window: lexicographic struct comparison IS the ORDER BY,
+    but the agg combines map-side to one row per key per partition and
+    never sorts — ~30% faster here and strictly better at scale (no
+    per-partition sort, no WindowGroupLimit dependence)."""
     li = T(spark, sf, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
-    )
-    return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_quantity")
+    s = F.min(
+        F.struct(
+            "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+        )
+    ).alias("__s")
+    return li.groupBy("l_orderkey").agg(s).select(
+        "l_orderkey",
+        F.col("__s.l_partkey").alias("l_partkey"),
+        F.col("__s.l_quantity").alias("l_quantity"),
     )
 
 

@@ -321,9 +321,13 @@ def test_pq_query_path_single_shuffle(spark):
     """PQ ADC: codebook + LUT broadcast, corpus codes scan map-only —
     the ONLY exchange in the whole query is the final per-query top-k
     window, and WindowGroupLimit prunes to ~k rows per partition before
-    it (same partial top-k the brute-force path gets)."""
+    it (same partial top-k the brute-force path gets). A second
+    exchange appears only when the small-input parallelism guard
+    fires (single-row-group test parquet → hash repartition before the
+    per-vector code assignment; never fires on multi-split cluster
+    inputs)."""
     plan = plan_of(spark, "sim_pq_topk_md5")
-    assert node_count(plan, "Exchange") == 1
+    assert node_count(plan, "Exchange") in (1, 2)
     assert node_count(plan, "BroadcastNestedLoopJoin") >= 2
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
@@ -336,4 +340,8 @@ def test_repeated_ngram_scrub_broadcasts_filtered_grams(spark):
     plan = plan_of(spark, "dedup_repeated_ngram_scrub")
     assert node_count(plan, "BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
-    assert node_count(plan, "Exchange") <= 3
+    # ≤4: gram-df agg, per-doc starts agg, rebuild join, plus the
+    # small-input parallelism guard's repartition of the RAW input
+    # (fires only on single-split test files). The corpus-wide
+    # (doc, gram) distinct exchange the r2 form paid is gone.
+    assert node_count(plan, "Exchange") <= 4
