@@ -228,7 +228,9 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     engines is ~1e-13).
     """
     toks = _tokens(F.col(text_col))
-    ex = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    ex = ensure_scan_parallelism(df, id_col).select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    )
     cnt = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
     total = cnt.agg(F.sum("__c").alias("__t"))
     lm = cnt.crossJoin(F.broadcast(total)).select(

@@ -125,6 +125,9 @@ def winnow_fingerprints(
     documents with at least one k-gram but fewer than w of them yield
     the single global minimum (the algorithm's short-document case).
     """
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df, id_col)
     grams = _word_ngrams(_tokens(F.col(text_col)), k)
     gh = F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long")
