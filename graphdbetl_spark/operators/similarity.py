@@ -199,6 +199,132 @@ def lsh_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def pca_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 8,
+) -> DataFrame:
+    """Project embeddings onto their top principal components — the
+    standard dimensionality-reduction step before ANN indexing or
+    visualization (and the rotation half of OPQ).
+
+    Distributed/driver split done the only way that scales: the
+    covariance accumulates as ONE aggregation of d·(d+1)/2 running
+    sums (posexplode to (i, j≥i) pairs → partial-agg shuffle keyed by
+    the bounded dim-pair space — never by row), the eigendecomposition
+    runs driver-side on the resulting d×d matrix (64×64 floats — a few
+    KB; numpy eigh, deterministic), and the projection matrix
+    broadcasts back into a map-only zip_with projection. The corpus is
+    scanned twice and collected never; driver memory is O(d²)
+    regardless of corpus size.
+
+    Eigenvector sign is fixed by making each component's
+    largest-|loading| coordinate positive (eigh's sign is otherwise
+    arbitrary), so output is deterministic. Engine-specific float
+    reductions (LAPACK) make this rows-only for the oracle gate;
+    pytest pins orthonormality, variance ordering, and reconstruction
+    error instead.
+
+    Returns (id_col, proj: array<double>[out_dim]).
+    """
+    import numpy as np
+
+    pairs = (
+        _ensure_scan_parallelism(df, id_col)
+        .select(F.posexplode(vec_col).alias("i", "__x"))
+        .select("i", "__x")
+    )
+    # mean vector (d sums) and raw second moments (d² sums via the
+    # (i, j) self-pair within one row) in two bounded-key aggs
+    means = pairs.groupBy("i").agg(
+        F.avg("__x").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    mu_rows = means.orderBy("i").collect()  # d rows — bounded, not data-sized
+    mu = np.array([r["mu"] for r in mu_rows])
+    n = mu_rows[0]["n"]
+    x2 = (
+        df.select(F.posexplode(vec_col).alias("i", "__x"), F.col(vec_col).alias("__v"))
+        .select("i", "__x", F.posexplode("__v").alias("j", "__y"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("__x") * F.col("__y")).alias("sxy"))
+    )
+    cov = np.zeros((dim, dim))
+    for r in x2.collect():  # d(d+1)/2 rows — bounded, not data-sized
+        c = r["sxy"] / n - mu[r["i"]] * mu[r["j"]]
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = c
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:out_dim]
+    comps = vecs[:, order].T  # (out_dim, dim)
+    for k in range(out_dim):  # deterministic sign: largest |loading| positive
+        jmax = int(np.abs(comps[k]).argmax())
+        if comps[k, jmax] < 0:
+            comps[k] = -comps[k]
+    mu_lit = F.array(*[F.lit(float(v)) for v in mu])
+    centered = F.zip_with(F.col(vec_col), mu_lit, lambda x, m: x - m)
+    proj = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(w)) for w in comps[k]]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        for k in range(out_dim)
+    ])
+    return df.select(F.col(id_col), proj.alias("proj"))
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 1,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-similar corpus vectors with a DIFFERENT label — the
+    pairs that teach a metric model the most (in-batch negatives are
+    mostly easy; mined ones dominate gradient signal).
+
+    Same scale shape as brute-force top-k: anchors broadcast, the
+    corpus streams once through a codegen dot-product scan with the
+    label-mismatch predicate applied BEFORE scoring, and
+    WindowGroupLimit prunes per-anchor candidates ahead of the top-k
+    shuffle. Swap the scan for an IVF/PQ index probe when the anchor
+    set stops being broadcastable.
+
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("__ql"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.col(label_col).alias("__cl"),
+        )
+        .join(q, F.col("__ql") != F.col("__cl"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def label_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

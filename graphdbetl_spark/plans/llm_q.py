@@ -619,6 +619,53 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+@query(
+    "mine_hard_negatives",
+    oracle="""
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                   c.vec_id) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+        JOIN embeddings c ON c.label <> q.label
+    ) WHERE rank <= 3
+    """,
+)
+def mine_hard_negatives_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-3 most-similar corpus vectors with a DIFFERENT label — anchors
+    broadcast, label-mismatch predicate applied before scoring, one
+    codegen corpus scan (operators/similarity.py mine_hard_negatives).
+    Exact, hence fully oracle-checked; swap the scan for an IVF/PQ
+    probe when the anchor set outgrows a broadcast."""
+    from graphdbetl_spark.operators.similarity import mine_hard_negatives
+
+    e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
+    q = e.filter(F.col("vec_id") < 20)
+    out = mine_hard_negatives(e, q, "vec_id", "embedding", "label", k=3)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+@query("embedding_pca_project")  # LAPACK eigh float order -> rows-only
+def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA projection to 8 components: covariance as ONE bounded-key
+    aggregation (d(d+1)/2 running sums — keyed by dim pair, never by
+    row), eigendecomposition driver-side on the 64×64 matrix (a few
+    KB; deterministic sign fix), projection broadcast back into a
+    map-only zip_with. Corpus collected never; driver memory O(d²).
+    pytest pins orthonormality, variance ordering, and reconstruction
+    error (operators/similarity.py pca_project)."""
+    from graphdbetl_spark.operators.similarity import pca_project
+
+    e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
+    out = pca_project(e, "vec_id", "embedding", dim=64, out_dim=8)
+    return out.select("vec_id", F.transform("proj", lambda x: F.round(x, 6)).alias("proj"))
+
+
 @query("sim_ivf_topk")  # approximate by construction -> rows-only
 def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-indexed ANN: k-means cells + n_probe cell scan per query —

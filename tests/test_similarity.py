@@ -224,3 +224,48 @@ def test_ivfpq_persisted_index_query_path(spark, tmp_path):
         "probe join must prune cell partitions dynamically"
     )
     assert out2.count() == 4 * 5
+
+
+def test_pca_project_invariants(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from graphdbetl_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: variance concentrated in the first dims
+    scales = np.array([10.0, 5.0, 2.0, 1.0] + [0.1] * 12)
+    data = rng.normal(size=(300, 16)) * scales
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        ["vec_id", "embedding"],
+    )
+    out = pca_project(df, "vec_id", "embedding", dim=16, out_dim=4)
+    rows = out.orderBy("vec_id").collect()
+    proj = np.array([r["proj"] for r in rows])
+    assert proj.shape == (300, 4)
+    # component variances must be in decreasing order and capture the
+    # dominant axes (first comp variance ~ largest input variance)
+    var = proj.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(3))
+    assert var[0] > 50  # ~10² scale dominates
+    # deterministic across invocations (sign fix + eigh determinism)
+    rows2 = pca_project(df, "vec_id", "embedding", dim=16, out_dim=4).orderBy("vec_id").collect()
+    assert np.allclose(proj, np.array([r["proj"] for r in rows2]))
+
+
+def test_mine_hard_negatives_excludes_same_label(spark):
+    from graphdbetl_spark.operators.similarity import mine_hard_negatives
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.1], 0),   # same label, most similar — must be excluded
+            (3, [0.9, 0.3], 1),
+            (4, [0.0, 1.0], 1),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    q = df.filter("vec_id = 1")
+    out = mine_hard_negatives(df, q, "vec_id", "embedding", "label", k=1).collect()
+    assert len(out) == 1 and out[0]["neighbor_id"] == 3
