@@ -106,6 +106,10 @@ def main() -> None:
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr, flush=True)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:  # non-sf-named dir (e.g. a replicated scale set)
+        sf_val = sf_dir
     print(
         json.dumps(
             {
@@ -113,7 +117,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf) if sf else sf_dir,
+                "sf": sf_val,
             }
         )
     )

@@ -82,8 +82,6 @@ def _unit_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn("__unit", F.transform(vec_col, lambda x: (x / norm).cast("double")))
 
 
-
-
 def ivf_build_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
