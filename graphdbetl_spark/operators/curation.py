@@ -246,6 +246,80 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def bpe_learn_merges(
+    df: DataFrame, text_col: str, k_merges: int = 5
+) -> list[tuple[int, str, str, str]]:
+    """Learn the first ``k_merges`` BPE merge rules from a corpus
+    (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    with Subword Units") — the tokenizer-training loop, distributed:
+
+    word frequencies aggregate once (one shuffle; the working set is
+    the VOCABULARY, not the corpus, from then on); each round counts
+    adjacent symbol pairs weighted by word frequency (explode →
+    partial-agg), takes the arg-max pair via TakeOrderedAndProject
+    (ties to the lexicographically smallest pair — deterministic on
+    any engine), and rewrites the symbol arrays with a greedy
+    left-to-right fold (aggregate over the symbol array; "aaa" + (a,a)
+    → ["aa","a"], the reference greedy semantics). The driver sees
+    exactly ONE row per round — the chosen pair — the same bounded
+    driver-data contract as the PageRank loop.
+
+    Returns the learned merge table [(rank, left, right, merged)];
+    wrap in ``spark.createDataFrame`` for a queries() surface. pytest
+    pins the sequence against a pure-Python reference implementation.
+    """
+    words = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.filter(F.split("w", ""), lambda c: c != ""))
+        .select("freq", "syms")
+    )
+    cur = words.localCheckpoint(eager=True)  # vocabulary-sized, not corpus-sized
+    merges: list[tuple[int, str, str, str]] = []
+    for r in range(k_merges):
+        n = F.size("syms")
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice("syms", 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()  # bounded: exactly one row per round
+        )
+        if not top:
+            break
+        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
+        merged = left + right
+        merges.append((r, left, right, merged))
+        rewritten = F.aggregate(
+            "syms",
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        # localCheckpoint per round: keeps the plan flat (no nested
+        # 5-deep fold lineage) and each round's rewrite runs once
+        cur = cur.select("freq", rewritten.alias("syms")).localCheckpoint(eager=True)
+    return merges
+
+
 def chunk_text(
     df: DataFrame,
     text_col: str,

@@ -1035,6 +1035,23 @@ def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("bpe_learn_merges")  # data-dependent iterative loop -> rows-only
+def bpe_learn_merges_q(spark: SparkSession, sf: str) -> DataFrame:
+    """First 5 BPE merge rules learned from the corpus — the full
+    tokenizer-training loop (Sennrich et al. 2016), not just one
+    round's counting: per round, pair counts aggregate distributed,
+    the arg-max pair is the ONLY row the driver sees, and the greedy
+    left-to-right rewrite folds over vocabulary symbol arrays
+    (operators/curation.py bpe_learn_merges; pytest pins the sequence
+    against a pure-Python reference)."""
+    from graphdbetl_spark.operators.curation import bpe_learn_merges
+
+    merges = bpe_learn_merges(T(spark, sf, "documents"), "text", k_merges=5)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string"
+    )
+
+
 # ------------------------------------------------- sampling / packing
 
 

@@ -115,7 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     # r3 additions (oracle-backed; next rotation's slate candidates)
     "text_unigram_logprob", "text_winnow_fingerprints",
     "text_quality_classifier", "shard_manifest", "dedup_semantic_clusters",
-    "mine_hard_negatives", "embedding_pca_project",
+    "mine_hard_negatives", "embedding_pca_project", "bpe_learn_merges",
     # rows-only never-attested (weaker check, lowest rotation priority)
     "dedup_minhash", "dedup_simhash", "sim_ivf_topk", "sim_lsh_topk",
     "sim_ivfpq_topk", "text_tokens", "sketch_kmv_distinct",

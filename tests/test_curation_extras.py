@@ -88,3 +88,48 @@ def test_md5_sampled_centroids_number_cells_densely(spark):
     # deterministic across invocations
     again = md5_sampled_centroids(df, "vec_id", k=8, vec_col="uv").collect()
     assert sorted(map(tuple, cents)) == sorted(map(tuple, again))
+
+
+def _bpe_reference(word_freqs, k):
+    """Pure-Python BPE (Sennrich et al. 2016) with greedy left-to-right
+    merging and lexicographic tie-break — the spec the distributed
+    loop must match."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for r in range(k):
+        counts = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((r, best[0], best[1], best[0] + best[1]))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == best[0] and s == best[1]:
+                    out[-1] = best[0] + best[1]
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    from collections import Counter
+
+    from graphdbetl_spark.operators.curation import bpe_learn_merges
+
+    docs = [
+        (1, "low low low lower lowest"),
+        (2, "new newer newest low"),
+        (3, "wider wide new new"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    freqs = Counter(w for _, t in docs for w in t.split())
+    expect = _bpe_reference(dict(freqs), 5)
+    got = bpe_learn_merges(df, "text", k_merges=5)
+    assert got == expect
