@@ -1035,6 +1035,145 @@ def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), mu AS (
+        SELECT label, i, round(avg(v[i]), 6) AS m
+        FROM v, (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY label, i
+    ), muv AS (
+        SELECT label, list(m ORDER BY i) AS mv FROM mu GROUP BY label
+    ), d AS (
+        SELECT v.vec_id, v.label,
+               round(sqrt(list_reduce(list_transform(range(1, 65),
+                   i -> (v.v[i] - muv.mv[i]) * (v.v[i] - muv.mv[i])),
+                   (a, b) -> a + b)), 6) AS dist
+        FROM v JOIN muv USING (label)
+    )
+    SELECT vec_id, label, dist, CAST(rn AS INT) AS rn FROM (
+        SELECT vec_id, label, dist,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY dist DESC, vec_id) AS rn
+        FROM d
+    ) WHERE rn <= 5
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding outliers — the corpus-cleaning signal for
+    mislabeled/garbage vectors: distance to the label centroid, top-5
+    farthest members per label. Centroids aggregate on (label × dim)
+    keys (skew-proof, the embedding_centroids shape), round to 6
+    decimals so the distance — and therefore the ranking — is
+    bit-deterministic across engines, then one WindowGroupLimit-pruned
+    top-k per label. No stddev in the contract: rank-based outliers
+    avoid cross-engine float-moment divergence entirely."""
+    e = T(spark, sf, "embeddings")
+    v = e.select("vec_id", "label", _dvec(F.col("embedding")).alias("v"))
+    mu = (
+        v.select("label", F.posexplode("v").alias("i", "__x"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("__x"), 6).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("__im"))
+        .select("label", F.col("__im.m").alias("mv"))
+    )
+    diff = F.zip_with("v", "mv", lambda x, m: (x - m) * (x - m))
+    dist = F.round(
+        F.sqrt(F.aggregate(diff, F.lit(0.0), lambda a, b: a + b)), 6
+    )
+    d = v.join(F.broadcast(mu), "label").select("vec_id", "label", dist.alias("dist"))
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("vec_id", "label", "dist", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@query(
+    "curation_c4_filter",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, length(text) AS n,
+               length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+               list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tok
+        FROM documents
+    ), x AS (
+        SELECT doc_id,
+               len(tok) AS n_tok,
+               n,
+               CASE WHEN n > 0 THEN CAST(punct AS DOUBLE) / n ELSE 1.0 END AS punct_ratio,
+               CASE WHEN len(tok) > 0 THEN
+                   CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE) / len(tok)
+               ELSE 0.0 END AS mwl,
+               CASE WHEN len(tok) > 1 THEN
+                   CAST(len(tok) - 1 - len(list_distinct(list_transform(
+                       range(1, len(tok)), i -> tok[i] || ' ' || tok[i + 1]))) AS DOUBLE)
+                   / (len(tok) - 1)
+               ELSE 0.0 END AS dup_bigram_frac
+        FROM f
+    )
+    SELECT doc_id,
+           CASE WHEN n_tok < 5 THEN 'too_few_tokens'
+                WHEN n > 20000 THEN 'too_long'
+                WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_length'
+                WHEN punct_ratio >= 0.3 THEN 'punctuation'
+                WHEN dup_bigram_frac >= 0.5 THEN 'repetition'
+                ELSE 'ok' END AS reason,
+           (n_tok >= 5 AND n <= 20000 AND mwl >= 3.0 AND mwl <= 10.0
+            AND punct_ratio < 0.3 AND dup_bigram_frac < 0.5) AS keep
+    FROM x
+    """,
+)
+def curation_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style composite rule filter (Raffel et al. 2020 cleaning
+    rules, re-expressed as one codegen projection): token count,
+    length cap, mean word length band, punctuation density, duplicate
+    bigram fraction — each document gets keep + the FIRST failing
+    rule as the audit reason. Zero shuffle; rules evaluate in the
+    scan."""
+    from graphdbetl_spark.functions.text import tokens
+
+    d = T(spark, sf, "documents")
+    n = F.length("text")
+    punct = n - F.length(F.regexp_replace("text", r"[\p{Punct}]", ""))
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(1.0))
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    mwl = F.when(
+        n_tok > 0,
+        F.aggregate(tok, F.lit(0), lambda a, t: a + F.length(t))
+        .cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    m = F.greatest(n_tok - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(tok, 1, m), F.slice(tok, 2, m),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    dup_bf = F.when(
+        n_tok > 1,
+        (m - F.size(F.array_distinct(bigrams))).cast("double") / m,
+    ).otherwise(F.lit(0.0))
+    keep = (
+        (n_tok >= 5) & (n <= 20000) & (mwl >= 3.0) & (mwl <= 10.0)
+        & (punct_ratio < 0.3) & (dup_bf < 0.5)
+    )
+    reason = (
+        F.when(n_tok < 5, "too_few_tokens")
+        .when(n > 20000, "too_long")
+        .when((mwl < 3.0) | (mwl > 10.0), "word_length")
+        .when(punct_ratio >= 0.3, "punctuation")
+        .when(dup_bf >= 0.5, "repetition")
+        .otherwise("ok")
+    )
+    return d.select("doc_id", reason.alias("reason"), keep.alias("keep"))
+
+
 @query("bpe_learn_merges")  # data-dependent iterative loop -> rows-only
 def bpe_learn_merges_q(spark: SparkSession, sf: str) -> DataFrame:
     """First 5 BPE merge rules learned from the corpus — the full
