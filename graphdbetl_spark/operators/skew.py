@@ -29,7 +29,7 @@ def ensure_scan_parallelism(df: DataFrame, key_col: str) -> DataFrame:
         target = df.sparkSession.sparkContext.defaultParallelism
     except Exception:  # non-classic sessions: keep the plan untouched
         return df
-    if nparts * 4 <= target:
+    if nparts * 2 <= target:
         return df.repartition(target, F.col(key_col))
     return df
 

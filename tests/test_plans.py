@@ -318,17 +318,18 @@ def test_q16_not_in_is_anti_join_and_q22_scalar_broadcasts(spark):
 
 
 def test_pq_query_path_single_shuffle(spark):
-    """PQ ADC: codebook + LUT broadcast, corpus codes scan map-only —
-    the ONLY exchange in the whole query is the final per-query top-k
-    window, and WindowGroupLimit prunes to ~k rows per partition before
-    it (same partial top-k the brute-force path gets). A second
-    exchange appears only when the small-input parallelism guard
-    fires (single-row-group test parquet → hash repartition before the
-    per-vector code assignment; never fires on multi-split cluster
-    inputs)."""
+    """PQ ADC serving plan: code assignment and ADC scoring are
+    vectorized Arrow kernels over a map-only codes scan (no join at
+    query time — the bounded LUT batch ships in the kernel closure),
+    so the ONLY exchange in the whole query is the final per-query
+    top-k window, and WindowGroupLimit prunes to ~k rows per partition
+    before it. A second exchange appears only when the small-input
+    parallelism guard fires (single-row-group test parquet → hash
+    repartition before the per-vector code assignment; never fires on
+    multi-split cluster inputs)."""
     plan = plan_of(spark, "sim_pq_topk_md5")
     assert node_count(plan, "Exchange") in (1, 2)
-    assert node_count(plan, "BroadcastNestedLoopJoin") >= 2
+    assert plan.count("MapInPandas") >= 2  # assign + ADC numpy kernels
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
