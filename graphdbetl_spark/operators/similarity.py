@@ -833,16 +833,57 @@ def ivfpq_query(
         .withColumn("cell_rn", F.row_number().over(cell_rank))
         .filter(F.col("cell_rn") <= n_probe)
         .select("query_id", "__unit", "cell")
-        .crossJoin(cbrow)
-        .select("query_id", "cell", lut.alias("__lut"))
     )
-    score = _adc_score(m)
-    scored = (
-        F.broadcast(probed)
+    ql = q.crossJoin(cbrow).select("query_id", lut.alias("__lut"))
+    # Probe join carries ONLY (query_id, cell) — the broadcast join on
+    # the cell key is what drives dynamic partition pruning against a
+    # persisted cell-partitioned codes table; the per-query LUTs
+    # (bounded: one per query in the batch) ride in the scoring
+    # kernel's closure instead of being replicated onto every candidate
+    # row. Scoring itself is the same vectorized gather as pq_adc_topk
+    # (sequential np.add.reduce — fold-order exact); the interpreted
+    # fold join remains as the oversized-batch fallback.
+    lut_rows = ql.collect()  # bounded: one row per query
+    candidates = (
+        F.broadcast(probed.select("query_id", "cell"))
         .join(cells, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", score.alias("adc_cosine"))
+        .select("query_id", "neighbor_id", "codes")
     )
+    if len(lut_rows) <= 256:
+        import numpy as np
+        import pandas as pd
+
+        qids = [r["query_id"] for r in lut_rows]
+        qidx = {qid: i for i, qid in enumerate(qids)}
+        L = np.array([r["__lut"] for r in lut_rows])  # (Q, m, k_codes)
+        jj = np.arange(m)
+        id_type = dict(cells.dtypes).get("neighbor_id", "bigint")
+
+        def score_rows(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cmat = np.array(pdf["codes"].tolist())  # (n, m)
+                qi = pdf["query_id"].map(qidx).to_numpy()
+                picked = L[qi[:, None], jj[None, :], cmat]  # (n, m)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "adc_cosine": np.add.reduce(picked, axis=1),
+                    }
+                )
+
+        scored = candidates.mapInPandas(
+            score_rows,
+            schema=f"query_id {id_type}, neighbor_id {id_type}, adc_cosine double",
+        )
+    else:
+        score = _adc_score(m)
+        scored = candidates.join(F.broadcast(ql), "query_id").select(
+            "query_id", "neighbor_id", score.alias("adc_cosine")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_cosine").desc(), F.col("neighbor_id")
     )
