@@ -453,7 +453,6 @@ def dedup_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
     Returns (vec_id, cell, keep) for the whole corpus; downstream
     filters keep = true. Candidate generation, assignment, and keep
     policy are ALL replayed by the DuckDB oracle."""
-    from graphdbetl_spark.functions.vectors import cosine_similarity
     from graphdbetl_spark.operators.similarity import md5_sampled_centroids
 
     e = T(spark, sf, "embeddings")
