@@ -351,6 +351,22 @@ def _pq_fold(arr) -> F.Column:
     return F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)
 
 
+def _np_seq_sum(a, axis: int):
+    """Sequential (left-fold) summation along ``axis`` — REQUIRED for
+    bit-exactness against the engine folds: np.add.reduce/np.sum use
+    pairwise blocking internally, which differs from a sequential fold
+    by ULPs and would make numpy kernels drift from the DataFrame/
+    DuckDB float order. Vectorized across every other axis; the loop
+    runs only over the (small, fixed) reduced dimension."""
+    import numpy as np
+
+    moved = np.moveaxis(a, axis, 0)
+    out = np.zeros(moved.shape[1:], dtype=np.float64)
+    for sl in moved:
+        out = out + sl
+    return out
+
+
 
 def _adc_score(m: int):
     """ADC score Σ_j lut[j][codes[j]+1] as a zip_with + left fold.
@@ -568,17 +584,15 @@ def pq_assign_codes(
     # functions: unit normalization plus the m × k_codes score matrix
     # is ~600 lambda evaluations PER ROW, and Spark HOFs never enter
     # whole-stage codegen — the interpreted path measured 77 s for
-    # 200k vectors. numpy does the identical arithmetic (normalize +
-    # one einsum) per Arrow batch. The codebook is collected bounded
-    # (m × k_codes rows — an index artifact, not data) and shipped in
-    # the UDF closure.
+    # 200k vectors. numpy does the identical arithmetic per Arrow
+    # batch. The codebook is collected bounded (m × k_codes rows — an
+    # index artifact, not data) and shipped in the UDF closure.
     #
-    # Bit-exactness vs the DuckDB oracle is preserved for sub == 2
-    # (the oracle-checked configuration): norms and half-norms use
-    # sequential np.add.reduce (matches the left fold), each subvector
-    # dot is a single add (order-free), and np.argmax takes the FIRST
-    # maximum (matches array_position-of-max). For sub > 2, einsum's
-    # summation order may differ in the last float bit.
+    # Bit-exactness vs the DuckDB oracle: every reduction goes through
+    # _np_seq_sum (true left-fold order — np.add.reduce is pairwise
+    # and drifts by ULPs), and np.argmax takes the FIRST maximum
+    # (matches array_position-of-max). Pinned by
+    # tests/test_similarity.py kernel-vs-fold equality tests.
     import numpy as np
     import pandas as pd
 
@@ -587,14 +601,14 @@ def pq_assign_codes(
     cb = np.zeros((m, k_codes, sub))
     for r in cb_rows:
         cb[r["sub"], r["code"], :] = r["centroid"]
-    half_norms = np.add.reduce(cb * cb, axis=2) / 2.0
+    half_norms = _np_seq_sum(cb * cb, axis=2) / 2.0
 
     def assign(batches):
         for pdf in batches:
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            norm = np.sqrt(np.add.reduce(v * v, axis=1))
+            norm = np.sqrt(_np_seq_sum(v * v, axis=1))
             x = (v / norm[:, None]).reshape(len(pdf), m, sub)
-            scores = np.einsum("nmi,mki->nmk", x, cb) - half_norms
+            scores = _np_seq_sum(x[:, :, None, :] * cb[None, :, :, :], axis=3) - half_norms
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -644,9 +658,9 @@ def pq_adc_topk(
     # batch, not data); collect it and score the codes scan with one
     # vectorized numpy gather per Arrow batch — the interpreted
     # m-lookup fold costs ~64 lambda evals per (query, vector) pair
-    # and never codegens. Sequential np.add.reduce over j matches the
-    # fold's float order exactly, so the oracle stays bit-green. For
-    # oversized query batches, fall back to the broadcast-join JVM
+    # and never codegens. _np_seq_sum over j replays the fold's float
+    # order exactly (pinned by test), so the oracle stays bit-green.
+    # For oversized query batches, fall back to the broadcast-join JVM
     # path (same semantics, no driver collect).
     lut_rows = ql.collect()  # bounded: one row per query in the batch
     if len(lut_rows) <= 256:
@@ -662,7 +676,7 @@ def pq_adc_topk(
             for pdf in batches:
                 cmat = np.array(pdf["codes"].tolist())  # (n, m)
                 picked = L[:, jj, cmat]  # (Q, n, m) gather
-                s = np.add.reduce(picked, axis=2)  # sequential over j
+                s = _np_seq_sum(picked, axis=2)  # left-fold over j
                 nid = pdf[id_col].to_numpy()
                 frames = [
                     pd.DataFrame(
@@ -841,8 +855,8 @@ def ivfpq_query(
     # (bounded: one per query in the batch) ride in the scoring
     # kernel's closure instead of being replicated onto every candidate
     # row. Scoring itself is the same vectorized gather as pq_adc_topk
-    # (sequential np.add.reduce — fold-order exact); the interpreted
-    # fold join remains as the oversized-batch fallback.
+    # (_np_seq_sum — fold-order exact); the interpreted fold join
+    # remains as the oversized-batch fallback.
     lut_rows = ql.collect()  # bounded: one row per query
     candidates = (
         F.broadcast(probed.select("query_id", "cell"))
@@ -871,7 +885,7 @@ def ivfpq_query(
                     {
                         "query_id": pdf["query_id"],
                         "neighbor_id": pdf["neighbor_id"],
-                        "adc_cosine": np.add.reduce(picked, axis=1),
+                        "adc_cosine": _np_seq_sum(picked, axis=1),
                     }
                 )
 

@@ -299,9 +299,11 @@ def _pair_cosine_scores(
     """Candidate-pair cosine scoring as a vectorized Arrow kernel: the
     interpreted fold costs ~190 lambda evaluations per pair (dot + two
     norms over 64 dims) and dominated the blocked dedup at the 30×
-    replica (~65 s of a 66 s query). numpy's sequential np.add.reduce
-    replays the fold's float order exactly — dot / (‖a‖·‖b‖) bit-for-
-    bit — so oracle verdicts are unchanged. Returns (id_a, id_b, cos)."""
+    replica (~65 s of a 66 s query). Reductions go through
+    _np_seq_sum (true left-fold order; np.add.reduce is pairwise and
+    drifts by ULPs) so dot / (‖a‖·‖b‖) matches the DataFrame fold
+    bit-for-bit — pinned by tests/test_similarity.py. Returns
+    (id_a, id_b, cos)."""
     import numpy as np
     import pandas as pd
 
@@ -309,11 +311,13 @@ def _pair_cosine_scores(
         for pdf in batches:
             if not len(pdf):
                 continue
+            from graphdbetl_spark.operators.similarity import _np_seq_sum
+
             a = np.array(pdf[va].tolist(), dtype=np.float64)
             b = np.array(pdf[vb].tolist(), dtype=np.float64)
-            dot = np.add.reduce(a * b, axis=1)
-            na = np.sqrt(np.add.reduce(a * a, axis=1))
-            nb = np.sqrt(np.add.reduce(b * b, axis=1))
+            dot = _np_seq_sum(a * b, axis=1)
+            na = np.sqrt(_np_seq_sum(a * a, axis=1))
+            nb = np.sqrt(_np_seq_sum(b * b, axis=1))
             yield pd.DataFrame(
                 {id_a: pdf[id_a], id_b: pdf[id_b], "cos": dot / (na * nb)}
             )

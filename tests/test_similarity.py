@@ -269,3 +269,97 @@ def test_mine_hard_negatives_excludes_same_label(spark):
     q = df.filter("vec_id = 1")
     out = mine_hard_negatives(df, q, "vec_id", "embedding", "label", k=1).collect()
     assert len(out) == 1 and out[0]["neighbor_id"] == 3
+
+
+def test_pair_cosine_kernel_bit_equals_fold(spark):
+    """The Arrow pair-cosine kernel must reproduce the DataFrame
+    fold's float order BIT-FOR-BIT (sequential np.add.reduce == left
+    fold) — this equality is what keeps the embedding-dedup oracles
+    green after the vectorization."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from graphdbetl_spark.functions.vectors import cosine_similarity
+    from graphdbetl_spark.plans.llm_q import _pair_cosine_scores
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, i + 100, [float(x) for x in rng.normal(size=64)],
+         [float(x) for x in rng.normal(size=64)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["id_a", "id_b", "va", "vb"])
+    fold = {
+        (r["id_a"], r["id_b"]): r["c"]
+        for r in df.select(
+            "id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("c")
+        ).collect()
+    }
+    kernel = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in _pair_cosine_scores(df).collect()
+    }
+    assert fold == kernel  # exact equality, not approx
+
+
+def test_adc_numpy_kernel_bit_equals_join_fallback(spark):
+    """pq_adc_topk's numpy gather path and its JVM broadcast-join
+    fallback must produce identical (query, neighbor, score, rank)
+    results — same ADC arithmetic, different execution strategy."""
+    import pyspark.sql.functions as F
+
+    from graphdbetl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_build_codebooks_md5,
+    )
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    codes, books = pq_build_codebooks_md5(e, "vec_id", "embedding", 64, 32, 16)
+    codes = codes.localCheckpoint(eager=True)
+    q = e.filter(F.col("vec_id") < 3)
+    numpy_path = pq_adc_topk(codes, books, q, "vec_id", "embedding", k=5)
+    rows_np = sorted(
+        (r["query_id"], r["neighbor_id"], r["adc_cosine"], r["rank"])
+        for r in numpy_path.collect()
+    )
+    # force the fallback by lying about the batch-size gate
+    import graphdbetl_spark.operators.similarity as sim
+
+    real_collect = sim.DataFrame.collect
+    # simpler: call the internal fallback by monkeypatching the
+    # threshold — rebuild with a tiny limit via direct join path
+    from pyspark.sql import Window
+
+    ql_lut = None  # construct fallback manually mirroring the operator
+    sub = 64 // 32
+    from graphdbetl_spark.operators.similarity import (
+        _adc_score,
+        _dot_unrolled_sql,
+        _pq_codebook_row,
+        _unit_vectors,
+    )
+
+    qv = _unit_vectors(q, "embedding")
+    cbrow = F.broadcast(_pq_codebook_row(books))
+    dot = _dot_unrolled_sql("__unit", "j * 2", "c", 2)
+    lut = F.expr(
+        "transform(sequence(0, 31), j -> "
+        f"transform(element_at(__cb, j + 1), c -> {dot}))"
+    )
+    ql = qv.crossJoin(cbrow).select(F.col("vec_id").alias("query_id"), lut.alias("__lut"))
+    score = _adc_score(32)
+    scored = (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "codes")
+        .join(F.broadcast(ql), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("adc_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_cosine").desc(), F.col("neighbor_id"))
+    fallback = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    rows_jvm = sorted(
+        (r["query_id"], r["neighbor_id"], r["adc_cosine"], r["rank"])
+        for r in fallback.collect()
+    )
+    assert rows_np == rows_jvm  # exact float equality
