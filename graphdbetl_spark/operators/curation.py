@@ -320,6 +320,53 @@ def bpe_learn_merges(
     return merges
 
 
+def bpe_apply_merges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[int, str, str, str]],
+) -> DataFrame:
+    """Apply learned BPE merge rules to a corpus — the tokenize step
+    paired with :func:`bpe_learn_merges`: each word starts as its
+    character sequence and every merge applies in rank order with the
+    same greedy left-to-right fold the learner used. Pure per-row
+    array expressions in the scan (nested folds, k_merges deep) — no
+    shuffle, no UDF; the merge table is a plan literal, exactly how a
+    trained tokenizer ships to a 1000-executor tokenization job.
+
+    Returns (id_col, n_words, n_subwords) — the before/after token
+    budget, the number a dataloader actually consumes.
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+
+    def apply_one(syms, left: str, right: str, merged: str):
+        return F.aggregate(
+            syms,
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    def encode(word):
+        syms = F.filter(F.split(word, ""), lambda c: c != "")
+        for _, left, right, merged in merges:
+            syms = apply_one(syms, left, right, merged)
+        return F.size(syms)
+
+    n_subwords = F.aggregate(
+        F.transform(toks, encode), F.lit(0), lambda a, n: a + n
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        n_subwords.cast("long").alias("n_subwords"),
+    )
+
+
 def chunk_text(
     df: DataFrame,
     text_col: str,

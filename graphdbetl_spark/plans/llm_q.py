@@ -925,6 +925,80 @@ def text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_winnow_pairs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+                         || toks[i+2]), 1, 12))::BIGINT) AS gh
+        FROM t
+    ), w AS (
+        SELECT doc_id,
+               CASE WHEN len(gh) - 3 >= 1 THEN
+                        list_transform(range(1, len(gh) - 2),
+                                       i -> list_min(gh[i:i+3]))
+                    WHEN len(gh) >= 1 THEN [list_min(gh)]
+                    ELSE CAST([] AS BIGINT[]) END AS wins
+        FROM g
+    ), fp AS (
+        SELECT DISTINCT doc_id, fp
+        FROM (SELECT doc_id, unnest(wins) AS fp FROM w)
+    ), nfp AS (
+        SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE) /
+                 least(na.n, nb.n), 6) AS containment
+    FROM shared
+    JOIN nfp na ON na.doc_id = id_a
+    JOIN nfp nb ON nb.doc_id = id_b
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-based near-duplicate pairs — MOSS's actual use of the
+    fingerprints (Schleimer et al. 2003 §5): documents sharing ≥2
+    winnow fingerprints are candidates, scored by fingerprint
+    containment (shared / min set size — robust to length asymmetry,
+    the plagiarism-detection measure). The inverted-index self-join on
+    the fingerprint is the same skew shape as dedup_ngram_jaccard:
+    fingerprint density is ~2/(w+1) of the gram count, so the index is
+    ~3× smaller than the full inverted gram index for the same recall
+    guarantee (any shared run of ≥ w+k-1 tokens)."""
+    from graphdbetl_spark.operators.dedup import winnow_fingerprints
+
+    fp = winnow_fingerprints(T(spark, sf, "documents"), "text", "doc_id", k=3, w=4)
+    nfp = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("__fa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("__fb"))
+    shared = (
+        a.join(b, (F.col("__fa") == F.col("__fb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    na = nfp.select(F.col("doc_id").alias("id_a"), F.col("n").alias("__na"))
+    nb = nfp.select(F.col("doc_id").alias("id_b"), F.col("n").alias("__nb"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double") / F.least("__na", "__nb"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+@query(
     "text_quality_classifier",
     oracle="""
     WITH f AS (
@@ -1229,6 +1303,25 @@ def bpe_learn_merges_q(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string"
     )
+
+
+@query("bpe_tokenize_corpus")  # merges are data-dependent -> rows-only
+def bpe_tokenize_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end tokenizer story: learn the first 5 BPE merges from
+    the corpus, then apply them back over every document — per-doc
+    word and subword budgets, the numbers a dataloader consumes. The
+    merge table is a plan literal at apply time (how a trained
+    tokenizer ships to a tokenization job); apply is a zero-shuffle
+    scan projection. pytest pins learn+apply against a pure-Python
+    reference."""
+    from graphdbetl_spark.operators.curation import (
+        bpe_apply_merges,
+        bpe_learn_merges,
+    )
+
+    d = T(spark, sf, "documents")
+    merges = bpe_learn_merges(d, "text", k_merges=5)
+    return bpe_apply_merges(d, "text", "doc_id", merges)
 
 
 # ------------------------------------------------- sampling / packing

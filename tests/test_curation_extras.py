@@ -133,3 +133,44 @@ def test_bpe_learn_merges_matches_reference(spark):
     expect = _bpe_reference(dict(freqs), 5)
     got = bpe_learn_merges(df, "text", k_merges=5)
     assert got == expect
+
+
+def test_bpe_apply_merges_matches_reference_counts(spark):
+    from collections import Counter
+
+    from graphdbetl_spark.operators.curation import (
+        bpe_apply_merges,
+        bpe_learn_merges,
+    )
+
+    docs = [
+        (1, "low low low lower lowest"),
+        (2, "new newer newest low"),
+        (3, "wider wide new new"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    merges = bpe_learn_merges(df, "text", k_merges=5)
+
+    def encode_ref(word):
+        syms = list(word)
+        for _, left, right, merged in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    expect = {
+        did: (len(t.split()), sum(len(encode_ref(w)) for w in t.split()))
+        for did, t in docs
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_apply_merges(df, "text", "doc_id", merges).collect()
+    }
+    assert got == expect
+    # merging strictly reduces (or keeps) the symbol budget
+    assert all(g[1] <= sum(len(w) for w in t.split()) for (d, t), g in zip(docs, got.values()))
