@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from graphdbetl_spark.operators.dedup import _tokens, _word_ngram_hashes
+from graphdbetl_spark.operators.dedup import _tokens, _word_ngram_hashes, _word_ngrams
 from graphdbetl_spark.operators.skew import ensure_scan_parallelism
 from graphdbetl_spark.operators.sampling import hash_bucket
 
@@ -465,4 +465,138 @@ def repeated_ngram_scrub(
         n_tokens.cast("long").alias("n_tokens"),
         (n_tokens - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("scrubbed_text"),
+    )
+
+
+def segment_dedup(
+    df: DataFrame, text_col: str, id_col: str, width: int = 10
+) -> DataFrame:
+    """Segment-level exact dedup across the corpus (the CCNet line-dedup
+    operation at fixed word-window granularity, Wenzek et al. 2020):
+    split every document into consecutive ``width``-word segments, keep
+    only the corpus-wide FIRST occurrence of each distinct segment
+    (first = smallest (doc_id, seg_idx)), and reassemble documents from
+    their surviving segments. Complements :func:`repeated_ngram_scrub`
+    (which removes spans covered by repeated n-grams anywhere): segment
+    dedup is the cheaper, alignment-sensitive form production web
+    pipelines run first — boilerplate lines/headers collapse to one
+    retained copy corpus-wide.
+
+    Scale shape: segmentation is an in-stage array projection (no
+    token-level explode survives to a shuffle); choosing keepers is ONE
+    hash-partitioned aggregation on the 16-byte segment digest
+    (min-struct, no window); document reassembly is one regroup by
+    doc_id. Two shuffles total, both on uniform keys — hot segments
+    (the very boilerplate being removed) collapse in the map-side
+    partial min, so segment skew does not concentrate reduce work.
+
+    Returns (id_col, n_segments, n_kept, clean_text); documents whose
+    every segment appeared earlier elsewhere survive with
+    clean_text = '' and n_kept = 0.
+    """
+    toks = _tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+    )
+    ex = (
+        ensure_scan_parallelism(df, id_col)
+        .select(F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg"))
+    )
+    keepers = (
+        ex.groupBy(F.md5("seg").alias("__h"))
+        .agg(F.min(F.struct(F.col(id_col), F.col("seg_idx"), F.col("seg"))).alias("__k"))
+        .select(
+            F.col(f"__k.{id_col}").alias(id_col),
+            F.col("__k.seg_idx").alias("seg_idx"),
+            F.col("__k.seg").alias("seg"),
+        )
+    )
+    rebuilt = keepers.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s.seg,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col), n_segs.cast("long").alias("n_segments"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+BLOOM_M = 1 << 18  # bits in the filter
+BLOOM_K = 3  # hash functions (independent 32-bit md5 slices)
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    n: int = 5,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter instead of the
+    exact eval-gram set (:func:`decontaminate_against_eval`): the eval
+    split's word ``n``-grams set ``k`` bit positions each (independent
+    32-bit md5 slices mod ``m``) and a training document is flagged
+    when ANY of its grams finds all ``k`` of its positions set.
+
+    Why this exists at 100 TB: the exact form's broadcast grows with
+    the eval suite (every new benchmark adds grams); the Bloom set is
+    CAPPED at ``m`` distinct positions (2^18 ints ≈ 2 MB) no matter how
+    many benchmarks are enrolled, so the corpus-side probe stays a
+    bounded map-side join forever. The price is a deterministic,
+    quantifiable false-positive rate ≈ (1-(1-1/m)^(k·|G|))^k —
+    over-flagging only, never under-flagging (no contaminated document
+    escapes), which is the safe direction for decontamination. Because
+    the positions come from md5, the filter — false positives included
+    — replays bit-for-bit in any md5-capable engine.
+
+    Returns (id_col, contaminated) for the candidate-training split.
+    """
+    grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
+    slots = lambda g: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.conv(F.substring(F.md5(g), j * 8 + 1, 8), 16, 10).cast("long")
+        % F.lit(m),
+    )
+    bloom = (
+        eval_df.select(F.explode(grams).alias("g"))
+        .select(F.explode(slots(F.col("g"))).alias("pos"))
+        .distinct()
+    )
+    doc_slots = (
+        ensure_scan_parallelism(df, id_col)
+        .select(F.col(id_col), F.posexplode(grams).alias("gidx", "g"))
+        .select(F.col(id_col), F.col("gidx"), F.explode(slots(F.col("g"))).alias("pos"))
+    )
+    hits = (
+        doc_slots.join(bloom, "pos", "left_semi")
+        .groupBy(id_col, "gidx")
+        .agg(F.count(F.lit(1)).alias("__set"))
+        .filter(F.col("__set") == k)
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
     )

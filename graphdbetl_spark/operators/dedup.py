@@ -456,24 +456,19 @@ def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_near_duplicates_md5(
+def _minhash_md5_sig_buckets(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    shingle_n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.6,
-) -> DataFrame:
-    """Banded MinHash-LSH over an engine-portable hash family: shingle
-    base hash = first 8 hex chars of md5 (32 bits), band bucket = md5 of
-    the comma-joined band signature — every step replayable bit-for-bit
-    in any engine with md5, which makes the WHOLE pipeline (candidate
-    generation included) ORACLE-CHECKABLE, unlike the xxhash64 fast
-    path (``minhash_near_duplicates``). Same AND-OR banding structure
-    and exact-Jaccard verification; use this variant for cross-engine
-    reproducibility, the xxhash64 one for raw speed.
-    """
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+):
+    """Shared md5-family MinHash pipeline front half: shingle sets and
+    banded signature buckets for one input. Returns (sh, buckets) —
+    ``sh``: (id, sh: array of distinct shingles); ``buckets``: (id,
+    band, bh) with one row per band. Both cached: each is consumed
+    twice downstream (candidate join + verification)."""
     r = num_hashes // bands
     coeffs = minhash_coeffs(num_hashes)
     p = MINHASH_PRIME
@@ -483,7 +478,7 @@ def minhash_near_duplicates_md5(
         .filter(F.size("sh") > 0)
         .cache()
     )
-    base = lambda s: F.pmod(
+    base = lambda s: F.pmod(  # noqa: E731
         F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"), F.lit(p)
     )
     hashed = sh.withColumn("hs", F.transform("sh", base))
@@ -510,6 +505,30 @@ def minhash_near_duplicates_md5(
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
         .cache()
     )
+    return sh, buckets
+
+
+def minhash_near_duplicates_md5(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Banded MinHash-LSH over an engine-portable hash family: shingle
+    base hash = first 8 hex chars of md5 (32 bits), band bucket = md5 of
+    the comma-joined band signature — every step replayable bit-for-bit
+    in any engine with md5, which makes the WHOLE pipeline (candidate
+    generation included) ORACLE-CHECKABLE, unlike the xxhash64 fast
+    path (``minhash_near_duplicates``). Same AND-OR banding structure
+    and exact-Jaccard verification; use this variant for cross-engine
+    reproducibility, the xxhash64 one for raw speed.
+    """
+    sh, buckets = _minhash_md5_sig_buckets(
+        df, text_col, id_col, shingle_n, num_hashes, bands
+    )
     a_, b_ = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a_.join(
@@ -531,4 +550,74 @@ def minhash_near_duplicates_md5(
         .join(sb, "id_b")
         .filter(jc >= threshold)
         .select("id_a", "id_b", F.round(jc, 6).alias("jaccard"))
+    )
+
+
+def minhash_incremental_md5(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental NEAR-dup screening of a new ingest batch against an
+    existing corpus — the MinHash analogue of exact-digest
+    ``dedup_incremental``, and the shape repeat ingestion actually has
+    at 100 TB: the corpus's banded signature index is computed once
+    (in production: persisted, bucketed by (band, bh)) and each new
+    batch probes it; the corpus text is never re-shuffled per batch and
+    batch×batch self-pairs are out of scope (handled by the batch's own
+    self-dedup).
+
+    Same md5-family signatures as :func:`minhash_near_duplicates_md5`
+    (AND-OR banding, exact-Jaccard verification on candidates), so the
+    whole screen — candidate generation included — replays bit-for-bit
+    in any md5-capable engine. The batch side is the small side of
+    every join: AQE broadcasts its buckets against the corpus index and
+    its shingle sets against the verification join.
+
+    Returns one row per batch document: (id_col, is_near_dup,
+    n_matches) where n_matches counts distinct corpus documents with
+    verified Jaccard ≥ threshold.
+    """
+    sh_c, bk_c = _minhash_md5_sig_buckets(
+        corpus, text_col, id_col, shingle_n, num_hashes, bands
+    )
+    sh_b, bk_b = _minhash_md5_sig_buckets(
+        batch, text_col, id_col, shingle_n, num_hashes, bands
+    )
+    candidates = (
+        bk_b.select(
+            F.col(id_col).alias("__bid"), "band", "bh"
+        )
+        .join(bk_c.select(F.col(id_col).alias("__cid"), "band", "bh"), ["band", "bh"])
+        .select("__bid", "__cid")
+        .dropDuplicates(["__bid", "__cid"])
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    union = F.size("sh_b") + F.size("sh_c") - inter
+    matches = (
+        candidates.join(
+            sh_b.select(F.col(id_col).alias("__bid"), F.col("sh").alias("sh_b")),
+            "__bid",
+        )
+        .join(
+            sh_c.select(F.col(id_col).alias("__cid"), F.col("sh").alias("sh_c")),
+            "__cid",
+        )
+        .filter((inter / union) >= threshold)
+        .groupBy("__bid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(matches.withColumnRenamed("__bid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("n_matches").isNotNull().alias("is_near_dup"),
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+        )
     )

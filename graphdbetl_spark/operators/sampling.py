@@ -235,3 +235,79 @@ def mixture_upsample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def temperature_sample(
+    df: DataFrame, id_col: str, strata_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (the XLM-R / mT5 α-sampling
+    rule): resample so stratum l's share moves from p_l = n_l/N toward
+    q_l = p_l^α / Σ_m p_m^α — α < 1 flattens the language/source
+    distribution so low-resource strata aren't drowned by the head. With
+    α = 0.5 the weight is sqrt(p) (IEEE-exact on both engines, unlike
+    pow). The per-stratum keep rate for a same-size output budget is
+    rate_l = min(1, q_l · N / n_l); rates > 1 (upweighted rare strata)
+    are capped — duplication is ``mixture_upsample``'s job.
+
+    Membership is hash-deterministic: keep a row iff its md5
+    micro-bucket (0..1e6) falls under round(rate_l · 1e6). Rounding the
+    rate to an INTEGER micro-rate before comparing removes float-ulp
+    ambiguity from the cross-engine replay.
+
+    Shape: one tiny count aggregation (one row per stratum) re-joined
+    by broadcast; the corpus side is a single scan + filter — no
+    window, no corpus shuffle, the posture that holds when the corpus
+    is 100 TB and the strata table is bytes.
+    """
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    # The N / Σw normalizers need every stratum at once. Strata are
+    # bounded (languages/sources), so collapse the per-stratum table to
+    # ONE row holding a SORTED struct array and compute both sums as
+    # left folds — the sort pins the float summation order, making Σw
+    # bit-identical to an ORDER BY-ed sequential sum in any engine (and
+    # across Spark's own partitionings). No window, no self-join.
+    if alpha == 0.5:  # sqrt is correctly rounded per IEEE-754; pow is not
+        weight = lambda p: F.sqrt(p)  # noqa: E731
+    else:
+        weight = lambda p: F.pow(p, F.lit(alpha))  # noqa: E731
+    one = counts.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(strata_col).alias("s"), F.col("__n").alias("n")))
+        ).alias("cs")
+    )
+    one = one.withColumn(
+        "__N", F.aggregate("cs", F.lit(0.0), lambda a, x: a + x.n)
+    ).withColumn(
+        "__sw",
+        F.aggregate("cs", F.lit(0.0), lambda a, x: a + weight(x.n / F.col("__N"))),
+    )
+    rates = one.select(
+        F.explode("cs").alias("x"), F.col("__N"), F.col("__sw")
+    ).select(
+        F.col("x.s").alias(strata_col),
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.round(
+                weight(F.col("x.n") / F.col("__N"))
+                / F.col("__sw")
+                * F.col("__N")
+                / F.col("x.n")
+                * 1e6
+            ).cast("long"),
+        ).alias("rate_micro"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ts:"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(bucket < F.col("rate_micro"))
+        .select(id_col, strata_col, "rate_micro")
+    )

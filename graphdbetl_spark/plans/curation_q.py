@@ -258,3 +258,98 @@ def dedup_repeated_ngram_scrub(spark: SparkSession, sf: str) -> DataFrame:
     from graphdbetl_spark.operators.curation import repeated_ngram_scrub
 
     return repeated_ngram_scrub(T(spark, sf, "documents"), "text", "doc_id", n=5)
+
+
+@query(
+    "dedup_segments",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), seg0 AS (
+        SELECT doc_id, unnest(range(0, (len(toks) + 9) // 10)) AS seg_idx, toks
+        FROM t
+    ), segs AS (
+        SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+               array_to_string(toks[(seg_idx*10+1):(seg_idx*10+10)], ' ') AS seg
+        FROM seg0
+    ), k AS (
+        SELECT doc_id, seg_idx, seg,
+               ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                                  ORDER BY doc_id, seg_idx) AS rn
+        FROM segs
+    ), re AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        FROM k WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST((len(toks) + 9) // 10 AS BIGINT) AS n_segments,
+           COALESCE(re.n_kept, 0) AS n_kept,
+           COALESCE(re.clean_text, '') AS clean_text
+    FROM t LEFT JOIN re USING (doc_id)
+    """,
+)
+def dedup_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide segment-level exact dedup (CCNet line dedup at
+    10-word-window granularity): only the first occurrence of each
+    distinct segment survives; documents are rebuilt from surviving
+    segments. Two uniform-key shuffles (segment-digest min-struct +
+    doc regroup); boilerplate skew collapses in map-side partial
+    aggregation — see operators/curation.py segment_dedup."""
+    from graphdbetl_spark.operators.curation import segment_dedup
+
+    return segment_dedup(T(spark, sf, "documents"), "text", "doc_id", width=10)
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=r"""
+    WITH split AS (
+        SELECT doc_id, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+                   AS is_eval
+        FROM documents
+    ), t AS (
+        SELECT doc_id, is_eval, string_split_regex(trim(text), '\s+') AS toks
+        FROM split
+    ), g AS (
+        SELECT doc_id, is_eval,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                        || toks[i+3] || ' ' || toks[i+4])) AS grams
+        FROM t
+    ), e AS (SELECT doc_id, is_eval, unnest(grams) AS gram FROM g),
+    slot AS (
+        SELECT doc_id, is_eval, gram, unnest(range(0, 3)) AS j FROM e
+    ), pos AS (
+        SELECT doc_id, is_eval, gram,
+               ('0x' || substr(md5(gram), CAST(j*8+1 AS INT), 8))::BIGINT % 262144
+                   AS pos
+        FROM slot
+    ), bloom AS (SELECT DISTINCT pos FROM pos WHERE is_eval),
+    hit AS (
+        SELECT DISTINCT p.doc_id
+        FROM pos p JOIN bloom b USING (pos)
+        WHERE NOT p.is_eval
+        GROUP BY p.doc_id, p.gram
+        HAVING COUNT(*) = 3
+    )
+    SELECT s.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM split s LEFT JOIN hit h USING (doc_id)
+    WHERE NOT s.is_eval
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination: eval 5-grams set 3
+    md5-slice bit positions in a 2^18 filter; a training doc is flagged
+    when any gram finds all 3 set. The broadcast side is CAPPED at
+    ~2 MB no matter how many benchmarks are enrolled (the exact-set
+    form grows with the eval suite); false positives are deterministic
+    md5 artifacts, replayed bit-for-bit by the oracle — see
+    operators/curation.py bloom_decontaminate."""
+    from graphdbetl_spark.operators.curation import bloom_decontaminate
+
+    d = T(spark, sf, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    return bloom_decontaminate(
+        d.filter(b >= 10), "text", "doc_id", d.filter(b < 10), n=5
+    )

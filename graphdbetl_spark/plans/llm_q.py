@@ -174,6 +174,94 @@ def dedup_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_near_duplicates_md5(T(spark, sf, "documents"), "text", "doc_id")
 
 
+def _minhash_incr_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.6
+) -> str:
+    """Generated oracle for dedup_minhash_incremental: the two-sided
+    (new batch vs existing corpus) replay of the md5-family banded-LSH
+    pipeline — same seeded coefficients, same band buckets, same
+    exact-Jaccard verification, candidates restricted to batch×corpus."""
+    from graphdbetl_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    p = MINHASH_PRIME
+    r = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    sig_lines = ",\n           ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p})) AS s{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n    UNION ALL ".join(
+        "SELECT doc_id, is_new, {b} AS band, md5({expr}) AS bh FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"CAST(s{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+                   AS is_new
+        FROM documents
+    ), t AS (
+        SELECT doc_id, is_new, string_split_regex(trim(text), '\\s+') AS toks
+        FROM split
+    ), sh0 AS (
+        SELECT doc_id, is_new,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM t
+    ), sh AS (SELECT doc_id, is_new, sh FROM sh0 WHERE len(sh) > 0),
+    hs AS (
+        SELECT doc_id, is_new,
+               list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {p}) AS hs
+        FROM sh
+    ), sig AS (
+        SELECT doc_id, is_new,
+           {sig_lines}
+        FROM hs
+    ), bk AS (
+    {band_selects}
+    ), cand AS (
+        SELECT DISTINCT n.doc_id AS bid, c.doc_id AS cid
+        FROM bk n JOIN bk c
+          ON n.band = c.band AND n.bh = c.bh AND n.is_new AND NOT c.is_new
+    ), m AS (
+        SELECT c.bid, CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM cand c JOIN sh x ON c.bid = x.doc_id JOIN sh y ON c.cid = y.doc_id
+        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+              (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                  >= {threshold}
+        GROUP BY c.bid
+    )
+    SELECT s.doc_id, (m.bid IS NOT NULL) AS is_near_dup,
+           COALESCE(m.n_matches, 0) AS n_matches
+    FROM split s LEFT JOIN m ON s.doc_id = m.bid
+    WHERE s.is_new
+    """
+
+
+@query("dedup_minhash_incremental", oracle=_minhash_incr_oracle())
+def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup screen: a new ingest batch (deterministic
+    10% md5 split) probes the existing corpus's banded MinHash index —
+    the repeat-ingest shape where the corpus signature index is built
+    once (persisted, bucketed by band bucket at warehouse scale) and
+    only the batch is new work per run. md5 hash family throughout, so
+    candidate generation AND verification replay in the oracle. The
+    MinHash analogue of dedup_incremental's exact-digest screen."""
+    from graphdbetl_spark.operators.dedup import minhash_incremental_md5
+    from graphdbetl_spark.operators.sampling import hash_bucket
+
+    d = T(spark, sf, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    return minhash_incremental_md5(
+        d.filter(b >= 10), d.filter(b < 10), "text", "doc_id"
+    )
+
+
 @query("dedup_simhash")  # xxhash64 family is Spark-only -> rows-only
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash fingerprints; fingerprint-equal docs are near-dups."""

@@ -14,7 +14,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphdbetl_spark.operators.curation import chunk_text
-from graphdbetl_spark.operators.sampling import balance_uniform, mixture_upsample
+from graphdbetl_spark.operators.sampling import (
+    balance_uniform,
+    mixture_upsample,
+    temperature_sample,
+)
 from graphdbetl_spark.operators.similarity import label_centroids
 from graphdbetl_spark.plans.registry import query
 from graphdbetl_spark.sources.catalog import load_table as T
@@ -61,6 +65,43 @@ def mixture_balance(spark: SparkSession, sf: str) -> DataFrame:
     engines and cluster sizes — see balance_uniform for the skew-free
     hash-threshold variant used at corpus scale)."""
     return balance_uniform(T(spark, sf, "documents"), "doc_id", "lang")
+
+
+@query(
+    "sample_temperature",
+    oracle="""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ), t AS (SELECT SUM(n) AS N FROM c),
+    w AS (SELECT lang, n, sqrt(n / (SELECT N FROM t)) AS w FROM c),
+    -- ORDER BY pins the float summation order to match the engine's
+    -- sorted left fold bit-for-bit (N is integer-exact; sw is not)
+    s AS (SELECT SUM(w ORDER BY lang) AS sw FROM w),
+    r AS (
+        SELECT lang,
+               LEAST(
+                   CAST(1000000 AS BIGINT),
+                   CAST(round(w / (SELECT sw FROM s) * (SELECT N FROM t) / n
+                              * 1000000) AS BIGINT)
+               ) AS rate_micro
+        FROM w
+    )
+    SELECT d.doc_id, d.lang, r.rate_micro
+    FROM documents d JOIN r USING (lang)
+    WHERE ('0x' || substr(md5('ts:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 1000000
+          < r.rate_micro
+    """,
+)
+def sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-flattened mixture sampling (XLM-R / mT5 α=0.5
+    sampling): per-language keep rate min(1, q_l·N/n_l) with
+    q_l ∝ sqrt(p_l), membership by md5 micro-bucket — deterministic
+    across engines, no corpus shuffle (tiny per-language rates table
+    broadcast back onto one scan). See operators/sampling.py
+    temperature_sample for why sqrt (IEEE-exact) and an integer
+    micro-rate make the cross-engine replay float-safe."""
+    return temperature_sample(T(spark, sf, "documents"), "doc_id", "lang", alpha=0.5)
 
 
 @query(

@@ -117,7 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_classifier", "shard_manifest", "dedup_semantic_clusters",
     "mine_hard_negatives", "embedding_pca_project", "bpe_learn_merges",
     "embedding_outliers", "curation_c4_filter", "dedup_winnow_pairs",
-    "bpe_tokenize_corpus",
+    "bpe_tokenize_corpus", "dedup_segments", "decontaminate_bloom",
+    "sample_temperature", "dedup_minhash_incremental",
     # rows-only never-attested (weaker check, lowest rotation priority)
     "dedup_minhash", "dedup_simhash", "sim_ivf_topk", "sim_lsh_topk",
     "sim_ivfpq_topk", "text_tokens", "sketch_kmv_distinct",

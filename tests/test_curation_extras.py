@@ -174,3 +174,102 @@ def test_bpe_apply_merges_matches_reference_counts(spark):
     assert got == expect
     # merging strictly reduces (or keeps) the symbol budget
     assert all(g[1] <= sum(len(w) for w in t.split()) for (d, t), g in zip(docs, got.values()))
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    from graphdbetl_spark.operators.curation import segment_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),     # segs: "a b c", "d e f"
+            (2, "a b c x y z"),     # "a b c" already seen in doc 1
+            (3, "a b c"),           # everything seen -> empty survivor
+            (4, "q r s q r s"),     # within-doc repeat: keep first only
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in segment_dedup(df, "text", "doc_id", width=3).collect()
+    }
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (2, 2)
+    assert out[2]["clean_text"] == "x y z"
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_segments"], out[3]["n_kept"]) == (1, 0)
+    assert out[4]["clean_text"] == "q r s"
+    assert (out[4]["n_segments"], out[4]["n_kept"]) == (2, 1)
+
+
+def test_bloom_decontaminate_flags_superset_of_exact(spark):
+    from graphdbetl_spark.operators.curation import (
+        bloom_decontaminate,
+        decontaminate_against_eval,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon shared prefix here"),
+            (2, "totally different words with no overlap at all"),
+            (3, "zeta epsilon delta gamma beta alpha reversed so no gram"),
+        ],
+        "doc_id long, text string",
+    )
+    bloom = {
+        r["doc_id"]: r["contaminated"]
+        for r in bloom_decontaminate(train, "text", "doc_id", eval_df, n=5).collect()
+    }
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_against_eval(
+            train, "text", "doc_id", eval_df, n=5
+        ).collect()
+    }
+    assert bloom[1] is True and exact[1] is True
+    # bloom never under-flags: every exact hit is a bloom hit
+    assert all(bloom[k] for k, v in exact.items() if v)
+    assert set(bloom) == {1, 2, 3}
+
+
+def test_minhash_incremental_matches_full_pair_run(spark):
+    from graphdbetl_spark.operators.dedup import (
+        minhash_incremental_md5,
+        minhash_near_duplicates_md5,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long trip",
+        "sphinx of black quartz judge my vow said the old wizard",
+        "how vexingly quick daft zebras jump over fences at night",
+    ]
+    corpus = [(i, base[i % 4] + f" tail{i % 2}") for i in range(10, 22)]
+    batch = [
+        (1, base[0] + " tail0"),            # near-identical to corpus rows
+        (2, "completely novel content that matches nothing in the corpus"),
+        (3, base[2] + " tail1 extra"),
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    inc = {
+        r["doc_id"]: r
+        for r in minhash_incremental_md5(cdf, bdf, "text", "doc_id").collect()
+    }
+    # ground truth: full pair run on the union, restricted to batch x corpus
+    pairs = minhash_near_duplicates_md5(cdf.union(bdf), "text", "doc_id").collect()
+    batch_ids = {1, 2, 3}
+    want = {}
+    for r in pairs:
+        a, b = r["id_a"], r["id_b"]
+        if (a in batch_ids) != (b in batch_ids):
+            bid = a if a in batch_ids else b
+            want[bid] = want.get(bid, 0) + 1
+    assert set(inc) == batch_ids
+    for bid in batch_ids:
+        assert inc[bid]["n_matches"] == want.get(bid, 0)
+        assert inc[bid]["is_near_dup"] == (want.get(bid, 0) > 0)
+    assert inc[1]["is_near_dup"] is True
+    assert inc[2]["is_near_dup"] is False

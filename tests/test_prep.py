@@ -88,3 +88,25 @@ def test_sharded_prefix_sum_equals_global_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    from graphdbetl_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "a") for i in range(90)] + [(i, "b") for i in range(90, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "doc_id", "lang", alpha=0.5)
+    rates = {r["lang"]: r["rate_micro"] for r in out.select("lang", "rate_micro").distinct().collect()}
+    # q_a = sqrt(.9)/(sqrt(.9)+sqrt(.1)) = 3/4 exactly -> rate .75/.9
+    assert abs(rates["a"] - 833333) <= 1
+    # rare stratum upweighted past 1 -> capped
+    assert rates["b"] == 1000000
+    kept = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    # capped stratum keeps everything
+    assert sum(1 for _, l in kept if l == "b") == 10
+    # membership is a pure function of the id -> identical on re-run
+    kept2 = {(r["doc_id"], r["lang"]) for r in temperature_sample(df, "doc_id", "lang").collect()}
+    assert kept == kept2
+    # 'a' keeps roughly 83% deterministically (md5-bucket realization)
+    n_a = sum(1 for _, l in kept if l == "a")
+    assert 60 <= n_a <= 90
