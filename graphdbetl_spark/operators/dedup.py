@@ -586,6 +586,29 @@ def minhash_incremental_md5(
     sh_c, bk_c = _minhash_md5_sig_buckets(
         corpus, text_col, id_col, shingle_n, num_hashes, bands
     )
+    return minhash_probe_md5(
+        sh_c, bk_c, batch, text_col, id_col, shingle_n, num_hashes, bands, threshold
+    )
+
+
+def minhash_probe_md5(
+    sh_c: DataFrame,
+    bk_c: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Probe half of the incremental MinHash screen: given a corpus's
+    PRE-BUILT signature index (``sh_c``/``bk_c`` from
+    :func:`_minhash_md5_sig_buckets` — built once, reused across
+    batches; the streaming ingest path materializes them cached), sign
+    just the new batch and screen it. See
+    :func:`minhash_incremental_md5` for semantics and the returned
+    schema."""
     sh_b, bk_b = _minhash_md5_sig_buckets(
         batch, text_col, id_col, shingle_n, num_hashes, bands
     )

@@ -78,3 +78,75 @@ def kmv_distinct_md5(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
         F.col("k_used").cast("double")
     )
     return agg.select("k_used", F.round(est, 4).alias("est_distinct"))
+
+
+def _cm_slots(value: Column, d: int, w: int) -> Column:
+    """d independent Count-Min positions for a value: 32-bit md5 hex
+    slices mod w (md5's 32 hex chars give four independent 32-bit
+    slices — enough for d ≤ 4), engine-portable."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda j: F.conv(F.substring(F.md5(value), j * 8 + 1, 8), 16, 10).cast("long")
+        % F.lit(w),
+    )
+
+
+def countmin_build_md5(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) of the
+    value column's frequency distribution: a d×w counter grid where
+    every occurrence increments one counter per row j at position
+    hash_j(value). Returned relationally as (j, pos, cnt).
+
+    The sketch is a FIXED d·w rows no matter the stream size — the
+    shuffle's reduce side is bounded (≤4096 rows here) and the map side
+    partial-aggregates, so building it over 100 TB is one scan with a
+    tiny exchange. Mergeability is counter addition: per-partition /
+    per-day sketches sum cell-wise (same groupBy), which is how
+    streaming rollups maintain it incrementally. md5 slots make the
+    whole grid — and therefore every estimate read from it —
+    bit-replayable in any md5-capable engine.
+    """
+    rows = df.select(F.posexplode(_cm_slots(F.col(value_col), d, w)).alias("j", "pos"))
+    return rows.groupBy("j", "pos").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def countmin_topk_md5(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 1024, k: int = 20
+) -> DataFrame:
+    """Heavy hitters through the Count-Min sketch: estimate every
+    distinct value's frequency as min_j sketch[j][hash_j(v)] and return
+    the top ``k`` by estimate. The read side joins the (distinct)
+    vocabulary against the ≤ d·w-row grid — a broadcast join whose
+    build side is the SKETCH, so the probe never shuffles; the final
+    top-k is a TakeOrdered, no full sort.
+
+    Count-Min guarantees est ≥ exact always (collisions only ADD), and
+    est ≤ exact + εN with probability 1-δ for w=⌈e/ε⌉, d=⌈ln 1/δ⌉. The
+    exact count is computed alongside here so the oracle pins the
+    deterministic over-estimate invariant cell-for-cell
+    (``overestimates`` must be uniformly true).
+    """
+    sketch = countmin_build_md5(df, value_col, d, w)
+    vocab = df.groupBy(value_col).agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    slots = vocab.select(
+        F.col(value_col),
+        "exact",
+        F.posexplode(_cm_slots(F.col(value_col), d, w)).alias("j", "pos"),
+    )
+    est = (
+        slots.join(F.broadcast(sketch), ["j", "pos"])
+        .groupBy(value_col, "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return (
+        est.select(
+            F.col(value_col).alias("token"),
+            "est",
+            "exact",
+            (F.col("est") >= F.col("exact")).alias("overestimates"),
+        )
+        .orderBy(F.col("est").desc(), F.col("token"))
+        .limit(k)
+    )

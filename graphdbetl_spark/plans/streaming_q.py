@@ -145,6 +145,47 @@ def sketch_kmv_md5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "sketch_countmin_md5",
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+    ), slot AS (
+        SELECT t, unnest(range(0, 4)) AS j FROM tok
+    ), pos AS (
+        SELECT t, CAST(j AS INT) AS j,
+               ('0x' || substr(md5(t), CAST(j*8+1 AS INT), 8))::BIGINT % 1024 AS pos
+        FROM slot
+    ), sk AS (
+        SELECT j, pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM pos GROUP BY j, pos
+    ), vocab AS (SELECT DISTINCT t, j, pos FROM pos),
+    est AS (
+        SELECT v.t, MIN(sk.cnt) AS est
+        FROM vocab v JOIN sk USING (j, pos)
+        GROUP BY v.t
+    ), ex AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS exact FROM tok GROUP BY t)
+    SELECT e.t AS token, est.est AS est, e.exact AS exact,
+           (est.est >= e.exact) AS overestimates
+    FROM ex e JOIN est USING (t)
+    ORDER BY est.est DESC, token
+    LIMIT 20
+    """,
+)
+def sketch_countmin_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min frequency sketch over the corpus token stream, read as
+    top-20 heavy hitters: a fixed 4×1024 md5-slotted counter grid
+    (bounded exchange, map-side combine, counter-additive merge) whose
+    every cell — and thus every min-of-row estimate and the est ≥ exact
+    invariant — the oracle replays bit-for-bit. See
+    operators/sketch.py countmin_build_md5 / countmin_topk_md5."""
+    from graphdbetl_spark.functions.text import tokens
+    from graphdbetl_spark.operators.sketch import countmin_topk_md5
+
+    d = T(spark, sf, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return countmin_topk_md5(toks, "tok", d=4, w=1024, k=20)
+
+
+@query(
     "sessionize_events",
     oracle="""
     WITH marked AS (

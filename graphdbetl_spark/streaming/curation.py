@@ -56,3 +56,59 @@ def start_streaming_decontamination(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_neardup_screen(
+    doc_stream: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    unique_path: str,
+    dup_path: str,
+    checkpoint: str,
+    threshold: float = 0.6,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming incremental near-dup gate: route arriving documents
+    into ``unique_path`` / ``dup_path`` by banded-MinHash similarity to
+    a static reference corpus.
+
+    The corpus's signature index (shingle sets + band buckets) is built
+    ONCE, cached, and probed by every micro-batch — per-batch work is
+    proportional to the batch, not the corpus, which is the shape that
+    keeps a 100 TB reference corpus out of the per-batch critical path
+    (in production the index is a persisted table bucketed by band
+    bucket and this cache is a scan of it). Batch-internal duplicates
+    are not this gate's job; they collapse in the batch's own
+    self-dedup downstream.
+    """
+    from graphdbetl_spark.operators.dedup import (
+        _minhash_md5_sig_buckets,
+        minhash_probe_md5,
+    )
+
+    sh_c, bk_c = _minhash_md5_sig_buckets(corpus_df, text_col, id_col, 3, 16, 4)
+    sh_c.count()  # materialize both caches before the stream starts
+    bk_c.count()
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        flags = minhash_probe_md5(
+            sh_c, bk_c, batch, text_col, id_col, threshold=threshold
+        )
+        routed = batch.join(flags.select(id_col, "is_near_dup"), id_col).cache()
+        try:
+            routed.filter(~F.col("is_near_dup")).drop("is_near_dup").write.mode(
+                "append"
+            ).parquet(unique_path)
+            routed.filter(F.col("is_near_dup")).drop("is_near_dup").write.mode(
+                "append"
+            ).parquet(dup_path)
+        finally:
+            routed.unpersist()
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -144,3 +144,46 @@ def test_portable_subword_tokens(spark):
     assert out[1] == 10
     assert out[2] == 3  # one per CJK char
     assert out[3] == 0
+
+
+class TestCountMin:
+    def test_exact_when_no_collisions_and_overestimates(self, spark):
+        from graphdbetl_spark.operators.sketch import countmin_topk_md5
+
+        rows = [("apple",)] * 7 + [("pear",)] * 3 + [("plum",)] * 5
+        df = spark.createDataFrame(rows, "tok string")
+        out = {r["token"]: r for r in countmin_topk_md5(df, "tok", k=10).collect()}
+        assert set(out) == {"apple", "pear", "plum"}
+        # 3 values in a 4x1024 grid: no collisions -> estimates exact
+        assert all(r["est"] == r["exact"] for r in out.values())
+        assert all(r["overestimates"] for r in out.values())
+        assert out["apple"]["exact"] == 7
+
+    def test_collisions_only_inflate(self, spark):
+        from graphdbetl_spark.operators.sketch import countmin_topk_md5
+
+        # tiny grid (w=2) forces collisions everywhere: estimates must
+        # still never undercount (Count-Min's one-sided error)
+        rows = [(f"tok{i}",) for i in range(50) for _ in range(i % 5 + 1)]
+        df = spark.createDataFrame(rows, "tok string")
+        out = countmin_topk_md5(df, "tok", d=4, w=2, k=50).collect()
+        assert len(out) == 50
+        assert all(r["est"] >= r["exact"] for r in out)
+
+    def test_merge_is_counter_addition(self, spark):
+        import pyspark.sql.functions as F
+
+        from graphdbetl_spark.operators.sketch import countmin_build_md5
+
+        a = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, "tok string")
+        b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 5, "tok string")
+        merged = (
+            countmin_build_md5(a, "tok")
+            .union(countmin_build_md5(b, "tok"))
+            .groupBy("j", "pos")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        direct = countmin_build_md5(a.union(b), "tok")
+        got = {(r["j"], r["pos"]): r["cnt"] for r in merged.collect()}
+        want = {(r["j"], r["pos"]): r["cnt"] for r in direct.collect()}
+        assert got == want

@@ -203,3 +203,65 @@ def test_exactly_once_sink_collapses_replays(spark, tmp_path):
     assert write_batch_exactly_once(batch_df, 1, out) is True
     assert spark.read.parquet(out).count() == 6
     assert committed_batches(out) == {0, 1}
+
+
+def test_streaming_neardup_screen_routes_batches(spark, tmp_path):
+    from graphdbetl_spark.operators.dedup import minhash_incremental_md5
+    from graphdbetl_spark.streaming.curation import start_streaming_neardup_screen
+
+    src = str(tmp_path / "nd_src")
+    unique = str(tmp_path / "nd_unique")
+    dup = str(tmp_path / "nd_dup")
+    ckpt = str(tmp_path / "nd_ck")
+    os.makedirs(src)
+
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    corpus = spark.createDataFrame(
+        [(100 + i, base + f" tail{i % 2}") for i in range(6)]
+        + [(200, "pack my box with five dozen liquor jugs tonight friends")],
+        schema,
+    )
+
+    def add_file(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        for f in os.listdir(str(tmp_path / name)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(str(tmp_path / name), f),
+                            os.path.join(src, f"{name}.parquet"))
+
+    batch1 = [
+        (1, base + " tail0"),                                   # near-dup of corpus
+        (2, "entirely novel sentence with no corpus overlap at all"),
+    ]
+    batch2 = [
+        (3, "pack my box with five dozen liquor jugs tonight friends"),  # exact corpus dup
+        (4, "another fresh document matching nothing we have seen"),
+    ]
+
+    add_file(batch1, "n1")
+    q = start_streaming_neardup_screen(
+        spark.readStream.schema(schema).parquet(src),
+        corpus, "text", "doc_id", unique, dup, ckpt,
+    )
+    q.awaitTermination(120)
+    add_file(batch2, "n2")
+    q2 = start_streaming_neardup_screen(
+        spark.readStream.schema(schema).parquet(src),
+        corpus, "text", "doc_id", unique, dup, ckpt,
+    )
+    q2.awaitTermination(120)
+
+    got_unique = {r.doc_id for r in spark.read.parquet(unique).collect()}
+    got_dup = {r.doc_id for r in spark.read.parquet(dup).collect()}
+    assert got_dup == {1, 3}
+    assert got_unique == {2, 4}
+
+    # streaming routing == the batch incremental screen on the union
+    all_docs = spark.createDataFrame(batch1 + batch2, schema)
+    flags = {
+        r.doc_id: r.is_near_dup
+        for r in minhash_incremental_md5(corpus, all_docs, "text", "doc_id").collect()
+    }
+    assert got_dup == {d for d, v in flags.items() if v}
