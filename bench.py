@@ -55,6 +55,13 @@ HEADLINE = [
     "dedup_repeated_ngram_scrub",
     "multimodal_decode",
     "dedup_embedding_cosine",
+    # r3-continuation additions: segment-level dedup, Bloom-filter
+    # decontamination, incremental MinHash screen, Count-Min heavy
+    # hitters — the new corpus-hygiene operators, benched cold.
+    "dedup_segments",
+    "decontaminate_bloom",
+    "dedup_minhash_incremental",
+    "sketch_countmin_md5",
 ]
 
 
@@ -92,7 +99,10 @@ def main() -> None:
 
     warmup(spark, qs, sf_dir)
 
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # min-of-3: single-iteration stragglers (GC pauses, host CPU
+    # contention on a shared VM) rotate randomly between queries and
+    # inflate one entry per run; three samples strip them reliably.
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
