@@ -346,3 +346,56 @@ def test_repeated_ngram_scrub_broadcasts_filtered_grams(spark):
     # (fires only on single-split test files). The corpus-wide
     # (doc, gram) distinct exchange the r2 form paid is gone.
     assert node_count(plan, "Exchange") <= 4
+
+
+def test_segment_dedup_two_uniform_shuffles(spark):
+    """Segment dedup: keeper choice is a min-struct hash aggregation on
+    the segment digest (no window), rebuild is one regroup by doc, the
+    empty-survivor fill joins broadcast — and nothing goes quadratic."""
+    plan = plan_of(spark, "dedup_segments")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert node_count(plan, "BroadcastHashJoin") >= 1
+    # digest agg + doc regroup (+ the small-input parallelism guard's
+    # repartition on single-split test files)
+    assert node_count(plan, "Exchange") <= 4
+
+
+def test_bloom_decontaminate_capped_broadcast_probe(spark):
+    """Bloom decontamination: the position set (≤2^18 ints) is the
+    build side of a broadcast semi-join; the corpus probe side never
+    shuffles before the per-doc rollup."""
+    plan = plan_of(spark, "decontaminate_bloom")
+    assert node_count(plan, "BroadcastHashJoin") >= 2  # semi probe + flag join
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_minhash_incremental_batch_side_broadcasts(spark):
+    """Incremental MinHash screen: the new batch is the small side of
+    every join (band-bucket candidates, both verification joins). The
+    cached signature tables have no static size estimate, so the
+    initial plan conservatively sort-merges — the decision is AQE's,
+    and the EXECUTED plan must have broadcast every batch-side join
+    with no sort-merge surviving."""
+    df = all_queries()["dedup_minhash_incremental"](spark, SF)
+    df.collect()  # finalize THIS plan's AQE (a sink write would finalize its own)
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "isFinalPlan=true" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_countmin_sketch_bounded_exchange_and_takeordered(spark):
+    """Count-Min: the d×w grid is built with map-side partial
+    aggregation, read via a broadcast of the (≤4096-row) sketch, and
+    the heavy-hitter cut compiles to TakeOrderedAndProject — no global
+    sort."""
+    plan = plan_of(spark, "sketch_countmin_md5")
+    assert "TakeOrderedAndProject" in plan
+    assert node_count(plan, "BroadcastHashJoin") >= 1
+    assert "HashAggregate" in plan and "partial_count" in plan
+    assert "SortMergeJoin" not in plan
