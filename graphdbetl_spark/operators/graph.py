@@ -185,3 +185,52 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Breadth-first min-hop distance from a seed set, bounded at
+    ``max_depth`` rounds — the Pregel BFS loop as DataFrame algebra.
+
+    Per round: frontier ⋈ edges (key = src), distinct on the expanded
+    frontier, anti-join against already-settled vertices — three
+    vertex-id-keyed shuffles whose volume is the FRONTIER, not the
+    graph (the settled set only grows; visited vertices never re-enter
+    a join). localCheckpoint per round cuts lineage so round k's plan
+    doesn't replay rounds 1..k-1. At cluster scale, pre-partition edges
+    by src once so every round's frontier join reuses the same
+    exchange, exactly like :func:`pagerank`'s contribution join.
+
+    Depth-bounding is the 100 TB posture: unbounded BFS on a web-scale
+    graph is a frontier explosion; bounded neighborhoods (k ≤ 3-4) are
+    what similarity/taint/reachability queries actually use.
+
+    Returns (id, depth) for every vertex within ``max_depth`` hops;
+    depth is the MINIMUM hop count (frontier sets are anti-joined
+    against all settled vertices, so each vertex settles exactly once,
+    in its first reachable round).
+    """
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint()
+    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    frontier = dist.select("id")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["u"])
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(dist.select("id"), "id", "left_anti")
+            .localCheckpoint()
+        )
+        dist = dist.union(nxt.withColumn("depth", F.lit(d))).localCheckpoint()
+        frontier = nxt
+    return dist

@@ -165,6 +165,72 @@ def _pagerank_oracle(iterations: int = 6, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
+def _bfs_oracle(max_depth: int = 3) -> str:
+    """Oracle for bounded BFS: reach sets unroll into chained CTEs
+    (r_i = r_{i-1} ∪ neighbors(r_{i-1})), and min-hop depth falls out
+    of LEFT JOINs against the earlier reach sets — same mechanical
+    fixed-depth construction as the PageRank oracle."""
+    parts = [
+        """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    r0 AS (SELECT DISTINCT u AS id FROM edges WHERE u % 97 = 0)"""
+    ]
+    for i in range(1, max_depth + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+        SELECT id FROM r{i - 1}
+        UNION
+        SELECT e.v AS id FROM edges e JOIN r{i - 1} r ON e.u = r.id
+    )"""
+        )
+    case = "CASE WHEN r0.id IS NOT NULL THEN 0 " + " ".join(
+        f"WHEN r{i}.id IS NOT NULL THEN {i}" for i in range(1, max_depth)
+    ) + f" ELSE {max_depth} END"
+    joins = f"r{max_depth} " + " ".join(
+        f"LEFT JOIN r{i} ON r{max_depth}.id = r{i}.id"
+        for i in range(0, max_depth)
+    )
+    parts.append(
+        f"""
+    SELECT r{max_depth}.id, CAST({case} AS INT) AS depth FROM {joins}"""
+    )
+    return "".join(parts)
+
+
+@query("graph_bfs_depth", oracle=_bfs_oracle(3))
+def graph_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded BFS min-hop distance (3 rounds) from a deterministic
+    seed set (partkeys ≡ 0 mod 97) over the symmetrized co-purchase
+    part graph — the neighborhood/reachability query of the graph
+    family (CC, triangles, PageRank being the others). Per round the
+    shuffle volume is the frontier, not the graph; the oracle unrolls
+    the fixed depth into chained reach-set CTEs. See
+    operators/graph.py bfs_depths."""
+    from graphdbetl_spark.operators.graph import bfs_depths
+
+    items = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    seeds = edges.select("u").filter(F.col("u") % 97 == 0).distinct()
+    return bfs_depths(edges, seeds, "u", "v", max_depth=3).select(
+        "id", F.col("depth").cast("int").alias("depth")
+    )
+
+
 @query("graph_pagerank", oracle=_pagerank_oracle(6, 0.85))
 def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank (6 power iterations, d=0.85) on the symmetrized

@@ -117,3 +117,21 @@ def test_pagerank_matches_dense_power_iteration(spark):
     assert set(got) == set(ids)
     for i in ids:
         assert abs(got[i] - expect[i]) < 1e-9, i
+
+
+def test_bfs_depths_min_hop_and_bound(spark):
+    from graphdbetl_spark.operators.graph import bfs_depths
+
+    # 1 -> 2 -> 3 -> 4 -> 5 (chain), plus shortcut 1 -> 3, and an
+    # unreachable island 10 -> 11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r["id"]: r["depth"] for r in bfs_depths(edges, seeds, max_depth=3).collect()}
+    # shortcut wins: 3 is at depth 1 via 1->3, so 4 at 2 and 5 at 3
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+    # bound respected: nothing beyond max_depth, island unreached
+    assert 10 not in got and 11 not in got
+    shallow = {r["id"]: r["depth"] for r in bfs_depths(edges, seeds, max_depth=1).collect()}
+    assert shallow == {1: 0, 2: 1, 3: 1}
