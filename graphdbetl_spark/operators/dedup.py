@@ -644,3 +644,40 @@ def minhash_probe_md5(
             F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
         )
     )
+
+
+def minhash_persist_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """Build the corpus's MinHash index ONCE and persist it: the
+    banded bucket table under ``path``/buckets and the shingle sets
+    (needed for exact-Jaccard verification of candidates) under
+    ``path``/shingles. The serving shape for repeat ingestion — after
+    this, every batch screen is :func:`minhash_load_index` +
+    :func:`minhash_probe_md5` and the corpus TEXT is never read again.
+    At warehouse scale write ``buckets`` with ``bucketBy(band, bh)``
+    into a catalog table so the per-batch candidate join is
+    exchange-free on the corpus side; plain parquet here keeps the
+    test-path self-contained."""
+    sh, bk = _minhash_md5_sig_buckets(
+        corpus, text_col, id_col, shingle_n, num_hashes, bands
+    )
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    bk.write.mode("overwrite").parquet(f"{path}/buckets")
+    sh.unpersist()
+    bk.unpersist()
+
+
+def minhash_load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted MinHash index: returns (shingles, buckets) in
+    the shape :func:`minhash_probe_md5` consumes."""
+    return (
+        spark.read.parquet(f"{path}/shingles"),
+        spark.read.parquet(f"{path}/buckets"),
+    )

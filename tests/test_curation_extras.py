@@ -273,3 +273,58 @@ def test_minhash_incremental_matches_full_pair_run(spark):
         assert inc[bid]["is_near_dup"] == (want.get(bid, 0) > 0)
     assert inc[1]["is_near_dup"] is True
     assert inc[2]["is_near_dup"] is False
+
+
+def test_minhash_persisted_index_probe_never_rereads_corpus(spark, tmp_path):
+    """Serving shape for repeat ingestion: build the band index once,
+    persist; each batch screen loads the index and probes it — the
+    corpus TEXT table must not appear anywhere in the probe plan."""
+    import re
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from graphdbetl_spark.operators.dedup import (
+        minhash_incremental_md5,
+        minhash_load_index,
+        minhash_persist_index,
+        minhash_probe_md5,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again today",
+        "pack my box with five dozen liquor jugs for the trip",
+    ]
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, base[i % 2] + f" tail{i % 3}") for i in range(10, 30)],
+        "doc_id long, text string",
+    ).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    batch = spark.createDataFrame(
+        [(1, base[0] + " tail0"), (2, "wholly new content unlike anything stored")],
+        "doc_id long, text string",
+    )
+
+    idx = str(tmp_path / "mh_index")
+    minhash_persist_index(corpus, idx, "text", "doc_id")
+    sh_c, bk_c = minhash_load_index(spark, idx)
+
+    out = minhash_probe_md5(sh_c, bk_c, batch, "text", "doc_id")
+    got = {r.doc_id: (r.is_near_dup, r.n_matches) for r in out.collect()}
+    want = {
+        r.doc_id: (r.is_near_dup, r.n_matches)
+        for r in minhash_incremental_md5(corpus, batch, "text", "doc_id").collect()
+    }
+    assert got == want
+    assert got[1][0] is True and got[2][0] is False
+
+    # probe plan scans ONLY the persisted index, never the corpus table
+    out2 = minhash_probe_md5(sh_c, bk_c, batch, "text", "doc_id")
+    out2.collect()
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"Location:[^\n]*", plan)
+    assert scans, "expected file scans of the persisted index"
+    # every scan is an index path (Spark may abbreviate long paths, so
+    # match the prefix); the corpus parquet never appears
+    for loc in scans:
+        assert "mh_i" in loc and "corpus" not in loc
