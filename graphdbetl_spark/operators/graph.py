@@ -221,7 +221,15 @@ def bfs_depths(
         .withColumn("depth", F.lit(0))
         .localCheckpoint()
     )
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Materialize the edge table once: without this every round replays
+    # the caller's edge DERIVATION (for the co-purchase graph, a fact
+    # self-join + distinct — the most expensive plan fragment), which
+    # measured 4.1× wall for 3.33× data at the 100× replica. cache()
+    # (compressed columnar, disk-spilling) rather than localCheckpoint:
+    # checkpointing stores raw rows and OOMed the 8g local heap on the
+    # 60M-edge 30× replica, while the columnar cache of the same edges
+    # is a fraction of that and spills cleanly.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
     frontier = dist.select("id")
     for d in range(1, max_depth + 1):
         nxt = (

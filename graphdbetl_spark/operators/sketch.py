@@ -128,13 +128,26 @@ def countmin_topk_md5(
     deterministic over-estimate invariant cell-for-cell
     (``overestimates`` must be uniformly true).
     """
-    sketch = countmin_build_md5(df, value_col, d, w)
-    vocab = df.groupBy(value_col).agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    # One corpus-wide shuffle, not two: aggregate the frequency table
+    # first, then build the sketch FROM THE COUNTS (cell = Σ exact over
+    # colliding values — identical to streaming increments, since
+    # Count-Min is counter-additive). md5 is computed once per DISTINCT
+    # value instead of once per occurrence, and the sketch-build
+    # shuffle shrinks from the token stream to d×|vocab| pre-combined
+    # rows — measured ~2× off the 30×-replica wall vs the two-scan
+    # form. The streaming/mergeable per-occurrence form remains
+    # :func:`countmin_build_md5`.
+    vocab = (
+        df.groupBy(value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+        .cache()
+    )
     slots = vocab.select(
         F.col(value_col),
         "exact",
         F.posexplode(_cm_slots(F.col(value_col), d, w)).alias("j", "pos"),
     )
+    sketch = slots.groupBy("j", "pos").agg(F.sum("exact").alias("cnt"))
     est = (
         slots.join(F.broadcast(sketch), ["j", "pos"])
         .groupBy(value_col, "exact")
