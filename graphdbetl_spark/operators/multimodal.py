@@ -636,3 +636,79 @@ def audio_chunk_features(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, AUDIO_CHUNK_SCHEMA)
+
+
+def attach_synthetic_images_keyed(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    width: int = 8,
+    height: int = 6,
+    fmt: str = "ppm",
+) -> DataFrame:
+    """Like :func:`attach_synthetic_images`, but the pixel pattern is
+    generated from ``key_col`` while the row keeps its own ``id_col`` —
+    the fixture for duplicate-image corpora (rows sharing a key carry
+    byte-identical payloads under distinct ids)."""
+    encode = encode_ppm if fmt == "ppm" else encode_bmp
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].tolist(),
+                    "payload": [
+                        encode(width, height, synthetic_rgb(int(k), width, height))
+                        for k in pdf[key_col].tolist()
+                    ],
+                }
+            )
+
+    return df.select(id_col, key_col).mapInPandas(batches, schema)
+
+
+AHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("ahash", LongType())]
+)
+
+
+def ahash_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Average-hash perceptual fingerprint of DECODED images: per
+    pixel, integer grayscale g = (r+g+b)//3; bit p (row-major pixel
+    index) is set iff g·npix > Σg (strict, integer arithmetic — no
+    float mean, so the hash replays exactly in any engine); bits pack
+    into one BIGINT. Byte-identical images hash equal; near-identical
+    images (small luminance perturbations) mostly hash equal — the
+    cheap first tier of image dedup before embedding similarity.
+
+    Runs inside the same Arrow mapInPandas stage shape as
+    :func:`decode_features` — decode + hash per batch, no shuffle; the
+    dedup that follows is one groupBy on the 8-byte hash, exactly
+    ``dedup_exact``'s cost model with images instead of text.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for _, row in pdf.iterrows():
+                _, w, h, rgb = decode_image(bytes(row[payload_col]))
+                npix = w * h
+                grays = [
+                    (rgb[3 * p] + rgb[3 * p + 1] + rgb[3 * p + 2]) // 3
+                    for p in range(npix)
+                ]
+                total = sum(grays)
+                hv = 0
+                for p, g in enumerate(grays):
+                    if g * npix > total:
+                        hv |= 1 << p
+                ids.append(row[id_col])
+                hashes.append(hv)
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AHASH_SCHEMA)

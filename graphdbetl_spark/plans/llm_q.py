@@ -1554,6 +1554,59 @@ def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_image_ahash",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, y.y * 8 + x.x AS p,
+               (((d.doc_id % 50) * 31 + x.x * 7 + y.y * 13) % 256
+                + ((d.doc_id % 50) * 17 + x.x * 5 + y.y * 11) % 256
+                + ((d.doc_id % 50) * 29 + x.x * 3 + y.y * 19) % 256) // 3 AS g
+        FROM documents d
+        CROSS JOIN generate_series(0, 7) x(x)
+        CROSS JOIN generate_series(0, 5) y(y)
+    ), tot AS (
+        SELECT doc_id, SUM(g) AS sg FROM px GROUP BY doc_id
+    ), hs AS (
+        SELECT px.doc_id,
+               CAST(SUM(CASE WHEN px.g * 48 > t.sg
+                             THEN (CAST(1 AS BIGINT) << px.p) ELSE 0 END)
+                    AS BIGINT) AS ahash
+        FROM px JOIN tot t USING (doc_id)
+        GROUP BY px.doc_id
+    )
+    SELECT ahash, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM hs GROUP BY ahash
+    """,
+)
+def dedup_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
+    """Image dedup through the REAL decode path: a duplicate-image
+    corpus (pixel pattern keyed by doc_id % 50, so each image occurs
+    ~n/50 times under distinct ids) is encoded to PPM, decoded back,
+    perceptual-average-hashed (integer-only, engine-exact), and
+    deduped with one groupBy on the 8-byte hash — dedup_exact's cost
+    model applied to images, with encode→decode→hash all replayed from
+    the generating formula by the oracle. See
+    operators/multimodal.py ahash_features."""
+    from graphdbetl_spark.operators.multimodal import (
+        ahash_features,
+        attach_synthetic_images_keyed,
+    )
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") % 50).alias("img_key")
+    )
+    imgs = attach_synthetic_images_keyed(d, "doc_id", "img_key", width=8, height=6)
+    return (
+        ahash_features(imgs, "payload", "doc_id")
+        .groupBy("ahash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )
+
+
+@query(
     "dedup_cluster_keep_best",
     oracle="""
     WITH RECURSIVE pairs AS (

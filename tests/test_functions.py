@@ -527,3 +527,32 @@ class TestVideo:
             rgb = synthetic_rgb(3 * 1000 + f, 4, 3)
             assert out[f].sum_r == sum(rgb[0::3])
             assert (out[f].width, out[f].height) == (4, 3)
+
+
+def test_ahash_identical_equal_perturbed_close(spark):
+    from graphdbetl_spark.operators.multimodal import (
+        ahash_features,
+        encode_ppm,
+        synthetic_rgb,
+    )
+
+    rgb = synthetic_rgb(7, 8, 6)
+    # +1 luminance on every byte: relative order of pixel grays vs the
+    # mean is unchanged -> identical average hash (the near-dup property)
+    brighter = bytes(min(255, b + 1) for b in rgb)
+    inverted = bytes(255 - b for b in rgb)
+    rows = [
+        (1, encode_ppm(8, 6, rgb)),
+        (2, encode_ppm(8, 6, rgb)),        # byte-identical copy
+        (3, encode_ppm(8, 6, brighter)),   # near-dup
+        (4, encode_ppm(8, 6, inverted)),   # complement: bits flip
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["ahash"] for r in ahash_features(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] == got[3]
+    assert got[4] != got[1]
+    # complement flips every above/below-mean decision that isn't a tie
+    mask48 = (1 << 48) - 1
+    assert bin(got[1] ^ got[4]).count("1") >= 40
+    assert got[1] == got[1] & mask48  # only the 48 pixel bits are used
