@@ -183,3 +183,77 @@ def test_ppm_stream_demux_any_shape(doc_id, n_frames, w, h):
     assert out == frames
     for f, fr in enumerate(out):
         assert decode_image(fr)[3] == synthetic_rgb(doc_id * 1000 + f, w, h)
+
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+
+
+@given(
+    st.lists(
+        st.lists(_word, min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_segment_dedup_reference_model(spark, docs):
+    """segment_dedup against a direct python model: first corpus-wide
+    occurrence of each width-3 word window survives, documents rebuild
+    from surviving windows in order."""
+    from graphdbetl_spark.operators.curation import segment_dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["clean_text"])
+        for r in segment_dedup(df, "text", "doc_id", width=3).collect()
+    }
+
+    seen: set[str] = set()
+    for i, toks in enumerate(rows):
+        words = rows[i][1].split()
+        segs = [" ".join(words[j : j + 3]) for j in range(0, len(words), 3)]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        assert got[i] == (len(segs), len(kept), " ".join(kept)), (i, segs)
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(1, 40),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_temperature_sample_rate_invariants(spark, strata):
+    """Rates are capped at 1e6; the LARGEST stratum's rate never
+    exceeds any smaller stratum's (α<1 flattens toward uniform); a
+    single stratum keeps everything."""
+    from graphdbetl_spark.operators.sampling import temperature_sample
+
+    rows = [
+        (1000 * k + i, lang)
+        for k, (lang, n) in enumerate(sorted(strata.items()))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "doc_id", "lang", alpha=0.5)
+    rates = {
+        r["lang"]: r["rate_micro"]
+        for r in out.select("lang", "rate_micro").distinct().collect()
+    }
+    assert all(0 <= v <= 1_000_000 for v in rates.values())
+    counts = dict(strata)
+    for la, ra in rates.items():
+        for lb, rb in rates.items():
+            if counts[la] > counts[lb]:
+                assert ra <= rb, (rates, strata)
+    if len(strata) == 1:
+        (only,) = strata
+        assert rates.get(only, 1_000_000) == 1_000_000
+        assert out.count() == len(rows)

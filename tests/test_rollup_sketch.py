@@ -187,3 +187,60 @@ class TestCountMin:
         got = {(r["j"], r["pos"]): r["cnt"] for r in merged.collect()}
         want = {(r["j"], r["pos"]): r["cnt"] for r in direct.collect()}
         assert got == want
+
+
+def test_countmin_streaming_maintenance(spark, tmp_path):
+    """The sketch as a continuous aggregate: each micro-batch's grid
+    merges into the stored one by counter addition (foreachBatch), and
+    the maintained sketch equals a batch rebuild over everything seen."""
+    import pyspark.sql.functions as F
+
+    from graphdbetl_spark.operators.sketch import countmin_build_md5
+
+    src = str(tmp_path / "cm_src")
+    store = str(tmp_path / "cm_sketch")
+    ckpt = str(tmp_path / "cm_ck")
+    os.makedirs(src)
+
+    def drop(rows, name):
+        df = spark.createDataFrame(rows, "tok string")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        for f in os.listdir(str(tmp_path / name)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(str(tmp_path / name), f),
+                            os.path.join(src, f"{name}.parquet"))
+
+    def process(batch, batch_id):
+        delta = countmin_build_md5(batch, "tok")
+        if os.path.exists(os.path.join(store, "_SUCCESS")):
+            merged = (
+                spark.read.parquet(store).unionByName(delta)
+                .groupBy("j", "pos").agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = delta
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(store)
+        merged.unpersist()
+
+    b1 = [("x",)] * 5 + [("y",)] * 2
+    b2 = [("x",)] * 3 + [("z",)] * 4
+    drop(b1, "c1")
+    q = (spark.readStream.schema("tok string").parquet(src)
+         .writeStream.foreachBatch(process)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    drop(b2, "c2")
+    q2 = (spark.readStream.schema("tok string").parquet(src)
+          .writeStream.foreachBatch(process)
+          .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+
+    got = {(r.j, r.pos): r.cnt for r in spark.read.parquet(store).collect()}
+    want = {
+        (r.j, r.pos): r.cnt
+        for r in countmin_build_md5(
+            spark.createDataFrame(b1 + b2, "tok string"), "tok"
+        ).collect()
+    }
+    assert got == want
