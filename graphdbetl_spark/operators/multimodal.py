@@ -697,18 +697,167 @@ def ahash_features(
             ids, hashes = [], []
             for _, row in pdf.iterrows():
                 _, w, h, rgb = decode_image(bytes(row[payload_col]))
-                npix = w * h
-                grays = [
-                    (rgb[3 * p] + rgb[3 * p + 1] + rgb[3 * p + 2]) // 3
-                    for p in range(npix)
-                ]
-                total = sum(grays)
-                hv = 0
-                for p, g in enumerate(grays):
-                    if g * npix > total:
-                        hv |= 1 << p
                 ids.append(row[id_col])
-                hashes.append(hv)
+                hashes.append(_ahash_rgb(rgb, w * h))
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     return df.select(id_col, payload_col).mapInPandas(batches, AHASH_SCHEMA)
+
+
+def _ahash_rgb(rgb: bytes, npix: int) -> int:
+    """Integer average-hash of row-major RGB bytes (shared by the image
+    and per-frame video fingerprints): bit p set iff gray_p·npix > Σgray."""
+    grays = [(rgb[3 * p] + rgb[3 * p + 1] + rgb[3 * p + 2]) // 3 for p in range(npix)]
+    total = sum(grays)
+    hv = 0
+    for p, g in enumerate(grays):
+        if g * npix > total:
+            hv |= 1 << p
+    return hv
+
+
+def synthetic_pcm16_mixed(key: int, n_samples: int) -> bytes:
+    """Key-structured PCM pattern for the duplicate-audio fixture: a
+    Knuth-multiplier mix gives each key its own oscillation so
+    energy-DELTA fingerprints discriminate between keys (the linear
+    ramp of :func:`synthetic_pcm16` has monotone energies for every
+    key — all keys fingerprint to 0). Pure integer arithmetic,
+    replayable in SQL (products stay < 2^63)."""
+    return struct.pack(
+        f"<{n_samples}h",
+        *((((key * 31 + 1) * (i + 1) * 2654435761) % 65536) - 32768 for i in range(n_samples)),
+    )
+
+
+def attach_synthetic_audio_keyed(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    n_samples: int = 480,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """WAV fixture with the PCM pattern generated from ``key_col``
+    (rows sharing a key carry byte-identical audio) — the
+    duplicate-audio corpus generator."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].tolist(),
+                    "payload": [
+                        encode_wav(sample_rate, 1, synthetic_pcm16_mixed(int(k), n_samples))
+                        for k in pdf[key_col].tolist()
+                    ],
+                }
+            )
+
+    return df.select(id_col, key_col).mapInPandas(batches, schema)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("afp", LongType())]
+)
+
+
+def audio_fingerprint_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", chunk: int = 24
+) -> DataFrame:
+    """Energy-delta audio fingerprint of DECODED WAV payloads (the
+    Shazam-family shape reduced to one band): chunk the PCM16 stream
+    into ``chunk``-sample windows, per-window energy e_c = Σ|s|, bit
+    c-1 set iff e_c > e_{c-1} (strict integer compare — engine-exact).
+    Robust to uniform gain-down (energy ORDER is what's hashed), cheap
+    enough to run at ingest; dedup is then one groupBy on the packed
+    fingerprint, dedup_exact's cost model on audio."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps = [], []
+            for _, row in pdf.iterrows():
+                _rate, _ch, samples = decode_wav(bytes(row[payload_col]))
+                energies = [
+                    sum(abs(s) for s in samples[i : i + chunk])
+                    for i in range(0, len(samples), chunk)
+                ]
+                fp = 0
+                for c in range(1, len(energies)):
+                    if energies[c] > energies[c - 1]:
+                        fp |= 1 << (c - 1)
+                ids.append(row[id_col])
+                fps.append(fp)
+            yield pd.DataFrame({"doc_id": ids, "afp": fps})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+def attach_synthetic_video_keyed(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    n_frames: int = 8,
+    width: int = 8,
+    height: int = 6,
+) -> DataFrame:
+    """Concatenated-PPM video fixture with frames seeded from
+    ``key_col`` (frame f of key k uses pattern k*1000+f) — the
+    duplicate-video corpus generator."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].tolist(),
+                    "payload": [
+                        encode_ppm_stream(
+                            [
+                                encode_ppm(
+                                    width, height,
+                                    synthetic_rgb(int(k) * 1000 + f, width, height),
+                                )
+                                for f in range(n_frames)
+                            ]
+                        )
+                        for k in pdf[key_col].tolist()
+                    ],
+                }
+            )
+
+    return df.select(id_col, key_col).mapInPandas(batches, schema)
+
+
+VIDEO_SIG_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("vsig", StringType())]
+)
+
+
+def video_signature_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive video signature: demux the PPM stream, integer
+    average-hash every frame, md5 the comma-joined hash sequence —
+    equal only when the same frames appear in the same order (a
+    reordered or truncated clip signs differently, unlike any
+    commutative frame-hash fold)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, sigs = [], []
+            for _, row in pdf.iterrows():
+                hashes = []
+                for frame in split_ppm_stream(bytes(row[payload_col])):
+                    _fmt, w, h, rgb = decode_image(frame)
+                    hashes.append(_ahash_rgb(rgb, w * h))
+                joined = ",".join(str(h) for h in hashes)
+                ids.append(row[id_col])
+                sigs.append(hashlib.md5(joined.encode()).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "vsig": sigs})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, VIDEO_SIG_SCHEMA)

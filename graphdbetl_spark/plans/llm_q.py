@@ -1607,6 +1607,117 @@ def dedup_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_audio_fingerprint",
+    oracle="""
+    WITH s AS (
+        SELECT d.doc_id, i.i,
+               ABS((((d.doc_id % 40) * 31 + 1) * (i.i + 1) * 2654435761) % 65536
+                   - 32768) AS a
+        FROM documents d CROSS JOIN generate_series(0, 479) i(i)
+    ), ch AS (
+        SELECT doc_id, CAST(i // 24 AS INT) AS c, SUM(a) AS e
+        FROM s GROUP BY doc_id, i // 24
+    ), delta AS (
+        SELECT doc_id, c, e,
+               lag(e) OVER (PARTITION BY doc_id ORDER BY c) AS pe
+        FROM ch
+    ), fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN e > pe
+                             THEN (CAST(1 AS BIGINT) << (c - 1)) ELSE 0 END)
+                    AS BIGINT) AS afp
+        FROM delta WHERE c >= 1 GROUP BY doc_id
+    )
+    SELECT afp, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM fp GROUP BY afp
+    """,
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio dedup through the REAL WAV decode path: a duplicate-audio
+    corpus (PCM pattern keyed doc_id % 40) is RIFF-encoded, decoded
+    back, energy-delta fingerprinted (per-24-sample window energies,
+    bit = strictly-rising transition — all integer), and deduped with
+    one groupBy on the packed fingerprint. The oracle replays
+    encode→decode→chunk→fingerprint from the generating formula. See
+    operators/multimodal.py audio_fingerprint_features."""
+    from graphdbetl_spark.operators.multimodal import (
+        attach_synthetic_audio_keyed,
+        audio_fingerprint_features,
+    )
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") % 40).alias("aud_key")
+    )
+    wavs = attach_synthetic_audio_keyed(d, "doc_id", "aud_key", n_samples=480)
+    return (
+        audio_fingerprint_features(wavs, "payload", "doc_id", chunk=24)
+        .groupBy("afp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )
+
+
+@query(
+    "dedup_video_signature",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, f.f, y.y * 8 + x.x AS p,
+               ((((d.doc_id % 30) * 1000 + f.f) * 31 + x.x * 7 + y.y * 13) % 256
+                + (((d.doc_id % 30) * 1000 + f.f) * 17 + x.x * 5 + y.y * 11) % 256
+                + (((d.doc_id % 30) * 1000 + f.f) * 29 + x.x * 3 + y.y * 19) % 256)
+               // 3 AS g
+        FROM documents d
+        CROSS JOIN generate_series(0, 7) f(f)
+        CROSS JOIN generate_series(0, 7) x(x)
+        CROSS JOIN generate_series(0, 5) y(y)
+    ), tot AS (
+        SELECT doc_id, f, SUM(g) AS sg FROM px GROUP BY doc_id, f
+    ), hs AS (
+        SELECT px.doc_id, px.f,
+               SUM(CASE WHEN px.g * 48 > t.sg
+                        THEN (CAST(1 AS BIGINT) << px.p) ELSE 0 END) AS h
+        FROM px JOIN tot t USING (doc_id, f)
+        GROUP BY px.doc_id, px.f
+    ), sig AS (
+        SELECT doc_id,
+               md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY f)) AS vsig
+        FROM hs GROUP BY doc_id
+    )
+    SELECT vsig, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM sig GROUP BY vsig
+    """,
+)
+def dedup_video_signature(spark: SparkSession, sf: str) -> DataFrame:
+    """Video dedup through the REAL demux+decode path: duplicate clips
+    (frame patterns keyed doc_id % 30) are demuxed frame by frame,
+    each frame integer-average-hashed, and the ORDER-SENSITIVE md5 of
+    the hash sequence is the clip signature — reordered/truncated
+    clips sign differently, unlike a commutative fold. One groupBy on
+    the signature dedups; the oracle replays frame hashing and the
+    sequence digest from the generating formula. See
+    operators/multimodal.py video_signature_features."""
+    from graphdbetl_spark.operators.multimodal import (
+        attach_synthetic_video_keyed,
+        video_signature_features,
+    )
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") % 30).alias("vid_key")
+    )
+    vids = attach_synthetic_video_keyed(d, "doc_id", "vid_key", n_frames=8)
+    return (
+        video_signature_features(vids, "payload", "doc_id")
+        .groupBy("vsig")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )
+
+
+@query(
     "dedup_cluster_keep_best",
     oracle="""
     WITH RECURSIVE pairs AS (

@@ -556,3 +556,47 @@ def test_ahash_identical_equal_perturbed_close(spark):
     mask48 = (1 << 48) - 1
     assert bin(got[1] ^ got[4]).count("1") >= 40
     assert got[1] == got[1] & mask48  # only the 48 pixel bits are used
+
+
+def test_audio_fingerprint_discriminates_and_orders(spark):
+    from graphdbetl_spark.operators.multimodal import (
+        audio_fingerprint_features,
+        encode_wav,
+        synthetic_pcm16_mixed,
+    )
+
+    pcm_a = synthetic_pcm16_mixed(3, 480)
+    pcm_b = synthetic_pcm16_mixed(4, 480)
+    rows = [
+        (1, encode_wav(16000, 1, pcm_a)),
+        (2, encode_wav(16000, 1, pcm_a)),  # byte-identical copy
+        (3, encode_wav(16000, 1, pcm_b)),  # different source
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["afp"] for r in audio_fingerprint_features(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    # 480 samples / 24 = 20 chunks -> 19 delta bits
+    assert 0 <= got[1] < (1 << 19)
+
+
+def test_video_signature_is_order_sensitive(spark):
+    from graphdbetl_spark.operators.multimodal import (
+        encode_ppm,
+        encode_ppm_stream,
+        synthetic_rgb,
+        video_signature_features,
+    )
+
+    frames = [encode_ppm(8, 6, synthetic_rgb(100 + f, 8, 6)) for f in range(4)]
+    rows = [
+        (1, encode_ppm_stream(frames)),
+        (2, encode_ppm_stream(frames)),                  # identical clip
+        (3, encode_ppm_stream(list(reversed(frames)))),  # same frames, reordered
+        (4, encode_ppm_stream(frames[:3])),              # truncated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["vsig"] for r in video_signature_features(df).collect()}
+    assert got[1] == got[2]
+    assert got[3] != got[1]  # a commutative fold would collide here
+    assert got[4] != got[1]
