@@ -600,3 +600,34 @@ def test_video_signature_is_order_sensitive(spark):
     assert got[1] == got[2]
     assert got[3] != got[1]  # a commutative fold would collide here
     assert got[4] != got[1]
+
+
+def test_binaryfile_source_feeds_decode_pipeline(spark, tmp_path):
+    """Real media ingest path: spark.read.format('binaryFile') over a
+    directory of image files feeds the same decode operators as the
+    synthetic fixtures — path, modificationTime, length, content."""
+    from graphdbetl_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        synthetic_rgb,
+    )
+
+    media = tmp_path / "media"
+    media.mkdir()
+    for i in range(4):
+        (media / f"img_{i}.ppm").write_bytes(encode_ppm(8, 6, synthetic_rgb(i, 8, 6)))
+    (media / "notes.txt").write_text("not an image")
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")  # source-level filter: txt never read
+        .load(str(media))
+    )
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+    rows = df.select("path", "content").collect()
+    assert len(rows) == 4
+    for r in rows:
+        fmt, w, h, rgb = decode_image(bytes(r["content"]))
+        assert (fmt, w, h) == ("ppm", 8, 6)
+        i = int(r["path"].rsplit("img_", 1)[1].split(".")[0])
+        assert rgb == synthetic_rgb(i, 8, 6)
