@@ -62,6 +62,10 @@ HEADLINE = [
     "decontaminate_bloom",
     "dedup_minhash_incremental",
     "sketch_countmin_md5",
+    # perceptual near-dup over decoded images (banded Hamming LSH) —
+    # the multimodal representative (audio/video fingerprints share
+    # the same decode-kernel + groupBy shape)
+    "dedup_image_hamming",
 ]
 
 

@@ -173,17 +173,17 @@ def _bfs_oracle(max_depth: int = 3) -> str:
     parts = [
         """
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
     ),
-    r0 AS (SELECT DISTINCT u AS id FROM edges WHERE u % 97 = 0)"""
+    r0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM edges WHERE u % 97 = 0)"""
     ]
     for i in range(1, max_depth + 1):
         parts.append(
             f""",
-    r{i} AS (
+    r{i} AS MATERIALIZED (
         SELECT id FROM r{i - 1}
         UNION
         SELECT e.v AS id FROM edges e JOIN r{i - 1} r ON e.u = r.id
