@@ -255,3 +255,87 @@ def graph_two_hop(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("n_customers"),
         )
     )
+
+
+def _hygiene_oracle() -> str:
+    """Oracle for pipeline_hygiene_report, COMPOSED from the already-
+    green component oracles (fetched from the registry at import, so a
+    component-oracle fix propagates here automatically): each tier's
+    SQL becomes a subquery reduced to one (metric, value) row."""
+    from graphdbetl_spark.plans import curation_q, llm_q  # noqa: F401  (register)
+    from graphdbetl_spark.plans.registry import REGISTRY
+
+    exact = REGISTRY["dedup_exact"].oracle
+    minhash = REGISTRY["dedup_minhash_md5"].oracle
+    contam = REGISTRY["decontaminate_ngrams"].oracle
+    pii = REGISTRY["pii_scrub"].oracle
+    c4 = REGISTRY["curation_c4_filter"].oracle
+    return f"""
+    SELECT 'exact_dup_docs' AS metric,
+           CAST(SUM(dup_count) - COUNT(*) AS BIGINT) AS value
+    FROM ({exact})
+    UNION ALL
+    SELECT 'near_dup_pairs' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+    FROM ({minhash})
+    UNION ALL
+    SELECT 'contaminated_docs' AS metric,
+           CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) AS value
+    FROM ({contam})
+    UNION ALL
+    SELECT 'pii_redactions' AS metric, CAST(SUM(n_redactions) AS BIGINT) AS value
+    FROM ({pii})
+    UNION ALL
+    SELECT 'c4_dropped_docs' AS metric,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS value
+    FROM ({c4})
+    """
+
+
+@query("pipeline_hygiene_report", oracle=_hygiene_oracle())
+def pipeline_hygiene_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus hygiene dashboard: one (metric, value) row per cleaning
+    tier — exact-dup surplus docs, verified MinHash near-dup pairs,
+    benchmark-contaminated docs, PII redaction count, C4 rule drops —
+    composed from the SAME operator plans (and, on the oracle side, the
+    same SQL) as the individual queries, so the report is exactly what
+    running the tiers would do. Each tier reduces to one row before the
+    union: five independent subplans, no cross-tier shuffle; at 100 TB
+    the tiers share the documents scan via cache or run as separate
+    jobs off the same snapshot."""
+    from graphdbetl_spark.plans.curation_q import decontaminate_ngrams, pii_scrub
+    from graphdbetl_spark.plans.llm_q import (
+        curation_c4_filter,
+        dedup_exact,
+        dedup_minhash_md5,
+    )
+
+    one = lambda name, df: df.select(  # noqa: E731
+        F.lit(name).alias("metric"), F.col("value").cast("long").alias("value")
+    )
+    exact = one(
+        "exact_dup_docs",
+        dedup_exact(spark, sf).agg(
+            (F.sum("dup_count") - F.count(F.lit(1))).alias("value")
+        ),
+    )
+    near = one(
+        "near_dup_pairs",
+        dedup_minhash_md5(spark, sf).agg(F.count(F.lit(1)).alias("value")),
+    )
+    contam = one(
+        "contaminated_docs",
+        decontaminate_ngrams(spark, sf).agg(
+            F.sum(F.col("contaminated").cast("long")).alias("value")
+        ),
+    )
+    pii = one(
+        "pii_redactions",
+        pii_scrub(spark, sf).agg(F.sum("n_redactions").alias("value")),
+    )
+    c4 = one(
+        "c4_dropped_docs",
+        curation_c4_filter(spark, sf).agg(
+            F.sum((~F.col("keep")).cast("long")).alias("value")
+        ),
+    )
+    return exact.unionAll(near).unionAll(contam).unionAll(pii).unionAll(c4)
