@@ -23,6 +23,8 @@ from collections.abc import Iterator
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from graphdbetl_spark.operators.skew import ensure_scan_parallelism
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -192,7 +194,9 @@ def attach_synthetic_images(
                 }
             )
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return ensure_scan_parallelism(df, id_col).select(id_col).mapInPandas(
+        batches, schema
+    )
 
 
 DECODE_SCHEMA = StructType(
@@ -446,7 +450,9 @@ def attach_synthetic_audio(
                 }
             )
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return ensure_scan_parallelism(df, id_col).select(id_col).mapInPandas(
+        batches, schema
+    )
 
 
 def audio_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
@@ -545,7 +551,9 @@ def attach_synthetic_video(
                 }
             )
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return ensure_scan_parallelism(df, id_col).select(id_col).mapInPandas(
+        batches, schema
+    )
 
 
 VIDEO_FRAME_SCHEMA = StructType(
@@ -667,7 +675,9 @@ def attach_synthetic_images_keyed(
                 }
             )
 
-    return df.select(id_col, key_col).mapInPandas(batches, schema)
+    return ensure_scan_parallelism(df, id_col).select(id_col, key_col).mapInPandas(
+        batches, schema
+    )
 
 
 AHASH_SCHEMA = StructType(
@@ -755,7 +765,9 @@ def attach_synthetic_audio_keyed(
                 }
             )
 
-    return df.select(id_col, key_col).mapInPandas(batches, schema)
+    return ensure_scan_parallelism(df, id_col).select(id_col, key_col).mapInPandas(
+        batches, schema
+    )
 
 
 AUDIO_FP_SCHEMA = StructType(
@@ -829,7 +841,9 @@ def attach_synthetic_video_keyed(
                 }
             )
 
-    return df.select(id_col, key_col).mapInPandas(batches, schema)
+    return ensure_scan_parallelism(df, id_col).select(id_col, key_col).mapInPandas(
+        batches, schema
+    )
 
 
 VIDEO_SIG_SCHEMA = StructType(
@@ -916,4 +930,6 @@ def attach_synthetic_image_clusters(
                 }
             )
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return ensure_scan_parallelism(df, id_col).select(id_col).mapInPandas(
+        batches, schema
+    )
