@@ -155,3 +155,25 @@ def test_csv_corrupt_record_handling(spark, tmp_path):
     assert {(r.id, r.score) for r in good.collect()} == {(1, 2.5), (2, 4.0)}
     assert bad.count() == 1 and "oops_extra" in bad.collect()[0]._corrupt_record
     df.unpersist()
+
+
+def test_parquet_corrupt_file_skip(spark, tmp_path):
+    """Operational resilience at fleet scale: a truncated/garbage file
+    inside a parquet dataset is SKIPPED under ignoreCorruptFiles
+    instead of failing the whole scan — the posture a 100 TB read over
+    millions of files needs (one bad object must not kill the job)."""
+    d = tmp_path / "ds"
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(str(d))
+    (d / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a real parquet file")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(str(d)).count()  # default: corrupt file fails the scan
+
+    got = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(str(d))
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r.id, r.v) for r in got] == [(1, "a"), (2, "b")]
