@@ -242,3 +242,41 @@ def bfs_depths(
         dist = dist.union(nxt.withColumn("depth", F.lit(d))).localCheckpoint()
         frontier = nxt
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` iterations of "drop every
+    vertex with degree < k, recompute degrees over the induced
+    subgraph" — the standard coreness screen for graph cleaning (spam
+    rings and orphan fringes peel away; the dense core survives). A
+    FIXED round count rather than peel-to-fixpoint: each round is two
+    semi-joins (edge endpoints against the surviving set) + one degree
+    aggregation, all vertex-id-keyed, and bounded rounds keep both the
+    cost model and the SQL oracle (chained CTEs) deterministic — the
+    same bounded-iteration posture as :func:`bfs_depths`. On real
+    graphs peeling converges within a few rounds; callers needing the
+    exact fixpoint loop until the surviving count stops changing.
+
+    Returns (id, degree): vertices surviving ``rounds`` peels with
+    their induced-subgraph degree from the LAST recomputation.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    live = deg.filter(F.col("degree") >= k).select(F.col("u").alias("id"))
+    for _ in range(rounds - 1):
+        live = live.localCheckpoint()
+        kept = (
+            e.join(live.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(live.withColumnRenamed("id", "v"), "v", "left_semi")
+        )
+        deg = kept.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        live = deg.filter(F.col("degree") >= k).select(F.col("u").alias("id"))
+    return deg.filter(F.col("degree") >= k).select(
+        F.col("u").alias("id"), F.col("degree").cast("long").alias("degree")
+    )

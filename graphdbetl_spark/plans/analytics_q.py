@@ -127,6 +127,67 @@ def ngram_topk_per_lang(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    """Oracle for bounded k-core peeling: each peel round unrolls to a
+    (degree CTE, survivor CTE) pair — the same mechanical fixed-depth
+    construction as the PageRank/BFS oracles. MATERIALIZED because each
+    survivor set is referenced by two endpoint joins."""
+    parts = [
+        """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    d1 AS (SELECT u, COUNT(*) AS degree FROM edges GROUP BY u),"""
+        + f"""
+    v1 AS MATERIALIZED (SELECT u AS id FROM d1 WHERE degree >= {k})"""
+    ]
+    for i in range(2, rounds + 1):
+        parts.append(
+            f""",
+    d{i} AS (
+        SELECT e.u, COUNT(*) AS degree
+        FROM edges e
+        JOIN v{i - 1} a ON e.u = a.id
+        JOIN v{i - 1} b ON e.v = b.id
+        GROUP BY e.u
+    ),
+    v{i} AS MATERIALIZED (SELECT u AS id FROM d{i} WHERE degree >= {k})"""
+        )
+    parts.append(
+        f"""
+    SELECT u AS id, CAST(degree AS BIGINT) AS degree
+    FROM d{rounds} WHERE degree >= {k}"""
+    )
+    return "".join(parts)
+
+
+@query("graph_kcore", oracle=_kcore_oracle(90, 4))
+def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded 90-core peeling (4 rounds; at sf0.01 the cascade peels ~3/4 of the graph) of the co-purchase part graph
+    — the coreness screen graph cleaning uses (fringes and orphan
+    chains peel away, the dense core survives). Each round is two
+    survivor semi-joins + one degree aggregation, all vertex-keyed;
+    bounded rounds keep the cost model and the unrolled-CTE oracle
+    deterministic. See operators/graph.py kcore_peel."""
+    from graphdbetl_spark.operators.graph import kcore_peel
+
+    items = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    return kcore_peel(edges, "u", "v", k=90, rounds=4)
+
+
 def _pagerank_oracle(iterations: int = 6, damping: float = 0.85) -> str:
     """Oracle for fixed-iteration PageRank: SQL can't aggregate inside
     a recursive CTE, but a FIXED iteration count unrolls into chained

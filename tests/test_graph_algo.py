@@ -135,3 +135,19 @@ def test_bfs_depths_min_hop_and_bound(spark):
     assert 10 not in got and 11 not in got
     shallow = {r["id"]: r["depth"] for r in bfs_depths(edges, seeds, max_depth=1).collect()}
     assert shallow == {1: 0, 2: 1, 3: 1}
+
+
+def test_kcore_peel_cascades(spark):
+    from graphdbetl_spark.operators.graph import kcore_peel
+
+    # 5-clique (each degree 4) + a chain 10-11-12 hanging off vertex 0
+    # + a pendant 20 attached to vertex 1. With k=3: chain and pendant
+    # peel in round 1; the clique survives with internal degree 4.
+    clique = [(i, j) for i in range(5) for j in range(5) if i != j]
+    extra = [(0, 10), (10, 0), (10, 11), (11, 10), (11, 12), (12, 11), (1, 20), (20, 1)]
+    edges = spark.createDataFrame(clique + extra, "src long, dst long")
+    got = {r["id"]: r["degree"] for r in kcore_peel(edges, k=3, rounds=4).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert all(v == 4 for v in got.values())
+    # k above the clique degree: everything peels
+    assert kcore_peel(edges, k=6, rounds=3).count() == 0
