@@ -280,3 +280,47 @@ def kcore_peel(
     return deg.filter(F.col("degree") >= k).select(
         F.col("u").alias("id"), F.col("degree").cast("long").alias("degree")
     )
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded single-source(-set) shortest paths: ``rounds`` of
+    min-plus relaxation (Bellman-Ford) from a seed set — the weighted
+    companion to :func:`bfs_depths`. Each round joins current
+    distances onto edges (key = src) and folds with a min aggregation
+    (key = dst): two vertex-keyed shuffles whose map side combines, no
+    window. Bounded rounds mean distances are exact for paths of ≤
+    ``rounds`` edges (the useful neighborhood query at web scale) and
+    keep the SQL replay a fixed CTE chain. INTEGER weights make the
+    min-plus algebra engine-exact with zero float caveats.
+
+    Returns (id, dist): minimum path weight within ``rounds`` hops;
+    unreached vertices are absent.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    ).cache()
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["id"] == e["u"])
+            .select(F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

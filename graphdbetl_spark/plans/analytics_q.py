@@ -188,6 +188,70 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return kcore_peel(edges, "u", "v", k=90, rounds=4)
 
 
+def _sssp_oracle(rounds: int = 4) -> str:
+    """Oracle for bounded min-plus shortest paths: one relax CTE per
+    round (UNION ALL of carried distances and edge relaxations, folded
+    with MIN) — fixed-depth chain, integer arithmetic throughout."""
+    parts = [
+        """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    edges AS MATERIALIZED (
+        SELECT u, v, COUNT(*) AS w FROM pairs GROUP BY u, v
+    ),
+    d0 AS MATERIALIZED (
+        SELECT DISTINCT u AS id, 0 AS dist FROM edges WHERE u % 97 = 0
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+        SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.v AS id, d.dist + e.w AS dist
+            FROM edges e JOIN d{i - 1} d ON e.u = d.id
+        ) GROUP BY id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id, CAST(dist AS BIGINT) AS dist FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
+@query("graph_sssp_bounded", oracle=_sssp_oracle(4))
+def graph_sssp_bounded(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded weighted shortest paths (4 min-plus relaxation rounds)
+    from the deterministic seed set over the co-purchase graph, edge
+    weight = number of shared orders (integer, so the min-plus algebra
+    replays exactly). The weighted companion to graph_bfs_depth; per
+    round two vertex-keyed shuffles with map-side combine. See
+    operators/graph.py sssp_bounded."""
+    from graphdbetl_spark.operators.graph import sssp_bounded
+
+    items = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    seeds = edges.select("u").filter(F.col("u") % 97 == 0).distinct()
+    return sssp_bounded(edges, seeds, "u", "v", "w", rounds=4)
+
+
 def _pagerank_oracle(iterations: int = 6, damping: float = 0.85) -> str:
     """Oracle for fixed-iteration PageRank: SQL can't aggregate inside
     a recursive CTE, but a FIXED iteration count unrolls into chained

@@ -339,3 +339,69 @@ def pipeline_hygiene_report(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     return exact.unionAll(near).unionAll(contam).unionAll(pii).unionAll(c4)
+
+
+def _multimodal_report_oracle() -> str:
+    """Oracle for pipeline_multimodal_report, composed from the
+    modality-dedup component oracles in the registry (same pattern as
+    pipeline_hygiene_report)."""
+    from graphdbetl_spark.plans import llm_q  # noqa: F401  (register)
+    from graphdbetl_spark.plans.registry import REGISTRY
+
+    img = REGISTRY["dedup_image_ahash"].oracle
+    aud = REGISTRY["dedup_audio_fingerprint"].oracle
+    vid = REGISTRY["dedup_video_signature"].oracle
+    ham = REGISTRY["dedup_image_hamming"].oracle
+    return f"""
+    SELECT 'image_dup_docs' AS metric,
+           CAST(SUM(dup_count) - COUNT(*) AS BIGINT) AS value
+    FROM ({img})
+    UNION ALL
+    SELECT 'audio_dup_docs' AS metric,
+           CAST(SUM(dup_count) - COUNT(*) AS BIGINT) AS value
+    FROM ({aud})
+    UNION ALL
+    SELECT 'video_dup_docs' AS metric,
+           CAST(SUM(dup_count) - COUNT(*) AS BIGINT) AS value
+    FROM ({vid})
+    UNION ALL
+    SELECT 'image_neardup_pairs' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+    FROM ({ham})
+    """
+
+
+@query("pipeline_multimodal_report", oracle=_multimodal_report_oracle())
+def pipeline_multimodal_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-modality dedup dashboard: surplus exact-duplicate documents
+    for images (average hash), audio (energy-delta fingerprint), and
+    video (ordered frame-hash signature), plus verified perceptual
+    image near-dup pairs — each tier the SAME plan as its standalone
+    query, reduced to one (metric, value) row; oracle SQL composed from
+    the component oracles. Four independent decode-kernel subplans, no
+    cross-tier shuffle."""
+    from graphdbetl_spark.plans.llm_q import (
+        dedup_audio_fingerprint,
+        dedup_image_ahash,
+        dedup_image_hamming,
+        dedup_video_signature,
+    )
+
+    one = lambda name, df: df.select(  # noqa: E731
+        F.lit(name).alias("metric"), F.col("value").cast("long").alias("value")
+    )
+    surplus = lambda df: df.agg(  # noqa: E731
+        (F.sum("dup_count") - F.count(F.lit(1))).alias("value")
+    )
+    return (
+        one("image_dup_docs", surplus(dedup_image_ahash(spark, sf)))
+        .unionAll(one("audio_dup_docs", surplus(dedup_audio_fingerprint(spark, sf))))
+        .unionAll(one("video_dup_docs", surplus(dedup_video_signature(spark, sf))))
+        .unionAll(
+            one(
+                "image_neardup_pairs",
+                dedup_image_hamming(spark, sf).agg(
+                    F.count(F.lit(1)).alias("value")
+                ),
+            )
+        )
+    )

@@ -151,3 +151,19 @@ def test_kcore_peel_cascades(spark):
     assert all(v == 4 for v in got.values())
     # k above the clique degree: everything peels
     assert kcore_peel(edges, k=6, rounds=3).count() == 0
+
+
+def test_sssp_bounded_min_plus(spark):
+    from graphdbetl_spark.operators.graph import sssp_bounded
+
+    # 1 -2-> 2 -3-> 3, plus direct 1 -10-> 3 (longer by weight despite
+    # fewer hops) and 3 -1-> 4
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 3), (1, 3, 10), (3, 4, 1)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r["id"]: r["dist"] for r in sssp_bounded(edges, seeds, rounds=4).collect()}
+    assert got == {1: 0, 2: 2, 3: 5, 4: 6}  # weighted path beats direct edge
+    # round-bounded: with 1 round the 2-hop path can't relax yet
+    one = {r["id"]: r["dist"] for r in sssp_bounded(edges, seeds, rounds=1).collect()}
+    assert one == {1: 0, 2: 2, 3: 10}
