@@ -434,6 +434,49 @@ def agg_decimal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), r AS (
+        SELECT o_orderstatus, o_orderpriority, n,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY n DESC, o_orderpriority) AS rn
+        FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """DETERMINISTIC statistical mode per group (most frequent order
+    priority per status, ties broken lexicographically). Built-in
+    ``mode()`` returns an arbitrary tie winner on both engines, so this
+    is count + max(struct(n, reversed-tiebreak)) — two hash
+    aggregations, both partial-combining, no window on the big table
+    (the window in the ORACLE runs over the tiny counts table only; the
+    engine side needs none at all)."""
+    o = T(spark, sf, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # max over (n, neg-lex priority): encode "smallest priority wins
+    # ties" inside a single max-struct by flipping the sort direction
+    # of the string via a descending row_number-free trick: min(struct
+    # (-n, priority)) — -n ascending == n descending, then lexicographic.
+    picked = c.groupBy("o_orderstatus").agg(
+        F.min(F.struct((-F.col("n")).alias("_neg"), F.col("o_orderpriority"), F.col("n"))).alias("k")
+    )
+    return picked.select(
+        "o_orderstatus",
+        F.col("k.o_orderpriority").alias("mode_priority"),
+        F.col("k.n").alias("n"),
+    )
+
+
 # ------------------------------------------------- scalar wave II
 
 
