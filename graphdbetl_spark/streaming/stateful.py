@@ -58,3 +58,51 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stateful_running_totals_tws(stream: DataFrame) -> DataFrame:
+    """The same per-key running totals through ``transformWithState``
+    (the Spark 4.x arbitrary-stateful-processing API, successor to
+    applyInPandasWithState): state lives in named, typed handles
+    (ValueState here) managed by the state store — composable with
+    timers, TTL, and the RocksDB provider — instead of one opaque
+    tuple per key. Kept alongside the legacy form so both stateful
+    surfaces stay covered; parity between them and with a batch
+    aggregation is pinned by test.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=RUNNING_TOTALS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -177,3 +177,64 @@ def test_parquet_corrupt_file_skip(spark, tmp_path):
         .collect()
     )
     assert [(r.id, r.v) for r in got] == [(1, "a"), (2, "b")]
+
+
+def test_transform_with_state_parity(spark, tmp_path):
+    """The Spark 4.x transformWithState surface: the typed-handle
+    StatefulProcessor accumulates identically to the legacy
+    applyInPandasWithState operator across micro-batches.
+
+    Requires a working google.protobuf (the TWS state-server protocol
+    is protobuf-framed); absent in this sandbox -> skipped, exactly
+    like the compressed-codec stubs. The operator itself ships; this
+    test is the parity gate wherever protobuf exists."""
+    _pb = pytest.importorskip("google.protobuf.descriptor")
+    from graphdbetl_spark.streaming.stateful import stateful_running_totals_tws
+
+    src = str(tmp_path / "events_tws")
+    os.makedirs(src)
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(rows, ["user_id", "value"]).withColumn(
+            "user_id", F.col("user_id").cast("long")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import shutil
+
+        for f in os.listdir(str(tmp_path / name)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(str(tmp_path / name), f), os.path.join(src, f"{name}.parquet"))
+
+    write_batch([(1, 10.0), (1, 5.0), (2, 1.0)], "t1")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    # transformWithState requires the RocksDB state store provider
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    q = (
+        stateful_running_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch([(1, 2.0), (3, 7.0)], "t2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.sql("SELECT * FROM tws_test").collect()
+    latest = {}
+    for r in rows:  # memory sink appends update-mode emissions in order
+        latest[r.user_id] = (r.n_events, r.total_value)
+    assert latest[1] == (3, 17.0)
+    assert latest[2] == (1, 1.0)
+    assert latest[3] == (1, 7.0)
