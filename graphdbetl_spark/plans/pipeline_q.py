@@ -405,3 +405,95 @@ def pipeline_multimodal_report(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
+
+
+def _training_order_oracle() -> str:
+    """Oracle for pipeline_training_order: the c4-keep and
+    temperature-rate component oracles compose as subqueries; the
+    upsample fan-out and the shard/position assignment replay the same
+    md5 arithmetic the operators use."""
+    from graphdbetl_spark.plans import llm_q, prep_q  # noqa: F401  (register)
+    from graphdbetl_spark.plans.registry import REGISTRY
+
+    c4 = REGISTRY["curation_c4_filter"].oracle
+    temp = REGISTRY["sample_temperature"].oracle
+    return f"""
+    WITH kept AS (
+        SELECT t.doc_id, d.source
+        FROM ({temp}) t
+        JOIN ({c4}) c ON t.doc_id = c.doc_id AND c.keep
+        JOIN documents d ON d.doc_id = t.doc_id
+    ), fanned AS (
+        SELECT doc_id, source, CAST(e.e AS INT) AS epoch
+        FROM (
+            SELECT doc_id, source,
+                   (CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 130
+                        ELSE 100 END) // 100
+                   + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                               % 100
+                               < (CASE source WHEN 'src0' THEN 250
+                                      WHEN 'src1' THEN 130 ELSE 100 END) % 100
+                          THEN 1 ELSE 0 END AS copies
+            FROM kept
+        ), LATERAL (SELECT unnest(range(0, copies)) AS e) e
+        WHERE copies > 0
+    ), keyed AS (
+        SELECT doc_id, epoch,
+               md5('ord:' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(epoch AS VARCHAR)) AS okey
+        FROM fanned
+    )
+    SELECT doc_id, epoch,
+           CAST(('0x' || substr(okey, 1, 8))::BIGINT % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY ('0x' || substr(okey, 1, 8))::BIGINT % 8
+               ORDER BY okey, doc_id, epoch) AS BIGINT) AS pos
+    FROM keyed
+    """
+
+
+@query("pipeline_training_order", oracle=_training_order_oracle())
+def pipeline_training_order(spark: SparkSession, sf: str) -> DataFrame:
+    """The pipeline's END PRODUCT: the deterministic training order.
+    C4-quality survivors ∩ temperature-sampled mixture → fractional
+    epoch upsampling (src0 2.5×, src1 1.3×) → seeded md5 shard +
+    within-shard position over (doc, epoch). Every stage is the same
+    operator (and, in the oracle, the same SQL) as its standalone
+    query; no global sort anywhere — 8 independently ordered shards,
+    which is how N parallel loaders consume the corpus. Rebuild with a
+    different seed/epoch plan = rerun this plan."""
+    from graphdbetl_spark.operators.sampling import mixture_upsample, temperature_sample
+    from graphdbetl_spark.plans.llm_q import curation_c4_filter
+
+    d = T(spark, sf, "documents")
+    kept_ids = temperature_sample(d, "doc_id", "lang").select("doc_id")
+    c4_keep = curation_c4_filter(spark, sf).filter(F.col("keep")).select("doc_id")
+    kept = (
+        d.select("doc_id", "source")
+        .join(kept_ids, "doc_id", "left_semi")
+        .join(c4_keep, "doc_id", "left_semi")
+    )
+    fanned = mixture_upsample(
+        kept, "doc_id", "source", {"src0": 250, "src1": 130}
+    ).select("doc_id", "epoch")
+    okey = F.md5(
+        F.concat(
+            F.lit("ord:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    shard = (
+        F.conv(F.substring(okey, 1, 8), 16, 10).cast("long") % 8
+    ).cast("int")
+    keyed = fanned.select("doc_id", "epoch", okey.alias("__k"), shard.alias("shard"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("__k", "doc_id", "epoch")
+    return keyed.select(
+        "doc_id",
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

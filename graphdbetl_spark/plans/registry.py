@@ -122,7 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_bfs_depth", "dedup_image_ahash", "dedup_audio_fingerprint",
     "dedup_video_signature", "dedup_image_hamming", "pipeline_hygiene_report",
     "graph_kcore", "graph_sssp_bounded", "pipeline_multimodal_report",
-    "agg_mode",
+    "agg_mode", "pipeline_training_order",
     # rows-only never-attested (weaker check, lowest rotation priority)
     "dedup_minhash", "dedup_simhash", "sim_ivf_topk", "sim_lsh_topk",
     "sim_ivfpq_topk", "text_tokens", "sketch_kmv_distinct",
