@@ -66,6 +66,8 @@ HEADLINE = [
     # the multimodal representative (audio/video fingerprints share
     # the same decode-kernel + groupBy shape)
     "dedup_image_hamming",
+    # the composed end product: quality ∩ mixture → epochs → order
+    "pipeline_training_order",
 ]
 
 
