@@ -463,12 +463,21 @@ def _minhash_md5_sig_buckets(
     shingle_n: int,
     num_hashes: int,
     bands: int,
+    cache: bool = True,
 ):
     """Shared md5-family MinHash pipeline front half: shingle sets and
     banded signature buckets for one input. Returns (sh, buckets) —
     ``sh``: (id, sh: array of distinct shingles); ``buckets``: (id,
-    band, bh) with one row per band. Both cached: each is consumed
-    twice downstream (candidate join + verification)."""
+    band, bh) with one row per band. With ``cache=True`` (the
+    corpus-side default) both are cached: each is consumed twice
+    downstream (candidate join + verification) and the corpus index is
+    reused across many probe batches. Per-batch callers (the probe
+    half of the incremental screen) pass ``cache=False`` — the
+    ``repartition(id)`` exchange below is identical in every consumer
+    branch, so Spark's ReuseExchange covers the shared work within one
+    query, and nothing is left pinned in storage memory after the
+    batch's job finishes (a long-running stream would otherwise
+    accumulate one dead cached pair per micro-batch)."""
     r = num_hashes // bands
     coeffs = minhash_coeffs(num_hashes)
     p = MINHASH_PRIME
@@ -476,8 +485,9 @@ def _minhash_md5_sig_buckets(
         df.repartition(F.col(id_col))
         .select(F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
-        .cache()
     )
+    if cache:
+        sh = sh.cache()
     base = lambda s: F.pmod(  # noqa: E731
         F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"), F.lit(p)
     )
@@ -500,11 +510,11 @@ def _minhash_md5_sig_buckets(
         )
         for b in range(bands)
     ]
-    buckets = (
-        with_sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk"))
-        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-        .cache()
-    )
+    buckets = with_sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    if cache:
+        buckets = buckets.cache()
     return sh, buckets
 
 
@@ -608,9 +618,13 @@ def minhash_probe_md5(
     batches; the streaming ingest path materializes them cached), sign
     just the new batch and screen it. See
     :func:`minhash_incremental_md5` for semantics and the returned
-    schema."""
+    schema. The batch side is built UNCACHED: this runs once per
+    micro-batch in a potentially unbounded stream, and per-call
+    ``cache()`` with no unpersist hook would pin one dead block pair
+    per batch in executor storage; ReuseExchange dedups the batch's
+    repartition across the candidate/verify branches instead."""
     sh_b, bk_b = _minhash_md5_sig_buckets(
-        batch, text_col, id_col, shingle_n, num_hashes, bands
+        batch, text_col, id_col, shingle_n, num_hashes, bands, cache=False
     )
     candidates = (
         bk_b.select(
@@ -637,7 +651,13 @@ def minhash_probe_md5(
     )
     return (
         batch.select(F.col(id_col))
-        .join(matches.withColumnRenamed("__bid", id_col), id_col, "left")
+        # matches is a per-batch-doc aggregate (≤ batch rows by
+        # construction), so broadcasting it is safe whenever the batch
+        # itself is probe-sized; the hint matters now that the batch
+        # side is uncached and the static planner sees no size stats.
+        .join(
+            F.broadcast(matches.withColumnRenamed("__bid", id_col)), id_col, "left"
+        )
         .select(
             id_col,
             F.col("n_matches").isNotNull().alias("is_near_dup"),

@@ -137,10 +137,13 @@ def countmin_topk_md5(
     # rows — measured ~2× off the 30×-replica wall vs the two-scan
     # form. The streaming/mergeable per-occurrence form remains
     # :func:`countmin_build_md5`.
-    vocab = (
-        df.groupBy(value_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
-        .cache()
+    # No cache() on vocab: both consumers (sketch build + probe) sit in
+    # ONE job tree, and the groupBy's exchange subtree is identical in
+    # each branch, so ReuseExchange (plain and AQE) dedups the corpus
+    # aggregation at runtime. A per-call cache with no unpersist hook
+    # would leak one pinned plan per invocation at batch-query scale.
+    vocab = df.groupBy(value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("exact")
     )
     slots = vocab.select(
         F.col(value_col),

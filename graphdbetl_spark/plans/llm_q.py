@@ -1720,12 +1720,18 @@ def dedup_image_hamming(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id, c, e,
                lag(e) OVER (PARTITION BY doc_id ORDER BY c) AS pe
         FROM ch
-    ), fp AS (
+    ), fpd AS (
         SELECT doc_id,
                CAST(SUM(CASE WHEN e > pe
                              THEN (CAST(1 AS BIGINT) << (c - 1)) ELSE 0 END)
                     AS BIGINT) AS afp
         FROM delta WHERE c >= 1 GROUP BY doc_id
+    ), fp AS (
+        -- left join back to the doc set: a clip with a single energy
+        -- window (n_samples <= chunk) has no c >= 1 delta rows, and the
+        -- engine emits afp = 0 for it rather than dropping it
+        SELECT d.doc_id, COALESCE(f.afp, 0) AS afp
+        FROM documents d LEFT JOIN fpd f USING (doc_id)
     )
     SELECT afp, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count
     FROM fp GROUP BY afp

@@ -32,7 +32,17 @@ def start_streaming_decontamination(
 ) -> StreamingQuery:
     """Continuously split an incoming document stream into
     ``clean_path`` (append) and ``quarantine_path`` (append) by n-gram
-    overlap with the static eval set."""
+    overlap with the static eval set.
+
+    Both sinks commit through :func:`write_batch_exactly_once`
+    (batch_id-keyed staging + commit markers), so a crash between the
+    two writes followed by checkpoint replay re-commits only the sink
+    that missed — end-to-end exactly-once effect on BOTH outputs, not
+    the at-least-once double-append a bare ``mode("append")`` pair
+    gives. Readers see the routed sets as ``batch=<id>``-partitioned
+    parquet datasets."""
+    from graphdbetl_spark.streaming.txn_sink import write_batch_exactly_once
+
     # Materialize the (small) eval side once, not once per batch.
     eval_cached = eval_df.select(id_col, text_col).cache()
     eval_cached.count()
@@ -41,12 +51,16 @@ def start_streaming_decontamination(
         flags = decontaminate_against_eval(batch, text_col, id_col, eval_cached, n=n)
         routed = batch.join(flags, id_col).cache()
         try:
-            routed.filter(~F.col("contaminated")).drop("contaminated").write.mode(
-                "append"
-            ).parquet(clean_path)
-            routed.filter(F.col("contaminated")).drop("contaminated").write.mode(
-                "append"
-            ).parquet(quarantine_path)
+            write_batch_exactly_once(
+                routed.filter(~F.col("contaminated")).drop("contaminated"),
+                batch_id,
+                clean_path,
+            )
+            write_batch_exactly_once(
+                routed.filter(F.col("contaminated")).drop("contaminated"),
+                batch_id,
+                quarantine_path,
+            )
         finally:
             routed.unpersist()
 
@@ -81,11 +95,18 @@ def start_streaming_neardup_screen(
     bucket and this cache is a scan of it). Batch-internal duplicates
     are not this gate's job; they collapse in the batch's own
     self-dedup downstream.
+
+    Both sinks commit through :func:`write_batch_exactly_once`, so a
+    crash between the two writes + checkpoint replay re-commits only
+    the missed sink (exactly-once effect on both outputs); the probe's
+    batch-side signatures are built uncached, so a long-running stream
+    pins no per-batch storage blocks.
     """
     from graphdbetl_spark.operators.dedup import (
         _minhash_md5_sig_buckets,
         minhash_probe_md5,
     )
+    from graphdbetl_spark.streaming.txn_sink import write_batch_exactly_once
 
     sh_c, bk_c = _minhash_md5_sig_buckets(corpus_df, text_col, id_col, 3, 16, 4)
     sh_c.count()  # materialize both caches before the stream starts
@@ -97,12 +118,16 @@ def start_streaming_neardup_screen(
         )
         routed = batch.join(flags.select(id_col, "is_near_dup"), id_col).cache()
         try:
-            routed.filter(~F.col("is_near_dup")).drop("is_near_dup").write.mode(
-                "append"
-            ).parquet(unique_path)
-            routed.filter(F.col("is_near_dup")).drop("is_near_dup").write.mode(
-                "append"
-            ).parquet(dup_path)
+            write_batch_exactly_once(
+                routed.filter(~F.col("is_near_dup")).drop("is_near_dup"),
+                batch_id,
+                unique_path,
+            )
+            write_batch_exactly_once(
+                routed.filter(F.col("is_near_dup")).drop("is_near_dup"),
+                batch_id,
+                dup_path,
+            )
         finally:
             routed.unpersist()
 
