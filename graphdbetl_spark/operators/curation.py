@@ -600,3 +600,182 @@ def bloom_decontaminate(
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str, id_col: str, low: float = 2.5
+) -> DataFrame:
+    """Character-level Shannon entropy gate — the cheap gibberish /
+    degenerate-repetition detector (low entropy = few distinct
+    characters dominating: keyboard mashing, padding runs, base64
+    blobs sit HIGH, 'aaaa…' sits near 0). Complements the word-level
+    Gopher/C4 rules, which miss sub-word degeneracy.
+
+    Scale shape: entirely per-row higher-order array expressions inside
+    the scan stage — chars → distinct chars → per-char counts →
+    -Σ p·ln p as a fold. Zero shuffles, zero UDFs; cost is
+    O(|text|·|alphabet|) per row with |alphabet| small by construction.
+    Returns (id_col, n_chars, n_distinct_chars, entropy, low_entropy)
+    with entropy rounded to 6 (per-row fold order vs an oracle's group
+    order differ only in ~1e-15 accumulation noise)."""
+    ch = F.split(F.col(text_col), "")
+    n = F.size(ch)
+    dc = F.array_distinct(ch)
+    probs = F.transform(
+        dc, lambda c: F.size(F.filter(ch, lambda x: x == c)) / n
+    )
+    h = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.size(dc).cast("long").alias("n_distinct_chars"),
+        F.round(F.when(n > 0, h).otherwise(F.lit(0.0)), 6).alias("entropy"),
+        (F.when(n > 0, h).otherwise(F.lit(0.0)) < F.lit(low)).alias("low_entropy"),
+    )
+
+
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+
+def gopher_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The Gopher quality-rule subset (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Table A1) that is deterministic and
+    engine-portable: word count in [50, 100000], mean word length in
+    [3, 10], ≥80% of words contain an alphabetic character, and at
+    least two distinct English stopwords present (the rule that kills
+    word-salad keyword stuffing). Symbol-ratio and ellipsis rules are
+    omitted — they need the raw untokenized line structure.
+
+    All per-row higher-order array math in the scan stage (no explode
+    reaches a shuffle, no UDF). mean_word_len is one integer-over-
+    integer division — bit-identical in any IEEE engine. Returns
+    (id_col, n_words, mean_word_len, alpha_frac, n_stopwords, passes).
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+    )
+    mean_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_frac = F.when(n > 0, alpha_words / n).otherwise(F.lit(0.0))
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    passes = (
+        (n >= 50) & (n <= 100000)
+        & (mean_len >= 3) & (mean_len <= 10)
+        & (alpha_frac >= 0.8)
+        & (stops >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        stops.cast("long").alias("n_stopwords"),
+        passes.alias("passes"),
+    )
+
+
+def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Bigram-LM quality score with Laplace smoothing — one order up
+    from :func:`unigram_logprob` toward CCNet's KenLM perplexity
+    filter, and the order that starts catching scrambled word salad
+    (uniform unigram stats, near-zero bigram mass). The corpus is its
+    own training set: P(b|a) = (C(a,b)+1) / (C(a,·)+V), score =
+    mean ln P over a document's bigrams.
+
+    Scale shape: bigrams are formed by a shifted-array zip inside the
+    scan (never a token self-join); counts are ONE partial-agg shuffle
+    on the bigram — map-side combine collapses each partition's
+    repeats, so hot bigrams (stopword pairs) don't concentrate reduce
+    work. C(a,·) and V derive from the same aggregate (no second
+    corpus pass); the LM-to-corpus join strategy is left to AQE —
+    broadcast while the vocabulary fits, shuffle join at billion-pair
+    scale (the text_tfidf_top_term posture). Returns (id_col,
+    n_bigrams, mean_logprob) rounded to 6."""
+    toks = _tokens(F.col(text_col))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    ex = ensure_scan_parallelism(df, id_col).select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    c2 = ex.groupBy("a", "b").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = c2.groupBy("a").agg(F.sum("__c2").alias("__c1"))
+    # V = |{tokens seen in ANY position}| — derivable from the bigram
+    # table alone (first tokens ∪ second tokens) without re-reading text
+    v = (
+        c2.select(F.col("a").alias("t"))
+        .union(c2.select(F.col("b").alias("t")))
+        .agg(F.countDistinct("t").alias("__v"))
+    )
+    lm = (
+        c2.join(c1, "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "a", "b",
+            F.log((F.col("__c2") + 1) / (F.col("__c1") + F.col("__v"))).alias("__lp"),
+        )
+    )
+    return (
+        ex.join(lm, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+        )
+    )
+
+
+def canonicalize_url(url_col: Column) -> Column:
+    """URL canonicalization for the web-crawl dedup tier: lowercase
+    scheme and host, strip the fragment, strip default ports (:80 for
+    http, :443 for https), strip utm_* tracking parameters (keeping
+    other query params), drop empty leftover '?'/'&', and strip one
+    trailing slash from the path. Path CASE is preserved (paths are
+    case-sensitive per RFC 3986; hosts are not). Pure portable-regex
+    column expression — runs in the scan stage of whatever plan uses
+    it."""
+    u = F.regexp_replace(url_col, "#.*$", "")  # fragment never reaches servers
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    host = F.when(
+        (scheme == "http"), F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        (scheme == "https"), F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    pathq = F.regexp_replace(rest, "^[^/?]*", "")
+    # strip utm params wherever they sit, then mop up separator debris
+    pathq = F.regexp_replace(pathq, "utm_[a-z]+=[^&#]*&?", "")
+    pathq = F.regexp_replace(pathq, "[?&]$", "")
+    pathq = F.regexp_replace(pathq, r"\?&", "?")
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    qs = F.regexp_replace(pathq, "^[^?]*", "")
+    path = F.regexp_replace(path, "/$", "")
+    return F.concat(scheme, F.lit("://"), host, path, qs)
+
+
+def dedup_url_groups(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """URL-level dedup: group documents by canonical URL, keep the
+    minimum id. The first tier of every web-crawl pipeline — recrawls
+    and tracking-param variants collapse before any content hashing
+    runs. One projection + one hash aggregation on the canonical
+    string; identical scale posture to exact dedup."""
+    return (
+        df.select(F.col(id_col), canonicalize_url(F.col(url_col)).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )

@@ -701,3 +701,42 @@ def minhash_load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/shingles"),
         spark.read.parquet(f"{path}/buckets"),
     )
+
+
+def normalize_text(text_col: Column) -> Column:
+    """Aggressive text normalization for the 'fuzzy-exact' dedup tier
+    (the Dolma/RefinedWeb step between byte-exact and MinHash):
+    lowercase, strip every non-alphanumeric character except
+    whitespace, collapse whitespace runs, trim. Deliberately written in
+    the engine-portable regex subset (no classes beyond []-sets, no
+    lookarounds) so an oracle replays it verbatim."""
+    out = F.lower(text_col)
+    out = F.regexp_replace(out, "[^a-z0-9 \t\n]", "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def dedup_normalized_exact_groups(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Normalization-invariant exact dedup: documents that differ only
+    in case, punctuation, or whitespace collapse to one group. The tier
+    every production pipeline runs between byte-exact sha dedup (which
+    misses trivially-reformatted copies) and near-dup LSH (which is
+    ~10× the cost): one projection computing md5(normalize(text)) in
+    the scan stage, then ONE hash aggregation on the 16-byte digest —
+    identical cost model to :func:`dedup_exact`, so it holds at 100 TB
+    for the same reason (the shuffle carries 16-byte keys, never text).
+
+    Returns (norm_digest, keep_id, dup_count) with keep_id = min id
+    per group (deterministic survivor)."""
+    return (
+        df.select(
+            F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("norm_digest")
+        )
+        .groupBy("norm_digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )

@@ -311,3 +311,66 @@ def temperature_sample(
         .filter(bucket < F.col("rate_micro"))
         .select(id_col, strata_col, "rate_micro")
     )
+
+
+def mixture_epoch_plan(
+    df: DataFrame,
+    text_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    budget_factor: float = 2.0,
+) -> DataFrame:
+    """Token-budget mixture PLANNER — the table a training run is
+    configured from (the LLaMA-style "epochs over each source" sheet):
+    given per-source token masses n_s, temperature-flattened target
+    shares q_s = (n_s/N)^α / Σ(n_m/N)^α and a total token budget
+    B = budget_factor·N, emit each source's planned token draw B·q_s
+    and its repeat factor (epochs) B·q_s / n_s — >1 means the source
+    is seen multiple times per pass, the DoReMi/LLaMA upweighting of
+    small high-quality sources. Execution of the plan is
+    ``mixture_upsample`` (integer-percent repeats); this operator is
+    the deterministic math that produces those percents.
+
+    Scale shape: one partial-agg shuffle to (source → docs, tokens) —
+    one row per source — then the normalizers fold over ONE sorted
+    struct array (the ``temperature_sample`` idiom: sorting pins float
+    summation order, so Σw is bit-identical across engines and
+    partitionings). No window, no second corpus pass. α = 0.5 uses
+    sqrt (IEEE-exact on every engine, unlike pow)."""
+    from graphdbetl_spark.operators.dedup import _tokens
+
+    if alpha == 0.5:
+        weight = lambda p: F.sqrt(p)  # noqa: E731
+    else:
+        weight = lambda p: F.pow(p, F.lit(alpha))  # noqa: E731
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__d"),
+        F.sum(F.size(_tokens(F.col(text_col)))).cast("long").alias("__n"),
+    )
+    one = counts.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(strata_col).alias("s"),
+                    F.col("__d").alias("d"),
+                    F.col("__n").alias("n"),
+                )
+            )
+        ).alias("cs")
+    )
+    one = one.withColumn(
+        "__N", F.aggregate("cs", F.lit(0.0), lambda a, x: a + x.n)
+    ).withColumn(
+        "__sw",
+        F.aggregate("cs", F.lit(0.0), lambda a, x: a + weight(x.n / F.col("__N"))),
+    )
+    q = weight(F.col("x.n") / F.col("__N")) / F.col("__sw")
+    budget = F.col("__N") * F.lit(budget_factor)
+    return one.select(F.explode("cs").alias("x"), "__N", "__sw").select(
+        F.col("x.s").alias(strata_col),
+        F.col("x.d").alias("n_docs"),
+        F.col("x.n").alias("n_tokens"),
+        F.round(q, 6).alias("share"),
+        F.round(budget * q, 2).alias("planned_tokens"),
+        F.round(budget * q / F.col("x.n"), 4).alias("epochs"),
+    )

@@ -353,3 +353,130 @@ def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
     return bloom_decontaminate(
         d.filter(b >= 10), "text", "doc_id", d.filter(b < 10), n=5
     )
+
+
+@query(
+    "curation_gopher_filter",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, len(toks) AS n,
+               list_sum(list_transform(toks, x -> len(x))) AS total_len,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS aw,
+               len(list_intersect(list_distinct(toks),
+                   ['the','be','to','of','and','that','have','with','a'])) AS stops
+        FROM t
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+           ROUND(CASE WHEN n > 0 THEN CAST(total_len AS DOUBLE) / n
+                      ELSE 0 END, 4) AS mean_word_len,
+           ROUND(CASE WHEN n > 0 THEN CAST(aw AS DOUBLE) / n
+                      ELSE 0 END, 4) AS alpha_frac,
+           CAST(stops AS BIGINT) AS n_stopwords,
+           (n BETWEEN 50 AND 100000
+            AND CAST(total_len AS DOUBLE) / n BETWEEN 3 AND 10
+            AND CAST(aw AS DOUBLE) / n >= 0.8
+            AND stops >= 2) AS passes
+    FROM s
+    """,
+)
+def curation_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 Table A1, the
+    deterministic subset): word-count band, mean word length band,
+    alphabetic-word fraction, stopword presence. Sits beside
+    curation_c4_filter as the second standard rule set; all per-row
+    array math in the scan stage, zero shuffles. See
+    operators/curation.py gopher_quality."""
+    from graphdbetl_spark.operators.curation import gopher_quality
+
+    return gopher_quality(T(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+            CASE CAST((doc_id // 50) % 5 AS INT)
+              WHEN 0 THEN 'HTTP://WWW.' || upper(source)
+                          || '.EXAMPLE.COM:80/docs/' || (doc_id % 50) || '/'
+              WHEN 1 THEN 'http://www.' || source || '.example.com/docs/'
+                          || (doc_id % 50) || '?utm_source=feed&utm_campaign=x'
+              WHEN 2 THEN 'http://www.' || source || '.example.com/docs/'
+                          || (doc_id % 50) || '#section-2'
+              WHEN 3 THEN 'http://www.' || source || '.example.com/docs/'
+                          || (doc_id % 50) || '?id=7&utm_medium=y'
+              ELSE 'https://www.' || source || '.example.com:443/docs/'
+                          || (doc_id % 50)
+            END AS url
+        FROM documents
+    ), c AS (
+        SELECT doc_id,
+            -- replay of canonicalize_url: fragment, scheme/host lower,
+            -- default port, utm params, separator debris, trailing /
+            regexp_replace(url, '#.*$', '') AS u1
+        FROM u
+    ), p AS (
+        SELECT doc_id,
+            lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                                 '^([^/?]*)', 1)) AS hostport,
+            regexp_replace(regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                           '^[^/?]*', '') AS pathq
+        FROM c
+    ), q AS (
+        SELECT doc_id, scheme,
+            CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END AS host,
+            regexp_replace(regexp_replace(regexp_replace(
+                pathq, 'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]$', ''),
+                '\\?&', '?') AS pq
+        FROM p
+    ), canon AS (
+        SELECT doc_id,
+            scheme || '://' || host
+            || regexp_replace(regexp_extract(pq, '^([^?]*)', 1), '/$', '')
+            || regexp_replace(pq, '^[^?]*', '') AS canon_url
+        FROM q
+    )
+    SELECT canon_url, MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM canon GROUP BY canon_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-canonicalization dedup — the first tier of a web-crawl
+    pipeline: recrawl variants (uppercased scheme/host, default ports,
+    tracking params, fragments, trailing slashes) collapse to one
+    canonical URL before any content hashing runs. The corpus here
+    attaches five deterministic messy variants across recrawls of the
+    same (source, path) page; variants 0-2 canonicalize together,
+    ?id=7 (real param) and https (real scheme change) stay distinct.
+    One projection + one hash aggregation — exact-dedup's scale
+    posture. See operators/curation.py canonicalize_url."""
+    from graphdbetl_spark.operators.curation import dedup_url_groups
+
+    d = T(spark, sf, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    base = F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
+    v = (F.floor(F.col("doc_id") / 50) % 5).cast("int")
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), F.upper(F.col("source")),
+                F.lit(".EXAMPLE.COM:80/docs/"), k, F.lit("/"),
+            ),
+        )
+        .when(v == 1, F.concat(F.lit("http://"), base, F.lit("/docs/"), k,
+                               F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(v == 2, F.concat(F.lit("http://"), base, F.lit("/docs/"), k,
+                               F.lit("#section-2")))
+        .when(v == 3, F.concat(F.lit("http://"), base, F.lit("/docs/"), k,
+                               F.lit("?id=7&utm_medium=y")))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit(":443/docs/"), k))
+    )
+    return dedup_url_groups(d.select("doc_id", url.alias("url")), "url", "doc_id")

@@ -2283,3 +2283,118 @@ def text_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
     return tok.select("doc_id", bucket.alias("bucket")).groupBy(
         "doc_id", "bucket"
     ).agg(F.count(F.lit(1)).cast("long").alias("tf"))
+
+
+@query(
+    "dedup_normalized_exact",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               replace(upper(text), ' ', '  ') || ' !!' FROM documents
+    ), n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 \t\n]', '', 'g'), '\s+', ' ', 'g')))
+                   AS norm_digest
+        FROM corpus
+    )
+    SELECT norm_digest, MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM n GROUP BY norm_digest
+    """,
+)
+def dedup_normalized_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """The 'fuzzy-exact' dedup tier between byte-exact sha and MinHash:
+    case/punctuation/whitespace-normalized digests. The corpus here is
+    the documents table UNION a reformatted clone of every document
+    (uppercased, double-spaced, punctuation appended) — byte-exact
+    dedup sees 2N distinct digests, this tier collapses every clone
+    onto its original. Same scale posture as dedup_exact: digest in the
+    scan projection, ONE hash aggregation on a 16-byte key; the
+    normalization chain is three JVM regexp_replaces, no UDF. See
+    operators/dedup.py normalize_text / dedup_normalized_exact_groups.
+    Reference ground: graph_db_builder.py:493-497 declares merge-on-id
+    only; content-level normalization is north-star surface."""
+    from graphdbetl_spark.operators.dedup import dedup_normalized_exact_groups
+
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    clone = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.upper(F.col("text")), " ", "  "), F.lit(" !!")
+        ).alias("text"),
+    )
+    return dedup_normalized_exact_groups(d.unionByName(clone), "text", "doc_id")
+
+
+@query(
+    "text_entropy_gate",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ), cnt AS (
+        SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM ch GROUP BY doc_id, c
+    ), tot AS (
+        SELECT doc_id, SUM(n) AS t, CAST(COUNT(*) AS BIGINT) AS dc
+        FROM cnt GROUP BY doc_id
+    ), h AS (
+        SELECT cnt.doc_id, -SUM((cnt.n / tot.t) * ln(cnt.n / tot.t)) AS ent
+        FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
+    )
+    SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+           tot.dc AS n_distinct_chars,
+           ROUND(h.ent, 6) AS entropy,
+           (h.ent < 2.5) AS low_entropy
+    FROM documents d JOIN tot USING (doc_id) JOIN h ON h.doc_id = d.doc_id
+    """,
+)
+def text_entropy_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-entropy gibberish gate (sub-word degeneracy detector —
+    the signal Gopher/C4 word rules can't see). Zero-shuffle: chars,
+    per-char counts, and the -Σ p·ln p fold are all per-row
+    higher-order array expressions inside the scan stage. See
+    operators/curation.py char_entropy."""
+    from graphdbetl_spark.operators.curation import char_entropy
+
+    return char_entropy(T(spark, sf, "documents"), "text", "doc_id", low=2.5)
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_slice(toks, 1, len(toks) - 1)) AS a,
+               unnest(list_slice(toks, 2, len(toks))) AS b
+        FROM t WHERE len(toks) >= 2
+    ), c2 AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY a, b
+    ), c1 AS (
+        SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY a
+    ), v AS (
+        SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v
+        FROM (SELECT a AS tk FROM c2 UNION ALL SELECT b FROM c2)
+    )
+    SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE))), 6)
+               AS mean_logprob
+    FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM quality score (Laplace-smoothed, corpus-trained) — one
+    order up from text_unigram_logprob toward CCNet's KenLM perplexity
+    filter; catches scrambled word salad that unigram stats cannot.
+    Bigrams form via shifted-array zip in the scan (no token
+    self-join); one partial-agg shuffle builds the LM; the LM-to-corpus
+    join strategy is AQE's. See operators/curation.py bigram_logprob."""
+    from graphdbetl_spark.operators.curation import bigram_logprob
+
+    return bigram_logprob(T(spark, sf, "documents"), "text", "doc_id")

@@ -310,3 +310,44 @@ def shard_manifest_q(spark: SparkSession, sf: str) -> DataFrame:
         token_text_col="text",
         char_count_col="n_chars",
     )
+
+
+@query(
+    "mixture_epochs",
+    oracle="""
+    WITH c AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS d,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS n
+        FROM documents GROUP BY source
+    ), t AS (
+        -- integer-exact total, then double (matches the engine's fold)
+        SELECT CAST(SUM(n) AS DOUBLE) AS N FROM c
+    ), w AS (
+        SELECT source, d, n, sqrt(n / (SELECT N FROM t)) AS w FROM c
+    ), s AS (
+        -- ORDER BY pins the float summation order to the engine's
+        -- sorted left fold (the temperature_sample idiom)
+        SELECT SUM(w ORDER BY source) AS sw FROM w
+    )
+    SELECT w.source, w.d AS n_docs, w.n AS n_tokens,
+           ROUND(w.w / s.sw, 6) AS share,
+           ROUND((SELECT N FROM t) * 2.0 * (w.w / s.sw), 2) AS planned_tokens,
+           ROUND((SELECT N FROM t) * 2.0 * (w.w / s.sw) / w.n, 4) AS epochs
+    FROM w, s
+    """,
+)
+def mixture_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture planner: per-source token masses →
+    temperature-flattened target shares → planned token draws and
+    repeat factors (epochs) under a 2× token budget — the LLaMA-style
+    source-weighting sheet, produced as one aggregation plus a sorted
+    one-row fold (no window, no second corpus pass).
+    mixture_upsample executes the resulting factors. See
+    operators/sampling.py mixture_epoch_plan."""
+    from graphdbetl_spark.operators.sampling import mixture_epoch_plan
+
+    return mixture_epoch_plan(
+        T(spark, sf, "documents"), "text", "source", alpha=0.5, budget_factor=2.0
+    )

@@ -99,6 +99,9 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_chunk_pack", "graph_degree_stats", "graph_triangle_count",
     "graph_two_hop", "graph_pagerank", "stream_interval_join",
     # --- ~driver budget line (55 oracle-backed above) ---
+    # r4 additions (oracle-backed; next rotation's slate candidates)
+    "dedup_normalized_exact", "dedup_url_canonical", "text_entropy_gate",
+    "curation_gopher_filter", "text_bigram_logprob", "mixture_epochs",
     # rows-only never-attested (weaker check, lowest rotation priority)
     "embedding_pca_project", "bpe_learn_merges", "bpe_tokenize_corpus",
     "dedup_minhash", "dedup_simhash", "sim_ivf_topk", "sim_lsh_topk",

@@ -235,9 +235,9 @@ def test_driver_priority_slate():
     """The first 50 registry entries — the driver's per-round
     correctness budget — must all be oracle-checked (rows-only entries
     would spend a driver-verdict slot on a weaker check) and, for
-    round 3, must be drawn from the queries no driver CORRECTNESS file
-    has ever attested (r2 verdict ask #1: rounds 1+2 covered 96
-    distinct; rotate the rest in)."""
+    round 4, must be drawn from the queries no driver CORRECTNESS file
+    (r1-r3) has ever attested — continuing the rotation that makes
+    every registry entry driver-attested over the rounds."""
     import json
     from pathlib import Path
 
@@ -249,16 +249,18 @@ def test_driver_priority_slate():
     assert all(name in oracles for name in qs[:50])
     root = Path(__file__).resolve().parent.parent
     attested: set[str] = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for f in (
+        "CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"
+    ):
         p = root / f
         if p.exists():
             attested |= set(json.loads(p.read_text()))
     if attested:
         assert not attested & set(qs[:50]), "slate wastes slots on attested queries"
     for must_have in (
-        "bpe_pair_counts", "dedup_incremental", "dedup_embedding_lsh_blocked",
-        "sql_frontend_q6", "retention_cohorts", "node_upsert",
-        "win_range_frame", "agg_bitwise", "map_funcs2",
+        "text_unigram_logprob", "dedup_semantic_clusters", "sketch_countmin_md5",
+        "dedup_audio_fingerprint", "pipeline_training_order", "graph_kcore",
+        "sim_pq_recall_floor", "scan_orc", "agg_stats",
     ):
         assert must_have in _PRIORITY[:50]
 
