@@ -68,6 +68,18 @@ HEADLINE = [
     "dedup_image_hamming",
     # the composed end product: quality ∩ mixture → epochs → order
     "pipeline_training_order",
+    # r4 additions: normalized-exact dedup tier, URL canonicalization
+    # dedup, char-entropy gate, Gopher rules, bigram-LM scoring, and
+    # the mixture epoch planner — benched cold like every new family.
+    "dedup_normalized_exact",
+    "dedup_url_canonical",
+    "text_entropy_gate",
+    "curation_gopher_filter",
+    "text_bigram_logprob",
+    "mixture_epochs",
+    # distributed LR training loop (10 GD rounds, driver sees only the
+    # 5-float gradient per round) — the iterative-operator representative
+    "train_quality_classifier",
 ]
 
 

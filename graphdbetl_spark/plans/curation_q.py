@@ -480,3 +480,24 @@ def dedup_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.concat(F.lit("https://"), base, F.lit(":443/docs/"), k))
     )
     return dedup_url_groups(d.select("doc_id", url.alias("url")), "url", "doc_id")
+
+
+from graphdbetl_spark.operators.curation import logreg_train_oracle_sql as _lr_sql
+
+
+@query("train_quality_classifier", oracle=_lr_sql(iters=10, lr=0.5))
+def train_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAIN the corpus quality classifier: 10 rounds of distributed
+    batch gradient descent for logistic regression over four portable
+    text features against a deterministic weak label — the training
+    half of the fastText-style filter whose inference half is
+    text_quality_classifier. One cached feature scan; each round is a
+    single map-side-combined 5-sum aggregation (driver sees only the
+    gradient). The ORACLE REPLAYS THE WHOLE TRAJECTORY as 10 unrolled
+    CTE gradient steps, not just the final score. See
+    operators/curation.py logreg_train_quality."""
+    from graphdbetl_spark.operators.curation import logreg_train_quality
+
+    return logreg_train_quality(
+        T(spark, sf, "documents"), "text", "doc_id", iters=10, lr=0.5
+    )

@@ -145,3 +145,43 @@ def test_mixture_epoch_plan_budget_identity(spark):
     assert rows["small"]["epochs"] == pytest.approx(
         2.0 * total * (1 - q_big) / n_small, abs=1e-3
     )
+
+
+def test_logreg_train_matches_numpy_reference(spark):
+    import numpy as np
+
+    from graphdbetl_spark.operators.curation import logreg_train_quality
+
+    texts = [
+        (i, " ".join(f"w{j % 7}" for j in range((i % 5 + 1) * 60)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r["feature"]: r["weight"] for r in
+           logreg_train_quality(df, "text", "doc_id", iters=10, lr=0.5).collect()}
+
+    # plain-numpy replay of the same features + GD loop
+    feats, ys = [], []
+    for _, t in texts:
+        toks = t.split()
+        n = len(toks)
+        feats.append([
+            n / 100.0,
+            sum(len(w) for w in toks) / n / 10.0,
+            sum(1 for w in toks if any(c.isalpha() for c in w)) / n,
+            len(set(toks)) / n,
+        ])
+        ys.append(1.0 if n > 200 else 0.0)
+    x = np.hstack([np.ones((len(feats), 1)), np.array(feats)])
+    y = np.array(ys)
+    w = np.zeros(5)
+    for _ in range(10):
+        p = 1.0 / (1.0 + np.exp(-(x @ w)))
+        w = w - 0.5 * (x.T @ (p - y)) / len(y)
+    for k, name in enumerate(
+        ["bias", "x1_words", "x2_wordlen", "x3_alpha", "x4_ttr"]
+    ):
+        assert got[name] == pytest.approx(w[k], abs=1e-5), name
+    # the weak label is learnable: post-training loss beats iteration 0
+    p = 1.0 / (1.0 + np.exp(-(x @ w)))
+    assert np.mean((p > 0.5) == (y > 0.5)) >= 0.75
