@@ -497,3 +497,96 @@ def pipeline_training_order(spark: SparkSession, sf: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+def _quality_report_oracle() -> str:
+    """Oracle for pipeline_quality_report, composed from the r4
+    component oracles fetched from the registry at import (the
+    pipeline_hygiene_report pattern: a component fix propagates here
+    automatically)."""
+    from graphdbetl_spark.plans import curation_q, llm_q  # noqa: F401  (register)
+    from graphdbetl_spark.plans.registry import REGISTRY
+
+    norm = REGISTRY["dedup_normalized_exact"].oracle
+    url = REGISTRY["dedup_url_canonical"].oracle
+    ent = REGISTRY["text_entropy_gate"].oracle
+    gopher = REGISTRY["curation_gopher_filter"].oracle
+    bigram = REGISTRY["text_bigram_logprob"].oracle
+    return f"""
+    SELECT 'normalized_dup_docs' AS metric,
+           CAST(SUM(dup_count) - COUNT(*) AS BIGINT) AS value
+    FROM ({norm})
+    UNION ALL
+    SELECT 'url_dup_docs' AS metric,
+           CAST(SUM(dup_count) - COUNT(*) AS BIGINT) AS value
+    FROM ({url})
+    UNION ALL
+    SELECT 'low_entropy_docs' AS metric,
+           CAST(SUM(CASE WHEN low_entropy THEN 1 ELSE 0 END) AS BIGINT) AS value
+    FROM ({ent})
+    UNION ALL
+    SELECT 'gopher_failed_docs' AS metric,
+           CAST(SUM(CASE WHEN passes THEN 0 ELSE 1 END) AS BIGINT) AS value
+    FROM ({gopher})
+    UNION ALL
+    SELECT 'word_salad_docs' AS metric,
+           CAST(SUM(CASE WHEN mean_logprob < -4.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS value
+    FROM ({bigram})
+    """
+
+
+@query("pipeline_quality_report", oracle=_quality_report_oracle())
+def pipeline_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality dashboard over the r4 cleaning tiers: one (metric,
+    value) row each for normalized-exact dup surplus, canonical-URL
+    dup surplus, low-entropy (gibberish) docs, Gopher-rule failures,
+    and bigram-LM word-salad docs (mean ln P < -4) — composed from the
+    SAME operator plans (and component SQL on the oracle side) as the
+    individual queries. Five independent one-row subplans, no
+    cross-tier shuffle; the sibling of pipeline_hygiene_report for the
+    round-4 tier set."""
+    from graphdbetl_spark.plans.curation_q import (
+        curation_gopher_filter,
+        dedup_url_canonical,
+    )
+    from graphdbetl_spark.plans.llm_q import (
+        dedup_normalized_exact,
+        text_bigram_logprob,
+        text_entropy_gate,
+    )
+
+    one = lambda name, df: df.select(  # noqa: E731
+        F.lit(name).alias("metric"), F.col("value").cast("long").alias("value")
+    )
+    norm = one(
+        "normalized_dup_docs",
+        dedup_normalized_exact(spark, sf).agg(
+            (F.sum("dup_count") - F.count(F.lit(1))).alias("value")
+        ),
+    )
+    url = one(
+        "url_dup_docs",
+        dedup_url_canonical(spark, sf).agg(
+            (F.sum("dup_count") - F.count(F.lit(1))).alias("value")
+        ),
+    )
+    ent = one(
+        "low_entropy_docs",
+        text_entropy_gate(spark, sf).agg(
+            F.sum(F.col("low_entropy").cast("long")).alias("value")
+        ),
+    )
+    gopher = one(
+        "gopher_failed_docs",
+        curation_gopher_filter(spark, sf).agg(
+            F.sum((~F.col("passes")).cast("long")).alias("value")
+        ),
+    )
+    salad = one(
+        "word_salad_docs",
+        text_bigram_logprob(spark, sf).agg(
+            F.sum((F.col("mean_logprob") < -4.0).cast("long")).alias("value")
+        ),
+    )
+    return norm.unionAll(url).unionAll(ent).unionAll(gopher).unionAll(salad)

@@ -137,3 +137,70 @@ def start_streaming_neardup_screen(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_quality_gate(
+    doc_stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    pass_path: str,
+    reject_path: str,
+    checkpoint: str,
+    entropy_low: float = 2.5,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming ingest-time quality gate: route arriving documents by
+    the stateless rule tiers — Gopher word rules AND the character-
+    entropy gibberish gate — into ``pass_path`` / ``reject_path``.
+    Rejected rows carry a ``reject_reason`` audit column ('gopher',
+    'low_entropy', or 'gopher+low_entropy').
+
+    This is the cheap FIRST gate of a streaming corpus pipeline (both
+    rules are per-row scan-stage expressions — zero shuffle, zero
+    reference state), so it runs ahead of the stateful screens
+    (decontamination, near-dup) and sheds junk before they pay for it.
+    Both sinks commit through :func:`write_batch_exactly_once`
+    (exactly-once effect under crash/replay, the shared contract of
+    every router here).
+    """
+    from graphdbetl_spark.operators.curation import char_entropy, gopher_quality
+    from graphdbetl_spark.streaming.txn_sink import write_batch_exactly_once
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        g = gopher_quality(batch, text_col, id_col).select(id_col, "passes")
+        e = char_entropy(batch, text_col, id_col, low=entropy_low).select(
+            id_col, "low_entropy"
+        )
+        routed = (
+            batch.join(g, id_col).join(e, id_col)
+            .withColumn(
+                "reject_reason",
+                F.concat_ws(
+                    "+",
+                    F.when(~F.col("passes"), F.lit("gopher")),
+                    F.when(F.col("low_entropy"), F.lit("low_entropy")),
+                ),
+            )
+            .cache()
+        )
+        ok = F.col("passes") & ~F.col("low_entropy")
+        try:
+            write_batch_exactly_once(
+                routed.filter(ok).drop("passes", "low_entropy", "reject_reason"),
+                batch_id,
+                pass_path,
+            )
+            write_batch_exactly_once(
+                routed.filter(~ok).drop("passes", "low_entropy"),
+                batch_id,
+                reject_path,
+            )
+        finally:
+            routed.unpersist()
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -265,3 +265,48 @@ def test_streaming_neardup_screen_routes_batches(spark, tmp_path):
         for r in minhash_incremental_md5(corpus, all_docs, "text", "doc_id").collect()
     }
     assert got_dup == {d for d, v in flags.items() if v}
+
+
+def test_streaming_quality_gate_routes_and_audits(spark, tmp_path):
+    from graphdbetl_spark.streaming.curation import start_streaming_quality_gate
+
+    src = str(tmp_path / "qg_src")
+    ok = str(tmp_path / "qg_pass")
+    bad = str(tmp_path / "qg_reject")
+    ckpt = str(tmp_path / "qg_ck")
+    os.makedirs(src)
+
+    schema = "doc_id long, text string"
+    good = ("the quick brown fox jumps over and over with many fine words " * 5).strip()
+    gibberish = "a" * 400  # word count 1 AND entropy 0
+    # no stopwords but char-diverse (entropy 3.2 > 2.5): fails ONLY gopher
+    salad = " ".join(
+        "".join(chr(97 + (i * 5 + j * 3) % 26) for j in range(6)) for i in range(80)
+    )
+
+    def add_file(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        for f in os.listdir(str(tmp_path / name)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(str(tmp_path / name), f),
+                            os.path.join(src, f"{name}.parquet"))
+
+    add_file([(1, good), (2, gibberish)], "q1")
+    q = start_streaming_quality_gate(
+        spark.readStream.schema(schema).parquet(src),
+        "text", "doc_id", ok, bad, ckpt,
+    )
+    q.awaitTermination(120)
+    add_file([(3, salad), (4, good)], "q2")
+    q2 = start_streaming_quality_gate(
+        spark.readStream.schema(schema).parquet(src),
+        "text", "doc_id", ok, bad, ckpt,
+    )
+    q2.awaitTermination(120)
+
+    got_ok = {r.doc_id for r in spark.read.parquet(ok).collect()}
+    rej = {r.doc_id: r.reject_reason for r in spark.read.parquet(bad).collect()}
+    assert got_ok == {1, 4}
+    assert rej[2] == "gopher+low_entropy"
+    assert rej[3] == "gopher"
