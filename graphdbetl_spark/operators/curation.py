@@ -822,9 +822,9 @@ def dedup_url_groups(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
 LOGREG_FEATURES: tuple[str, ...] = ("bias", "x1_words", "x2_wordlen", "x3_alpha", "x4_ttr")
 
 
-def logreg_train_quality(
+def _logreg_fit(
     df: DataFrame, text_col: str, id_col: str, iters: int = 10, lr: float = 0.5
-) -> DataFrame:
+) -> list[float]:
     """TRAIN the quality classifier, distributed: batch gradient
     descent for logistic regression over four portable text features
     (scaled word count, scaled mean word length, alphabetic-word
@@ -885,6 +885,15 @@ def logreg_train_quality(
             w = [w[k] - lr * row[k] / n_rows for k in range(5)]
     finally:
         feats.unpersist()
+    return w
+
+
+def logreg_train_quality(
+    df: DataFrame, text_col: str, id_col: str, iters: int = 10, lr: float = 0.5
+) -> DataFrame:
+    """Weight-table form of :func:`_logreg_fit` (docstring above):
+    (feature, weight) rows, weights rounded to 6 for oracle replay."""
+    w = _logreg_fit(df, text_col, id_col, iters, lr)
     spark = df.sparkSession
     return spark.createDataFrame(
         [(name, round(wk, 6)) for name, wk in zip(LOGREG_FEATURES, w)],
@@ -934,3 +943,67 @@ def logreg_train_oracle_sql(iters: int = 10, lr: float = 0.5) -> str:
     UNION ALL SELECT 'x3_alpha', ROUND(w3, 6) FROM w{iters}
     UNION ALL SELECT 'x4_ttr', ROUND(w4, 6) FROM w{iters}"""
     return head + "".join(steps) + tail
+
+
+def logreg_score_trained(
+    df: DataFrame, text_col: str, id_col: str, weights: list[float]
+) -> DataFrame:
+    """INFERENCE half of the trained classifier: score every document
+    with sigmoid(w·x) over the same four features the trainer used —
+    weights arrive as plan literals, so scoring is a zero-shuffle
+    scan-stage projection (the 100 TB deployment shape: train on a
+    sample, score the corpus). Returns (id_col, quality_prob, keep)
+    with prob rounded to 6 and keep = prob >= 0.5."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+    )
+    x = [
+        n / F.lit(100.0),
+        total_len / n / F.lit(10.0),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n,
+        F.size(F.array_distinct(toks)) / n,
+    ]
+    z = F.lit(weights[0])
+    for j in range(4):
+        z = z + F.lit(weights[j + 1]) * x[j]
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.filter(n > 0).select(
+        F.col(id_col),
+        F.round(p, 6).alias("quality_prob"),
+        (p >= 0.5).alias("keep"),
+    )
+
+
+def logreg_train_score_oracle_sql(iters: int = 10, lr: float = 0.5) -> str:
+    """Oracle for the composed train→score pipeline: the unrolled
+    training CTEs of :func:`logreg_train_oracle_sql` feed a final
+    scoring select over the SAME feature CTE — end-to-end replay of
+    fit + inference."""
+    train = logreg_train_oracle_sql(iters, lr)
+    # reuse everything up to the final weight CTE; replace the
+    # weight-emitting tail with a doc-scoring select
+    cut = train.rindex(f"\n    SELECT 'bias'")
+    head = train[:cut]
+    return head + f"""
+    , fd AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), fx AS (
+        SELECT doc_id,
+               CAST(len(toks) AS DOUBLE) / 100.0 AS x1,
+               list_sum(list_transform(toks, x -> len(x)))
+                   / CAST(len(toks) AS DOUBLE) / 10.0 AS x2,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                   / CAST(len(toks) AS DOUBLE) AS x3,
+               len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS x4
+        FROM fd WHERE len(toks) > 0
+    )
+    SELECT fx.doc_id,
+           ROUND(1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2
+                                    + w.w3 * x3 + w.w4 * x4))), 6)
+               AS quality_prob,
+           (1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2
+                               + w.w3 * x3 + w.w4 * x4))) >= 0.5) AS keep
+    FROM fx, w{iters} w"""

@@ -501,3 +501,27 @@ def train_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     return logreg_train_quality(
         T(spark, sf, "documents"), "text", "doc_id", iters=10, lr=0.5
     )
+
+
+from graphdbetl_spark.operators.curation import (  # noqa: E402
+    logreg_train_score_oracle_sql as _lrs_sql,
+)
+
+
+@query("score_quality_trained", oracle=_lrs_sql(iters=10, lr=0.5))
+def score_quality_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end train→score: fit the quality classifier (10 GD
+    rounds, driver sees only gradients) and score EVERY document with
+    the learned weights as plan literals — zero-shuffle scan-stage
+    inference, the deployment shape (train on a sample, score the
+    corpus). The oracle replays fit AND inference: unrolled gradient
+    CTEs feeding a scoring select. See operators/curation.py
+    _logreg_fit / logreg_score_trained."""
+    from graphdbetl_spark.operators.curation import (
+        _logreg_fit,
+        logreg_score_trained,
+    )
+
+    d = T(spark, sf, "documents")
+    w = _logreg_fit(d, "text", "doc_id", iters=10, lr=0.5)
+    return logreg_score_trained(d, "text", "doc_id", w)
