@@ -2341,7 +2341,10 @@ def dedup_normalized_exact(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id, SUM(n) AS t, CAST(COUNT(*) AS BIGINT) AS dc
         FROM cnt GROUP BY doc_id
     ), h AS (
-        SELECT cnt.doc_id, -SUM((cnt.n / tot.t) * ln(cnt.n / tot.t)) AS ent
+        -- 0.0 - SUM(...) not -SUM(...): a single-char-class doc sums to
+        -- +0.0 and bare negation emits -0.0, which hash-mismatches the
+        -- engine's +0.0 under repr-based value normalization
+        SELECT cnt.doc_id, 0.0 - SUM((cnt.n / tot.t) * ln(cnt.n / tot.t)) AS ent
         FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
     )
     SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
