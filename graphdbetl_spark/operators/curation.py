@@ -864,13 +864,15 @@ def _logreg_fit(
         .cache()
     )
     try:
-        n_rows = feats.count()
         w = [0.0] * 5
         for _ in range(iters):
             z = F.lit(w[0])
             for j in range(4):
                 z = z + F.lit(w[j + 1]) * F.col(f"x{j + 1}")
             e = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")).alias("e")
+            # N rides along in the gradient aggregation (one job per
+            # round, total iters jobs — no separate count() job; the
+            # first round's agg also materializes the feature cache)
             row = (
                 feats.select(e, "x1", "x2", "x3", "x4")
                 .agg(
@@ -879,10 +881,11 @@ def _logreg_fit(
                     F.sum(F.col("e") * F.col("x2")).alias("g2"),
                     F.sum(F.col("e") * F.col("x3")).alias("g3"),
                     F.sum(F.col("e") * F.col("x4")).alias("g4"),
+                    F.count(F.lit(1)).alias("n"),
                 )
                 .first()
             )
-            w = [w[k] - lr * row[k] / n_rows for k in range(5)]
+            w = [w[k] - lr * row[k] / row["n"] for k in range(5)]
     finally:
         feats.unpersist()
     return w
