@@ -257,3 +257,34 @@ def test_temperature_sample_rate_invariants(spark, strata):
         (only,) = strata
         assert rates.get(only, 1_000_000) == 1_000_000
         assert out.count() == len(rows)
+
+
+def test_url_canonicalization_idempotent_batch(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a
+    generated cross-product of scheme/host/port/path/query/fragment
+    variants (320 URLs) — a canonicalizer that isn't idempotent
+    produces different dedup groups on recrawl of its own output."""
+    from graphdbetl_spark.operators.curation import canonicalize_url
+
+    schemes = ["http", "HTTP", "https"]
+    hosts = ["Ex.COM", "www.ex.com", "A.b.C.de"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a/b", "/A/b/"]
+    queries = ["", "?utm_source=x", "?id=7&utm_medium=y", "?utm_a=1&utm_b=2"]
+    frags = ["", "#x"]
+    urls = [
+        f"{s}://{h}{po}{pa}{q}{fr}"
+        for s in schemes for h in hosts for po in ports[:2]
+        for pa in paths for q in queries for fr in frags[:1]
+    ] + [
+        f"https://{h}{po}{pa}{q}{fr}"
+        for h in hosts[:2] for po in (":443", ":8443") for pa in paths[:3]
+        for q in queries[:2] for fr in frags
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "url"])
+    once = df.select("i", canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "i", "c1", canonicalize_url(F.col("c1")).alias("c2")
+    )
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], bad[:5]
