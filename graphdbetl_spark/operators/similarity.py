@@ -953,3 +953,40 @@ def ivfpq_load_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     codebooks = spark.read.parquet(os.path.join(path, "codebooks"))
     return cells, centroids, codebooks
+
+
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Exact cosine RANGE search (the FAISS ``range_search`` surface,
+    complementing the top-k family): every corpus vector within the
+    similarity radius of each query, not a fixed-k cut. Queries are
+    broadcast; the corpus streams ONCE through a codegen'd dot-product
+    scan and the radius filter runs inside it — no window, no top-k
+    state, output size is data-dependent by definition. Linear in
+    |corpus|·|queries| like any exact multi-query scan: right while
+    the query batch is bounded; for query sets that grow with the
+    corpus, block both sides with the hyperplane-bucket machinery
+    (dedup_embedding_lsh_blocked) instead.
+    Returns (query_id, neighbor_id, cosine rounded 6), self-pairs
+    excluded."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+        .join(q, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            "query_id", "neighbor_id", F.round("__cos", 6).alias("cosine")
+        )
+    )

@@ -2401,3 +2401,29 @@ def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     from graphdbetl_spark.operators.curation import bigram_logprob
 
     return bigram_logprob(T(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "sim_range_search",
+    oracle="""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(
+               list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+    FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE list_cosine_similarity(
+              list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(c.embedding, x -> CAST(x AS DOUBLE))) >= 0.25
+    """,
+)
+def sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine RANGE search (FAISS range_search surface): all
+    corpus vectors within similarity radius 0.25 of each query
+    (vec_id % 100 == 0), broadcast queries × one codegen'd corpus
+    scan. See operators/similarity.py cosine_range_search."""
+    from graphdbetl_spark.operators.similarity import cosine_range_search
+
+    e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return cosine_range_search(e, q, "vec_id", "embedding", threshold=0.25)

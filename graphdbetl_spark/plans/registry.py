@@ -103,7 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_normalized_exact", "dedup_url_canonical", "text_entropy_gate",
     "curation_gopher_filter", "text_bigram_logprob", "mixture_epochs",
     "train_quality_classifier", "pipeline_quality_report",
-    "score_quality_trained",
+    "score_quality_trained", "sim_range_search",
     # rows-only never-attested (weaker check, lowest rotation priority)
     "embedding_pca_project", "bpe_learn_merges", "bpe_tokenize_corpus",
     "dedup_minhash", "dedup_simhash", "sim_ivf_topk", "sim_lsh_topk",
