@@ -80,6 +80,8 @@ HEADLINE = [
     # distributed LR training loop (10 GD rounds, driver sees only the
     # 5-float gradient per round) — the iterative-operator representative
     "train_quality_classifier",
+    # exact cosine range search (broadcast queries, in-scan radius filter)
+    "sim_range_search",
 ]
 
 
