@@ -68,6 +68,15 @@ def main() -> int:
         with open(log, "a") as f:
             f.write(line + "\n")
         print(line, flush=True)
+        # queries cache()/localCheckpoint() freely for their own plan;
+        # across a 200-query campaign those pin the heap cumulatively
+        # (pagerank OOM'd after triangle-count's cached edges) — drop
+        # everything between queries
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
     return 0
 
 
