@@ -149,12 +149,30 @@ def sql_frontend_q3(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_Q3_SQL)
 
 
+# Money sums accumulate as DECIMAL (exact under any partial-agg order
+# at any scale): the float-sum form diverged from the oracle at the
+# 30x replica (sums ~1e10 over 4.5M rows/group outrun a 1e-4 grid).
+# The per-row products are exact in double (<= 6 decimals, scaled
+# magnitude < 2^53), so the DECIMAL cast is bit-identical on both
+# engines -- the agg_hash treatment applied to the shared SQL text.
+# The exact totals then ROUND(…, 2) IN DECIMAL before the double
+# cast: a 6-decimal total at 1e10 magnitude is 1e16 scaled units --
+# beyond 2^53, where decimal->double conversion itself differs by
+# 1 ulp between engines. ROUND (ties away from zero on both; a bare
+# decimal RESCALE CAST is half-EVEN in DuckDB and diverges on exact
+# half-cents) drops the scale to 2, where the conversion is exact-int
+# + one divide on both sides through sf ~3000x.
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_charge,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -634,8 +652,11 @@ def scan_text(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.text(out)
 
 
+# DECIMAL accumulation for the same reason as _Q1_SQL: a single
+# whole-fact revenue sum outruns fixed-decimal rounding at 30x.
 _Q19_SQL = """
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity >= 1 AND l.l_quantity <= 20)
