@@ -386,8 +386,11 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# DECIMAL accumulation (the _Q1_SQL treatment): this whole-fact money
+# sum diverged from the oracle at the 30x replica.
 _Q17_SQL = """
-SELECT ROUND(SUM(l.l_extendedprice), 4) AS total_price,
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem l
 WHERE l.l_quantity < (

@@ -33,12 +33,18 @@ def _views(spark: SparkSession, sf: str, *tables: str) -> None:
         T(spark, sf, t).createOrReplaceTempView(t)
 
 
+# DECIMAL accumulation + ROUND-in-decimal (the _Q1_SQL treatment):
+# the per-year revenue sums diverged from the oracle at the 30x
+# replica (magnitudes ~1e9 outrun a 1e-4 float-rounding grid).
 _Q8_SQL = """
 SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
-       ROUND(SUM(CASE WHEN ns.n_name = 'NATION_5'
-                      THEN l.l_extendedprice * (1 - l.l_discount)
-                      ELSE 0 END), 4) AS nation_revenue,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue
+       CAST(ROUND(SUM(CASE WHEN ns.n_name = 'NATION_5'
+                           THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+           AS nation_revenue,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
