@@ -433,11 +433,17 @@ def sql_frontend_q4(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_Q4_SQL)
 
 
+# DECIMAL accumulation + decimal ROUND to cents (the _Q1_SQL
+# treatment): these month-window revenue sums diverged at the 100x
+# replica.
 _Q14_SQL = """
-SELECT ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-                      THEN l.l_extendedprice * (1 - l.l_discount)
-                      ELSE 0 END), 4) AS promo_revenue,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
+SELECT CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+           AS promo_revenue,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-04-01'

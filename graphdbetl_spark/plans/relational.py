@@ -208,7 +208,8 @@ def join_fk_inner(spark: SparkSession, sf: str) -> DataFrame:
     "join_bridge",
     oracle="""
     SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -228,7 +229,19 @@ def join_bridge(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            # DECIMAL accumulation + decimal ROUND to cents (the
+            # _Q1_SQL treatment): per-brand float sums at ~2e10
+            # outran the 1e-4 grid at the 100x replica
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -449,7 +462,7 @@ def join_cross(spark: SparkSession, sf: str) -> DataFrame:
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
                 AS DOUBLE) AS sum_disc_price,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                  / COUNT(*), 4) AS avg_qty,
