@@ -444,17 +444,23 @@ def agg_percentile_exact(spark: SparkSession, sf: str) -> DataFrame:
     "agg_decimal",
     oracle="""
     SELECT o_orderstatus,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS exact_total
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS exact_total
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def agg_decimal(spark: SparkSession, sf: str) -> DataFrame:
     """Exact money aggregation in DecimalType: deterministic regardless
     of partial-aggregation order — the correct choice for financial
-    sums at any scale (float sums drift with shuffle order)."""
+    sums at any scale (float sums drift with shuffle order). The SUM
+    accumulates in decimal; only the final per-group result is
+    canonicalized to DOUBLE (the _Q1_SQL treatment) so both engines
+    render the identical value — r4's sole driver-hash mismatch was a
+    DecimalType rendering gap, not a value divergence."""
     o = T(spark, sf, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("exact_total")
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("exact_total")
     )
 
 

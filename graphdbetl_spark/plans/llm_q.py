@@ -2287,7 +2287,7 @@ def text_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "dedup_normalized_exact",
-    oracle="""
+    oracle=r"""
     WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
