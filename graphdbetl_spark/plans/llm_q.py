@@ -617,8 +617,16 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf: str) -> DataFrame:
     cardinality is fixed while rows grow. Appropriate only at test
     scale or as a recall oracle for the blocked default; at corpus
     scale call dedup_embedding_cosine (hyperplane-blocked). Same gate
-    rationale as join_cross."""
-    e = T(spark, sf, "embeddings")
+    rationale as join_cross. A hard input cap (operators/guards.py)
+    raises before the all-pairs join exists, so the quadratic shape is
+    unreachable at corpus scale."""
+    from graphdbetl_spark.operators.guards import require_bounded_input
+
+    e = require_bounded_input(
+        T(spark, sf, "embeddings"),
+        "dedup_embedding_cosine_exact",
+        "dedup_embedding_cosine",
+    )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), _dvec(F.col("embedding")).alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), _dvec(F.col("embedding")).alias("vb"))
     cos = cosine_similarity(F.col("va"), F.col("vb"))

@@ -32,8 +32,16 @@ def dedup_embedding_keep(spark: SparkSession, sf: str) -> DataFrame:
     """Semantic (embedding-cosine) dedup keep-list: drop any vector
     dominated by a smaller-id vector with cosine ≥ 0.35 within its
     label block — min-id-survives, no iteration. The label block stands
-    in for LSH/IVF buckets at scale."""
-    e = T(spark, sf, "embeddings")
+    in for LSH/IVF buckets at scale; a hard input cap
+    (operators/guards.py) keeps the all-pairs shape unreachable beyond
+    oracle scale — use dedup_embedding_keep_blocked at corpus scale."""
+    from graphdbetl_spark.operators.guards import require_bounded_input
+
+    e = require_bounded_input(
+        T(spark, sf, "embeddings"),
+        "dedup_embedding_keep",
+        "dedup_embedding_keep_blocked",
+    )
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), dv.alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), dv.alias("vb"))
