@@ -624,7 +624,11 @@ def char_entropy(
     oracle's group order differ only in ~1e-15 accumulation noise)."""
     df = ensure_scan_parallelism(df, id_col)
     ch = F.split(F.col(text_col), "")
-    n = F.size(ch)
+    # split('','') yields [''] — size 1 — so an empty document would
+    # report n_chars=1 and count '' as a character, diverging from the
+    # oracle's len(text)=0 (r4 ADVICE). length() is the ground truth;
+    # every degenerate stat short-circuits on it below.
+    n = F.length(F.col(text_col))
     sc = F.array_sort(ch)
     init = F.struct(
         F.lit(None).cast("string").alias("p"),
@@ -646,10 +650,11 @@ def char_entropy(
     ).otherwise(F.lit(0.0))
     ssum = F.aggregate(sc, init, step, close)
     h = F.when(n > 0, F.log(n) - ssum / n).otherwise(F.lit(0.0))
+    n_distinct = F.when(n > 0, F.size(F.array_distinct(ch))).otherwise(F.lit(0))
     return df.select(
         F.col(id_col),
         n.cast("long").alias("n_chars"),
-        F.size(F.array_distinct(ch)).cast("long").alias("n_distinct_chars"),
+        n_distinct.cast("long").alias("n_distinct_chars"),
         F.round(h, 6).alias("entropy"),
         (h < F.lit(low)).alias("low_entropy"),
     )
@@ -793,10 +798,15 @@ def canonicalize_url(url_col: Column) -> Column:
         (scheme == "https"), F.regexp_replace(hostport, ":443$", "")
     ).otherwise(hostport)
     pathq = F.regexp_replace(rest, "^[^/?]*", "")
-    # strip utm params wherever they sit, then mop up separator debris
-    pathq = F.regexp_replace(pathq, "utm_[a-z]+=[^&#]*&?", "")
-    pathq = F.regexp_replace(pathq, "[?&]$", "")
+    # strip utm params only at a [?&] parameter boundary — an
+    # unanchored match would also delete 'utm_...=...' substrings
+    # inside a path segment or another param's value (r4 ADVICE).
+    # Keep the delimiter, then mop up separator debris in a fixed
+    # order: collapse '&' runs, heal '?&', drop a trailing '?'/'&'.
+    pathq = F.regexp_replace(pathq, "([?&])utm_[a-z]+=[^&#]*", "$1")
+    pathq = F.regexp_replace(pathq, "&{2,}", "&")
     pathq = F.regexp_replace(pathq, r"\?&", "?")
+    pathq = F.regexp_replace(pathq, "[?&]$", "")
     path = F.regexp_extract(pathq, "^([^?]*)", 1)
     qs = F.regexp_replace(pathq, "^[^?]*", "")
     path = F.regexp_replace(path, "/$", "")
@@ -904,11 +914,13 @@ def logreg_train_quality(
     )
 
 
-def logreg_train_oracle_sql(iters: int = 10, lr: float = 0.5) -> str:
-    """The unrolled-CTE SQL replay of :func:`logreg_train_quality`:
-    one (g_t, w_{t+1}) CTE pair per gradient step, same feature
-    expressions, same update arithmetic — the full training
-    trajectory is oracle-checked, not just the final score."""
+def _logreg_train_oracle_parts(iters: int = 10, lr: float = 0.5) -> tuple[str, str]:
+    """(trajectory, weight-tail) halves of the training oracle. The
+    trajectory — feature CTE plus one (g_t, w_{t+1}) CTE pair per
+    gradient step — is reused verbatim by the train→score oracle,
+    which appends a scoring select instead of the weight-emitting
+    tail (r4 ADVICE: composing by string-slicing the joined SQL broke
+    on any formatting change, at module import time)."""
     head = """
     WITH t AS (
         SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -945,7 +957,16 @@ def logreg_train_oracle_sql(iters: int = 10, lr: float = 0.5) -> str:
     UNION ALL SELECT 'x2_wordlen', ROUND(w2, 6) FROM w{iters}
     UNION ALL SELECT 'x3_alpha', ROUND(w3, 6) FROM w{iters}
     UNION ALL SELECT 'x4_ttr', ROUND(w4, 6) FROM w{iters}"""
-    return head + "".join(steps) + tail
+    return head + "".join(steps), tail
+
+
+def logreg_train_oracle_sql(iters: int = 10, lr: float = 0.5) -> str:
+    """The unrolled-CTE SQL replay of :func:`logreg_train_quality`:
+    one (g_t, w_{t+1}) CTE pair per gradient step, same feature
+    expressions, same update arithmetic — the full training
+    trajectory is oracle-checked, not just the final score."""
+    trajectory, tail = _logreg_train_oracle_parts(iters, lr)
+    return trajectory + tail
 
 
 def logreg_score_trained(
@@ -984,12 +1005,8 @@ def logreg_train_score_oracle_sql(iters: int = 10, lr: float = 0.5) -> str:
     training CTEs of :func:`logreg_train_oracle_sql` feed a final
     scoring select over the SAME feature CTE — end-to-end replay of
     fit + inference."""
-    train = logreg_train_oracle_sql(iters, lr)
-    # reuse everything up to the final weight CTE; replace the
-    # weight-emitting tail with a doc-scoring select
-    cut = train.rindex(f"\n    SELECT 'bias'")
-    head = train[:cut]
-    return head + f"""
+    trajectory, _tail = _logreg_train_oracle_parts(iters, lr)
+    return trajectory + f"""
     , fd AS MATERIALIZED (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents

@@ -572,6 +572,7 @@ def minhash_incremental_md5(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.6,
+    cache_corpus: bool = False,
 ) -> DataFrame:
     """Incremental NEAR-dup screening of a new ingest batch against an
     existing corpus — the MinHash analogue of exact-digest
@@ -592,9 +593,19 @@ def minhash_incremental_md5(
     Returns one row per batch document: (id_col, is_near_dup,
     n_matches) where n_matches counts distinct corpus documents with
     verified Jaccard ≥ threshold.
+
+    ``cache_corpus`` defaults to False: a ONE-SHOT call would otherwise
+    pin two cached datasets in executor storage with no unpersist hook
+    (r4 ADVICE — the batch side was already uncached); within a single
+    query ReuseExchange dedups the corpus-side ``repartition(id)``
+    across the candidate/verify branches just as it does for the batch
+    side. Callers that genuinely reuse the index across many probe
+    batches should build it once with :func:`_minhash_md5_sig_buckets`
+    (cache=True) and call :func:`minhash_probe_md5` per batch, as the
+    streaming screen does — owning the cache lifetime explicitly.
     """
     sh_c, bk_c = _minhash_md5_sig_buckets(
-        corpus, text_col, id_col, shingle_n, num_hashes, bands
+        corpus, text_col, id_col, shingle_n, num_hashes, bands, cache=cache_corpus
     )
     return minhash_probe_md5(
         sh_c, bk_c, batch, text_col, id_col, shingle_n, num_hashes, bands, threshold

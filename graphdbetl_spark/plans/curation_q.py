@@ -431,9 +431,9 @@ def curation_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
             CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
                  ELSE hostport END AS host,
-            regexp_replace(regexp_replace(regexp_replace(
-                pathq, 'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]$', ''),
-                '\\?&', '?') AS pq
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                pathq, '([?&])utm_[a-z]+=[^&#]*', '\\1', 'g'),
+                '&{2,}', '&', 'g'), '\\?&', '?'), '[?&]$', '') AS pq
         FROM p
     ), canon AS (
         SELECT doc_id,

@@ -44,6 +44,14 @@ def test_canonicalize_url_cases(spark):
         ("https://ex.com:8443/x", "https://ex.com:8443/x"),  # non-default kept
         ("http://ex.com/", "http://ex.com"),
         ("http://ex.com", "http://ex.com"),
+        # utm stripping is anchored to a [?&] boundary (r4 ADVICE):
+        # a param merely *containing* 'utm_...=' is a different param,
+        # and 'utm_' inside a path segment or a value is untouched
+        ("http://ex.com/a?xutm_source=1", "http://ex.com/a?xutm_source=1"),
+        ("http://ex.com/autm_x=1/b", "http://ex.com/autm_x=1/b"),
+        ("http://ex.com/a?id=utm_source=x", "http://ex.com/a?id=utm_source=x"),
+        ("http://ex.com/a?utm_a=1&utm_b=2&c=3", "http://ex.com/a?c=3"),
+        ("http://ex.com/a?utm_a=1&utm_b=2", "http://ex.com/a"),
     ]
     df = spark.createDataFrame(
         [(i, raw) for i, (raw, _) in enumerate(cases)], ["i", "url"]
@@ -86,6 +94,19 @@ def test_char_entropy_extremes(spark):
     assert rows[3]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
     assert rows[3]["low_entropy"]
     assert rows[1]["n_distinct_chars"] == 1 and rows[2]["n_distinct_chars"] == 16
+
+
+def test_char_entropy_empty_text(spark):
+    """split('','') is [''] in Spark — the empty document must still
+    report 0 chars / 0 distinct / entropy 0 like the oracle's
+    len(text)=0 (r4 ADVICE: the gate also screens arbitrary streaming
+    ingest, where empty rows are routine)."""
+    df = spark.createDataFrame([(1, ""), (2, "ab")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in char_entropy(df, "text", "doc_id").collect()}
+    assert rows[1]["n_chars"] == 0
+    assert rows[1]["n_distinct_chars"] == 0
+    assert rows[1]["entropy"] == 0.0 and rows[1]["low_entropy"]
+    assert rows[2]["n_chars"] == 2 and rows[2]["n_distinct_chars"] == 2
 
 
 def test_gopher_quality_rules(spark):
