@@ -386,11 +386,12 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# DECIMAL accumulation (the _Q1_SQL treatment): this whole-fact money
-# sum diverged from the oracle at the 30x replica.
+# Exact scaled-integer accumulation (the _Q1_SQL idiom): this
+# whole-fact money sum diverged from the oracle at the 30x replica as
+# a float sum; a BIGINT cents sum is exact at long-sum cost.
 _Q17_SQL = """
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-           AS total_price,
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total_price,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem l
 WHERE l.l_quantity < (
@@ -433,17 +434,16 @@ def sql_frontend_q4(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_Q4_SQL)
 
 
-# DECIMAL accumulation + decimal ROUND to cents (the _Q1_SQL
-# treatment): these month-window revenue sums diverged at the 100x
-# replica.
+# Exact scaled-integer accumulation (the _Q1_SQL idiom): these
+# month-window revenue sums diverged at the 100x replica as float
+# sums; BIGINT sums of ROUND(product*1e4) are exact at long-sum cost.
 _Q14_SQL = """
-SELECT CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-                           THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                                     AS DECIMAL(18,4))
-                           ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
-           AS promo_revenue,
-       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue,
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                     * 10000) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS total_revenue,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-04-01'

@@ -387,9 +387,10 @@ def er_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sum_l_extendedprice
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_l_quantity,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_l_extendedprice
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -404,15 +405,16 @@ def agg_salted(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY."""
     from graphdbetl_spark.operators.skew import salted_count_sum
 
-    # Decimal sums: bit-exact under ANY partial-aggregation order, so
-    # the salted two-phase split stays hash-identical to the oracle's
-    # single GROUP BY at every scale (a float sum rounded at 4 held to
-    # sf0.01 but diverged at sf0.1's 600k-row accumulation order —
-    # money columns get DecimalType, per the repo-wide rounding rule).
+    # Scaled-integer sums (the _Q1_SQL idiom): bit-exact under ANY
+    # partial-aggregation order, so the salted two-phase split stays
+    # hash-identical to the oracle's single GROUP BY at every scale (a
+    # float sum rounded at 4 held to sf0.01 but diverged at sf0.1's
+    # 600k-row accumulation order). BIGINT cents match r4's decimal
+    # accumulator exactly at a long-adder's cost.
     li = T(spark, sf, "lineitem").withColumns(
         {
-            "l_quantity": F.col("l_quantity").cast("decimal(18,2)"),
-            "l_extendedprice": F.col("l_extendedprice").cast("decimal(18,2)"),
+            "l_quantity": F.round(F.col("l_quantity") * 100).cast("long"),
+            "l_extendedprice": F.round(F.col("l_extendedprice") * 100).cast("long"),
         }
     )
     out = salted_count_sum(
@@ -421,8 +423,8 @@ def agg_salted(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "l_returnflag",
         "n_rows",
-        F.col("sum_l_quantity").cast("double").alias("sum_l_quantity"),
-        F.col("sum_l_extendedprice").cast("double").alias("sum_l_extendedprice"),
+        (F.col("sum_l_quantity").cast("double") / 100.0).alias("sum_l_quantity"),
+        (F.col("sum_l_extendedprice").cast("double") / 100.0).alias("sum_l_extendedprice"),
     )
 
 

@@ -149,29 +149,32 @@ def sql_frontend_q3(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_Q3_SQL)
 
 
-# Money sums accumulate as DECIMAL (exact under any partial-agg order
-# at any scale): the float-sum form diverged from the oracle at the
-# 30x replica (sums ~1e10 over 4.5M rows/group outrun a 1e-4 grid).
-# The per-row products are exact in double (<= 6 decimals, scaled
-# magnitude < 2^53), so the DECIMAL cast is bit-identical on both
-# engines -- the agg_hash treatment applied to the shared SQL text.
-# The exact totals then ROUND(…, 2) IN DECIMAL before the double
-# cast: a 6-decimal total at 1e10 magnitude is 1e16 scaled units --
-# beyond 2^53, where decimal->double conversion itself differs by
-# 1 ulp between engines. ROUND (ties away from zero on both; a bare
-# decimal RESCALE CAST is half-EVEN in DuckDB and diverges on exact
-# half-cents) drops the scale to 2, where the conversion is exact-int
-# + one divide on both sides through sf ~3000x.
+# Money sums accumulate as EXACT SCALED INTEGERS (BIGINT of
+# ROUND(product * 10^d)): exact under any partial-agg order like the
+# r4 DECIMAL(18,d) form that fixed the 30x float divergence, but a
+# plain long-adder instead of a 128-bit decimal accumulator — the
+# decimal form cost 3.3x on this query (BENCH_r04 regression audit).
+# Why it is exact and engine-identical:
+#   - each product has <= d decimals, so product*10^d is within ~1e-5
+#     of an integer; both engines' doubles round to THE SAME BIGINT
+#     (the 0.5 boundary is 4 orders of magnitude away);
+#   - BIGINT sums are exact through 2^63 scaled units (~9e12 dollars
+#     at d=6 — sf ~60000x of this fixture; DuckDB promotes to HUGEINT
+#     and converges with Spark's BIGINT below that bound);
+#   - the final int64 -> double conversion and the divide by 10^d are
+#     single correctly-rounded IEEE ops on identical inputs, so the
+#     rendered doubles match bit-for-bit — no decimal->double
+#     conversion path (which differed by 1 ulp between engines above
+#     2^53) is involved.
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-           AS sum_base_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(18,4))), 2) AS DOUBLE)
-           AS sum_disc_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                           AS DECIMAL(18,6))), 2) AS DOUBLE)
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
            AS sum_charge,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
@@ -664,11 +667,12 @@ def scan_text(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.text(out)
 
 
-# DECIMAL accumulation for the same reason as _Q1_SQL: a single
-# whole-fact revenue sum outruns fixed-decimal rounding at 30x.
+# Exact scaled-integer accumulation for the same reason as _Q1_SQL:
+# a single whole-fact revenue sum outruns fixed-decimal rounding at
+# 30x; a BIGINT sum of ROUND(product*1e4) is exact at long-sum cost.
 _Q19_SQL = """
-SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity >= 1 AND l.l_quantity <= 20)

@@ -208,8 +208,8 @@ def join_fk_inner(spark: SparkSession, sf: str) -> DataFrame:
     "join_bridge",
     oracle="""
     SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -229,19 +229,18 @@ def join_bridge(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            # DECIMAL accumulation + decimal ROUND to cents (the
-            # _Q1_SQL treatment): per-brand float sums at ~2e10
-            # outran the 1e-4 grid at the 100x replica
-            F.round(
+            # exact scaled-integer accumulation (the _Q1_SQL idiom):
+            # per-brand float sums at ~2e10 outran the 1e-4 grid at the
+            # 100x replica; a BIGINT sum of ROUND(product*1e4) is as
+            # exact as r4's decimal accumulator at a long-adder's cost
+            (
                 F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(18,4)"
-                    )
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue"),
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("long")
+                ).cast("double")
+                / 10000.0
+            ).alias("revenue"),
         )
     )
 
@@ -885,8 +884,8 @@ def set_except(spark: SparkSession, sf: str) -> DataFrame:
     ), a AS (
         SELECT k, CAST(COUNT(*) AS BIGINT) AS n_orders FROM o GROUP BY k
     ), b AS (
-        SELECT k, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                      AS high_total
+        SELECT k, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                      / 100.0 AS high_total
         FROM o WHERE o_totalprice > 150000 GROUP BY k
     )
     SELECT a.k, a.n_orders, b.high_total
@@ -906,8 +905,12 @@ def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
     b = (
         o.filter(F.col("o_totalprice") > 150000)
         .groupBy("k")
-        # decimal: order-exact at any scale (float sum diverged at 10x)
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("high_total"))
+        # BIGINT cents: order-exact at any scale at long-sum cost
+        # (float sum diverged at 10x; the _Q1_SQL idiom)
+        .agg(
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+            .alias("high_total")
+        )
     )
     bb = b.select(F.col("k").alias("bk"), "high_total")
     return (

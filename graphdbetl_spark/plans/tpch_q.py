@@ -33,18 +33,20 @@ def _views(spark: SparkSession, sf: str, *tables: str) -> None:
         T(spark, sf, t).createOrReplaceTempView(t)
 
 
-# DECIMAL accumulation + ROUND-in-decimal (the _Q1_SQL treatment):
-# the per-year revenue sums diverged from the oracle at the 30x
-# replica (magnitudes ~1e9 outrun a 1e-4 float-rounding grid).
+# Exact scaled-integer accumulation (the _Q1_SQL idiom, r5): the
+# per-year revenue sums diverged from the oracle at the 30x replica
+# when summed as rounded floats (magnitudes ~1e9 outrun a 1e-4 grid);
+# BIGINT sums of ROUND(product*1e4) are as exact as r4's decimal
+# accumulator — each 4-decimal product scales to within 1e-5 of an
+# integer, identical in both engines — at a long-adder's cost.
 _Q8_SQL = """
 SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
-       CAST(ROUND(SUM(CASE WHEN ns.n_name = 'NATION_5'
-                           THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                                     AS DECIMAL(18,4))
-                           ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
-           AS nation_revenue,
-       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+       CAST(SUM(CASE WHEN ns.n_name = 'NATION_5'
+                     THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                     * 10000) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 10000.0 AS nation_revenue,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS total_revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -185,26 +187,28 @@ def sql_frontend_q13_style(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_Q13_SQL)
 
 
-# revenue accumulates as DECIMAL: the argmax predicate compares
-# across GROUPS, so two suppliers with identical line items must land
-# on the identical total regardless of per-partition accumulation
-# order (float sums broke the tie set on the 10x replica, where every
-# supplier has 9 value-identical clones); the per-row product stays
-# double (same IEEE result on both engines), only the SUM is exact.
+# revenue accumulates as an exact scaled integer (the _Q1_SQL idiom):
+# the argmax predicate compares across GROUPS, so two suppliers with
+# identical line items must land on the identical total regardless of
+# per-partition accumulation order (float sums broke the tie set on
+# the 10x replica, where every supplier has 9 value-identical clones);
+# the per-row product stays double (same IEEE result on both engines),
+# only the SUM is exact — BIGINT units of 1e-6, the argmax compares
+# exact integers, and only the winners' totals are rendered as DOUBLE.
 _Q15_SQL = """
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-               AS total_revenue
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000)
+                    AS BIGINT)) AS total_units
     FROM lineitem
     WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
     GROUP BY l_suppkey
 )
 SELECT s.s_suppkey, s.s_name,
-       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+       CAST(r.total_units AS DOUBLE) / 1000000.0 AS total_revenue
 FROM supplier s
 JOIN revenue r ON s.s_suppkey = r.supplier_no
-WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+WHERE r.total_units = (SELECT MAX(total_units) FROM revenue)
 """
 
 

@@ -232,37 +232,35 @@ def test_join_strategy_hints_are_honored(spark):
 
 
 def test_driver_priority_slate():
-    """The first 50 registry entries — the driver's per-round
-    correctness budget — must all be oracle-checked (rows-only entries
-    would spend a driver-verdict slot on a weaker check) and, for
-    round 4, must be drawn from the queries no driver CORRECTNESS file
-    (r1-r3) has ever attested — continuing the rotation that makes
-    every registry entry driver-attested over the rounds."""
+    """Round-5 rotation contract (r4 verdict #2): the slate leads with
+    the 25 queries no driver CORRECTNESS file (r1-r4) has ever
+    attested — including the rows-only approximate operators, whose
+    weaker driver check is still the durable evidence — followed by
+    agg_decimal for re-attestation after its output canonicalization.
+    Nothing GREEN-attested in r1-r4 may occupy those first 26 slots."""
     import json
     from pathlib import Path
 
-    from graphdbetl_spark.plans.registry import _PRIORITY, all_oracles, all_queries
+    from graphdbetl_spark.plans.registry import _PRIORITY, all_queries
 
-    qs, oracles = list(all_queries()), all_oracles()
+    qs = list(all_queries())
     assert len(_PRIORITY) == len(set(_PRIORITY))
     assert qs[: len(_PRIORITY)] == list(_PRIORITY)  # all registered, in order
-    assert all(name in oracles for name in qs[:50])
     root = Path(__file__).resolve().parent.parent
-    attested: set[str] = set()
-    for f in (
-        "CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"
-    ):
-        p = root / f
-        if p.exists():
-            attested |= set(json.loads(p.read_text()))
-    if attested:
-        assert not attested & set(qs[:50]), "slate wastes slots on attested queries"
+    green: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r0[1-4].json")):
+        for name, rec in json.loads(f.read_text()).items():
+            if rec.get("rows_match") and rec.get("hash_match", True):
+                green.add(name)
+    if green:
+        assert not green & set(qs[:26]), "slate wastes slots on attested queries"
+    assert qs[25] == "agg_decimal"  # red in r4, re-attested right after the 25
     for must_have in (
-        "text_unigram_logprob", "dedup_semantic_clusters", "sketch_countmin_md5",
-        "dedup_audio_fingerprint", "pipeline_training_order", "graph_kcore",
-        "sim_pq_recall_floor", "scan_orc", "agg_stats",
+        "graph_pagerank", "graph_triangle_count", "stream_interval_join",
+        "dedup_url_canonical", "train_quality_classifier", "sim_range_search",
+        "bpe_learn_merges", "dedup_minhash", "sketch_kmv_distinct",
     ):
-        assert must_have in _PRIORITY[:50]
+        assert must_have in _PRIORITY[:25]
 
 
 def test_domain_cap_uses_window_group_limit(spark):
