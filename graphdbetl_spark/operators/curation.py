@@ -247,7 +247,7 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def bpe_learn_merges(
-    df: DataFrame, text_col: str, k_merges: int = 5
+    df: DataFrame, text_col: str, k_merges: int = 5, batch_m: int = 1
 ) -> list[tuple[int, str, str, str]]:
     """Learn the first ``k_merges`` BPE merge rules from a corpus
     (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
@@ -256,17 +256,31 @@ def bpe_learn_merges(
     word frequencies aggregate once (one shuffle; the working set is
     the VOCABULARY, not the corpus, from then on); each round counts
     adjacent symbol pairs weighted by word frequency (explode →
-    partial-agg), takes the arg-max pair via TakeOrderedAndProject
+    partial-agg), takes the arg-max pairs via TakeOrderedAndProject
     (ties to the lexicographically smallest pair — deterministic on
     any engine), and rewrites the symbol arrays with a greedy
     left-to-right fold (aggregate over the symbol array; "aaa" + (a,a)
-    → ["aa","a"], the reference greedy semantics). The driver sees
-    exactly ONE row per round — the chosen pair — the same bounded
-    driver-data contract as the PageRank loop.
+    → ["aa","a"], the reference greedy semantics). The driver sees at
+    most 4·batch_m+1 rows per round — candidate pairs — the same
+    bounded driver-data contract as the PageRank loop.
+
+    ``batch_m`` bounds the DRIVER ROUND COUNT — the scale lever the r4
+    verdict flagged: with batch_m=1 (default; exact Sennrich
+    semantics, one Spark job per merge) a real 30k-merge vocabulary is
+    30k sequential jobs. batch_m=M applies up to M CONFLICT-FREE pairs
+    per round (no two chosen pairs share a symbol, and no chosen pair
+    consumes another's merged output), so their rewrites commute and
+    one rewrite pass applies them all — the standard parallel-BPE
+    compromise: round count drops to ~k/M while each round's chosen
+    pairs are still counted against the true current vocabulary. The
+    within-round counts are one recount staler than classic BPE, so
+    for M>1 the sequence may deviate from Sennrich order when a merge
+    materially changes an unrelated pair's count mid-round (rare in
+    natural text; pytest pins M>1 against a batched pure-Python
+    reference and M=1 against the classic one).
 
     Returns the learned merge table [(rank, left, right, merged)];
-    wrap in ``spark.createDataFrame`` for a queries() surface. pytest
-    pins the sequence against a pure-Python reference implementation.
+    wrap in ``spark.createDataFrame`` for a queries() surface.
     """
     words = (
         df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
@@ -278,7 +292,7 @@ def bpe_learn_merges(
     )
     cur = words.localCheckpoint(eager=True)  # vocabulary-sized, not corpus-sized
     merges: list[tuple[int, str, str, str]] = []
-    for r in range(k_merges):
+    while len(merges) < k_merges:
         n = F.size("syms")
         pairs = cur.select(
             "freq",
@@ -290,32 +304,58 @@ def bpe_learn_merges(
                 )
             ).alias("p"),
         )
+        want = min(batch_m, k_merges - len(merges))
         top = (
             pairs.groupBy("p")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("p.l"), F.col("p.r"))
-            .limit(1)
-            .collect()  # bounded: exactly one row per round
+            .limit(4 * want + 1)
+            .collect()  # bounded: <= 4*batch_m+1 candidate rows per round
         )
         if not top:
             break
-        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
-        merged = left + right
-        merges.append((r, left, right, merged))
-        rewritten = F.aggregate(
-            "syms",
-            F.expr("cast(array() as array<string>)"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (s == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
+        # greedy conflict-free selection down the ranked candidates:
+        # two pairs conflict when they share a symbol OR one consumes
+        # the other's merged output — disjointness makes the rewrites
+        # commute, so one pass can apply the whole batch. The top-1
+        # candidate never conflicts, so every round makes progress.
+        batch: list[tuple[str, str, str]] = []
+        taken: set[str] = set()
+        for row in top:
+            if len(batch) == want:
+                break
+            left, right = row["p"]["l"], row["p"]["r"]
+            merged = left + right
+            if {left, right, merged} & taken:
+                continue
+            batch.append((left, right, merged))
+            taken |= {left, right, merged}
+        for left, right, merged in batch:
+            merges.append((len(merges), left, right, merged))
+        def _merge_step(left: str, right: str, merged: str):
+            # closure factory: PySpark inspects lambda arity, so the
+            # pair must bind via closure, not default args
+            def step(acc, s):
+                return F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (s == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s)))
+
+            return step
+
+        rewritten = F.col("syms")
+        for left, right, merged in batch:
+            rewritten = F.aggregate(
+                rewritten,
+                F.expr("cast(array() as array<string>)"),
+                _merge_step(left, right, merged),
+            )
         # localCheckpoint per round: keeps the plan flat (no nested
-        # 5-deep fold lineage) and each round's rewrite runs once
+        # fold lineage) and each round's rewrite runs once
         cur = cur.select("freq", rewritten.alias("syms")).localCheckpoint(eager=True)
     return merges
 
