@@ -257,29 +257,34 @@ def _pagerank_oracle(iterations: int = 6, damping: float = 0.85) -> str:
     a recursive CTE, but a FIXED iteration count unrolls into chained
     CTEs — one contribution-agg + one rank-update pair per round,
     generated mechanically here (same construction a SQL transpiler
-    would emit)."""
+    would emit). MATERIALIZED on every CTE (the BFS reach-set
+    treatment, r4 verdict #4): without the hint DuckDB inlines each
+    r{i} into every consumer, re-deriving the whole prefix chain per
+    round — the 30x campaign's unrolled replay spilled >77 GB and
+    exhausted disk; materialized, each round computes exactly once."""
     parts = [
         """
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
     ),
-    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
-    verts AS (SELECT DISTINCT u AS id FROM edges),
-    nn AS (SELECT COUNT(*) AS n FROM verts),
-    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    deg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM edges),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+    r0 AS MATERIALIZED (
+        SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
     ]
     for i in range(1, iterations + 1):
         parts.append(
             f""",
-    c{i} AS (
+    c{i} AS MATERIALIZED (
         SELECT e.v AS id, SUM(r.rank / deg.d) AS s
         FROM edges e JOIN r{i - 1} r ON e.u = r.id JOIN deg ON deg.u = e.u
         GROUP BY e.v
     ),
-    r{i} AS (
+    r{i} AS MATERIALIZED (
         SELECT v.id,
                {1.0 - damping} / (SELECT n FROM nn)
                    + {damping} * COALESCE(c{i}.s, 0) AS rank
