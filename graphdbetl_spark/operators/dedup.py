@@ -572,7 +572,7 @@ def minhash_incremental_md5(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.6,
-    cache_corpus: bool = False,
+    cache_corpus: bool = True,
 ) -> DataFrame:
     """Incremental NEAR-dup screening of a new ingest batch against an
     existing corpus — the MinHash analogue of exact-digest
@@ -594,19 +594,27 @@ def minhash_incremental_md5(
     n_matches) where n_matches counts distinct corpus documents with
     verified Jaccard ≥ threshold.
 
-    ``cache_corpus`` defaults to False: a ONE-SHOT call would otherwise
-    pin two cached datasets in executor storage with no unpersist hook
-    (r4 ADVICE — the batch side was already uncached); within a single
-    query ReuseExchange dedups the corpus-side ``repartition(id)``
-    across the candidate/verify branches just as it does for the batch
-    side. Callers that genuinely reuse the index across many probe
-    batches should build it once with :func:`_minhash_md5_sig_buckets`
+    ``cache_corpus`` (r4 ADVICE: the corpus side pinned two cached
+    datasets with no opt-out while the batch side was uncached):
+    True (default) caches the index — right when the caller reuses it
+    or accepts CacheManager entries living until clearCache/unpersist;
+    False swaps the cache for lineage-owned ``localCheckpoint`` blocks
+    that the ContextCleaner frees once the caller's DataFrame goes out
+    of scope — the leak-free choice for fire-and-forget calls in a
+    long session. Either way the expensive shingle+signature
+    derivation materializes exactly once (ReuseExchange alone
+    re-derives it per consumer branch — measured 3.0 s vs 1.1 s at
+    sf0.1). Callers that reuse the index across many probe batches
+    should build it once with :func:`_minhash_md5_sig_buckets`
     (cache=True) and call :func:`minhash_probe_md5` per batch, as the
     streaming screen does — owning the cache lifetime explicitly.
     """
     sh_c, bk_c = _minhash_md5_sig_buckets(
         corpus, text_col, id_col, shingle_n, num_hashes, bands, cache=cache_corpus
     )
+    if not cache_corpus:
+        sh_c = sh_c.localCheckpoint(eager=True)
+        bk_c = bk_c.localCheckpoint(eager=True)
     return minhash_probe_md5(
         sh_c, bk_c, batch, text_col, id_col, shingle_n, num_hashes, bands, threshold
     )
