@@ -204,12 +204,20 @@ def run_crash_matrix(spark, root: str) -> None:
         state = {"calls": 0, "armed": True}
 
         def flaky(batch, batch_id, out_dir, _state=state, _crash=crash_call):
-            # crash exactly once, at the chosen commit point of batch 3
+            # crash exactly once at the chosen commit point of batch 3:
+            # 0 = before the first sink commits, 1 = between the two
+            # commits, 2 = after BOTH commit (before the checkpoint
+            # records the batch — the replay-after-success case)
             if batch_id == 3 and _state["armed"]:
                 if _state["calls"] == _crash:
                     _state["armed"] = False
                     raise RuntimeError(f"injected crash at call {_crash}")
                 _state["calls"] += 1
+                ret = real_write(batch, batch_id, out_dir)
+                if _state["calls"] == 2 and _crash == 2 and _state["armed"]:
+                    _state["armed"] = False
+                    raise RuntimeError("injected crash after both sinks")
+                return ret
             return real_write(batch, batch_id, out_dir)
 
         txn.write_batch_exactly_once = flaky
