@@ -463,21 +463,32 @@ def _minhash_md5_sig_buckets(
     shingle_n: int,
     num_hashes: int,
     bands: int,
-    cache: bool = True,
+    materialize: str | None = "cache",
 ):
     """Shared md5-family MinHash pipeline front half: shingle sets and
     banded signature buckets for one input. Returns (sh, buckets) —
     ``sh``: (id, sh: array of distinct shingles); ``buckets``: (id,
-    band, bh) with one row per band. With ``cache=True`` (the
-    corpus-side default) both are cached: each is consumed twice
-    downstream (candidate join + verification) and the corpus index is
-    reused across many probe batches. Per-batch callers (the probe
-    half of the incremental screen) pass ``cache=False`` — the
-    ``repartition(id)`` exchange below is identical in every consumer
-    branch, so Spark's ReuseExchange covers the shared work within one
-    query, and nothing is left pinned in storage memory after the
-    batch's job finishes (a long-running stream would otherwise
-    accumulate one dead cached pair per micro-batch)."""
+    band, bh) with one row per band. ``materialize`` picks the reuse
+    strategy for the two outputs (each is consumed twice downstream —
+    candidate join + verification — and the corpus index is reused
+    across probe batches):
+
+    - ``"cache"`` (corpus-side default): both cached; caller owns the
+      lifetime (unpersist/clearCache).
+    - ``"checkpoint"``: lineage-owned ``localCheckpoint`` blocks the
+      ContextCleaner frees when the caller's DataFrames go out of
+      scope — the leak-free choice for fire-and-forget calls.
+      ``sh`` checkpoints FIRST and ``buckets`` derives from the
+      checkpointed ``sh``, so the expensive shingle+signature
+      derivation runs exactly once (checkpointing an independently
+      built ``buckets`` would re-derive the whole pipeline: the r5
+      ADVICE finding).
+    - ``None`` (per-batch probe side): no materialization — the
+      ``repartition(id)`` exchange below is identical in every
+      consumer branch, so ReuseExchange covers the shared work within
+      one query, and nothing is left pinned in storage memory after
+      the batch's job finishes (a long-running stream would otherwise
+      accumulate one dead cached pair per micro-batch)."""
     r = num_hashes // bands
     coeffs = minhash_coeffs(num_hashes)
     p = MINHASH_PRIME
@@ -486,8 +497,10 @@ def _minhash_md5_sig_buckets(
         .select(F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
     )
-    if cache:
+    if materialize == "cache":
         sh = sh.cache()
+    elif materialize == "checkpoint":
+        sh = sh.localCheckpoint(eager=True)
     base = lambda s: F.pmod(  # noqa: E731
         F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"), F.lit(p)
     )
@@ -513,8 +526,12 @@ def _minhash_md5_sig_buckets(
     buckets = with_sig.select(
         id_col, F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    if cache:
+    if materialize == "cache":
         buckets = buckets.cache()
+    elif materialize == "checkpoint":
+        # derives from the already-checkpointed sh: only the (cheap)
+        # signature/band projection over the vocabulary-sized sh runs
+        buckets = buckets.localCheckpoint(eager=True)
     return sh, buckets
 
 
@@ -602,19 +619,21 @@ def minhash_incremental_md5(
     that the ContextCleaner frees once the caller's DataFrame goes out
     of scope — the leak-free choice for fire-and-forget calls in a
     long session. Either way the expensive shingle+signature
-    derivation materializes exactly once (ReuseExchange alone
-    re-derives it per consumer branch — measured 3.0 s vs 1.1 s at
-    sf0.1). Callers that reuse the index across many probe batches
-    should build it once with :func:`_minhash_md5_sig_buckets`
-    (cache=True) and call :func:`minhash_probe_md5` per batch, as the
-    streaming screen does — owning the cache lifetime explicitly.
+    derivation materializes exactly once: in checkpoint mode ``sh``
+    checkpoints first and the bucket projection derives FROM the
+    checkpointed ``sh`` (r5 ADVICE — checkpointing an independently
+    built bucket plan would re-run the whole derivation a second
+    time; ReuseExchange alone re-derives it per consumer branch —
+    measured 3.0 s vs 1.1 s at sf0.1). Callers that reuse the index
+    across many probe batches should build it once with
+    :func:`_minhash_md5_sig_buckets` (materialize="cache") and call
+    :func:`minhash_probe_md5` per batch, as the streaming screen does
+    — owning the cache lifetime explicitly.
     """
     sh_c, bk_c = _minhash_md5_sig_buckets(
-        corpus, text_col, id_col, shingle_n, num_hashes, bands, cache=cache_corpus
+        corpus, text_col, id_col, shingle_n, num_hashes, bands,
+        materialize="cache" if cache_corpus else "checkpoint",
     )
-    if not cache_corpus:
-        sh_c = sh_c.localCheckpoint(eager=True)
-        bk_c = bk_c.localCheckpoint(eager=True)
     return minhash_probe_md5(
         sh_c, bk_c, batch, text_col, id_col, shingle_n, num_hashes, bands, threshold
     )
@@ -643,7 +662,7 @@ def minhash_probe_md5(
     per batch in executor storage; ReuseExchange dedups the batch's
     repartition across the candidate/verify branches instead."""
     sh_b, bk_b = _minhash_md5_sig_buckets(
-        batch, text_col, id_col, shingle_n, num_hashes, bands, cache=False
+        batch, text_col, id_col, shingle_n, num_hashes, bands, materialize=None
     )
     candidates = (
         bk_b.select(

@@ -32,6 +32,18 @@ def require_bounded_input(
 
     Counts only the first column (column-pruned scan). Returns ``df``
     unchanged so the guard composes inline in a plan builder.
+
+    Known costs, accepted deliberately (r5 ADVICE): (1) the count is an
+    EAGER job that runs whenever the guarded plan builder is invoked —
+    including explain-only/enumeration paths that never execute the
+    query; that extra scan is the price of failing before the quadratic
+    join exists at all. (2) The cap bounds TOTAL input rows, a proxy for
+    the true per-block quadratic cost — a single-label skewed input
+    under the cap can still cost more than a uniform one over it. The
+    gated entries are demo oracles whose fixtures are label-uniform by
+    construction; a production caller worried about skew should cap
+    ``max(count) per block`` instead (one groupBy job) before electing
+    an all-pairs baseline.
     """
     n = df.select(df.columns[0]).count()
     if n > cap:

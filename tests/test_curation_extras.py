@@ -404,3 +404,68 @@ def test_minhash_persisted_index_probe_never_rereads_corpus(spark, tmp_path):
     schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
     assert len(schemas) >= 2, plan  # shingles + buckets index scans
     assert all("text" not in s for s in schemas), schemas
+
+
+def test_minhash_checkpoint_mode_equivalent_and_single_derivation(spark):
+    """cache_corpus=False (checkpoint mode) must (a) return the same
+    screen as cache mode, (b) leave nothing pinned in storage memory,
+    and (c) derive the bucket checkpoint FROM the checkpointed shingle
+    set instead of re-running the shingle+signature pipeline (r5
+    ADVICE: an independently built bucket plan re-derived everything).
+    The derivation-count proxy: the buckets checkpoint job must be a
+    single map-only stage over sh's existing RDD — a re-derivation
+    would drag the repartition exchange back in (>= 2 stages)."""
+    from graphdbetl_spark.operators.dedup import (
+        _minhash_md5_sig_buckets,
+        minhash_incremental_md5,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long trip",
+    ]
+    cdf = spark.createDataFrame(
+        [(i, base[i % 2] + f" tail{i % 3}") for i in range(10, 30)],
+        "doc_id long, text string",
+    )
+    bdf = spark.createDataFrame(
+        [(1, base[0] + " tail0"), (2, "wholly new content unlike anything")],
+        "doc_id long, text string",
+    )
+    spark.catalog.clearCache()
+    cached = {
+        r["doc_id"]: (r["is_near_dup"], r["n_matches"])
+        for r in minhash_incremental_md5(cdf, bdf, "text", "doc_id").collect()
+    }
+    spark.catalog.clearCache()
+    ckpt = {
+        r["doc_id"]: (r["is_near_dup"], r["n_matches"])
+        for r in minhash_incremental_md5(
+            cdf, bdf, "text", "doc_id", cache_corpus=False
+        ).collect()
+    }
+    assert ckpt == cached
+    # nothing pinned via cache() in checkpoint mode
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getRDDStorageInfo() is not None  # API sanity
+    cached_named = [
+        i for i in jsc.getRDDStorageInfo() if "ItemizedCache" in str(i.name())
+    ]
+    assert not cached_named
+
+    sc = spark.sparkContext
+    sc.setJobGroup("mh_ckpt_build", "checkpoint-mode index build")
+    try:
+        _minhash_md5_sig_buckets(
+            cdf, "text", "doc_id", 3, 16, 4, materialize="checkpoint"
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    job_ids = sorted(tracker.getJobIdsForGroup("mh_ckpt_build"))
+    assert len(job_ids) >= 2  # sh checkpoint (+AQE stage jobs) + buckets
+    # the LAST job is the buckets checkpoint: 1 map-only stage over
+    # sh's checkpointed RDD. Pre-fix it re-derived the whole pipeline
+    # and carried the repartition exchange (>= 2 stages).
+    last = tracker.getJobInfo(job_ids[-1])
+    assert len(list(last.stageIds)) == 1
