@@ -80,6 +80,46 @@ def kmv_distinct_md5(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
     return agg.select("k_used", F.round(est, 4).alias("est_distinct"))
 
 
+def kmv_distinct_md5_grouped(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct estimate over the engine-portable md5
+    family — the grouped, ORACLE-CHECKABLE sibling of
+    :func:`kmv_distinct_md5` (same estimator arithmetic) and the
+    portable counterpart of the xxhash64 :func:`kmv_sketch` path.
+
+    Plan shape: distinct (one partial-agg shuffle keyed by
+    (group, hash)) → per-group k-minimum via a rank window that
+    Spark's WindowGroupLimit rewrites into per-partition partial
+    top-k BEFORE the shuffle, so the exchange carries at most k rows
+    per group per map task — no full per-group sort, no unbounded
+    collect_set (the kmv_sketch form holds a group's whole distinct
+    hash set in one aggregation buffer; this one never does). At
+    100 TB the mergeable per-partition kmv_sketch/kmv_merge path still
+    applies when sketches must persist; this variant exists to pin the
+    grouped estimator against an oracle.
+
+    Estimate = (k-1) / unit(kth_min), unit(h) = first 15 hex digits of
+    md5 as an integer / 16^15; exact count when fewer than k values.
+    """
+    from pyspark.sql import Window
+
+    h = df.select(
+        *group_cols, F.md5(F.col(value_col).cast("string")).alias("hh")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("hh")
+    kmin = h.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    agg = kmin.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("hh").alias("max_h"),
+    )
+    unit = F.conv(F.substring("max_h", 1, 15), 16, 10).cast("double") / float(16**15)
+    est = F.when(F.col("k_used") == k, F.lit(float(k - 1)) / unit).otherwise(
+        F.col("k_used").cast("double")
+    )
+    return agg.select(*group_cols, "k_used", F.round(est, 4).alias("est_distinct"))
+
+
 def _cm_slots(value: Column, d: int, w: int) -> Column:
     """d independent Count-Min positions for a value: 32-bit md5 hex
     slices mod w (md5's 32 hex chars give four independent 32-bit

@@ -14,7 +14,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from graphdbetl_spark.functions.text import (
-    bpe_ish_token_count,
     language_id,
     quality_score,
     rolling_fingerprint,
@@ -25,9 +24,7 @@ from graphdbetl_spark.functions.vectors import cosine_similarity
 from graphdbetl_spark.operators.dedup import (
     _tokens,
     dedup_exact_text,
-    minhash_near_duplicates,
     ngram_jaccard_pairs,
-    simhash_fingerprints,
 )
 from graphdbetl_spark.operators.multimodal import attach_media_columns, extract_features
 from graphdbetl_spark.operators.similarity import cosine_topk_bruteforce, lsh_cosine_topk
@@ -96,14 +93,9 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash")  # banded-LSH recall < 1 -> rows-only
-def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """Banded MinHash-LSH near-dup pairs over 3-gram shingles (exact
-    Jaccard ≥ 0.5 on the LSH candidate set): candidate generation is an
-    equi-join on band buckets — the 100 TB near-dedup path."""
-    return minhash_near_duplicates(
-        T(spark, sf, "documents"), "text", "doc_id", threshold=0.5
-    )
+# dedup_minhash is registered below _minhash_md5_oracle (it shares the
+# generated oracle); registry order is set by registry._PRIORITY, not
+# file position.
 
 
 def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.6) -> str:
@@ -161,6 +153,23 @@ def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4, threshold: float =
     WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {threshold}
     """
+
+
+@query("dedup_minhash", oracle=_minhash_md5_oracle(threshold=0.5))
+def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs over 3-gram shingles (exact
+    Jaccard ≥ 0.5 on the LSH candidate set): candidate generation is an
+    equi-join on band buckets — the 100 TB near-dedup path. The
+    registry name points at the md5 hash family (r5 verdict #1b:
+    re-point oracle-less entries at their portable siblings), so
+    candidate generation AND verification replay in the oracle at this
+    entry's own 0.5 operating threshold; the xxhash64 fast path stays
+    as operators/dedup.py minhash_near_duplicates, pytest-covered."""
+    from graphdbetl_spark.operators.dedup import minhash_near_duplicates_md5
+
+    return minhash_near_duplicates_md5(
+        T(spark, sf, "documents"), "text", "doc_id", threshold=0.5
+    )
 
 
 @query("dedup_minhash_md5", oracle=_minhash_md5_oracle())
@@ -262,16 +271,12 @@ def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # xxhash64 family is Spark-only -> rows-only
-def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit SimHash fingerprints; fingerprint-equal docs are near-dups."""
-    return simhash_fingerprints(T(spark, sf, "documents"), "text", "doc_id")
-
-
-# Oracle for the md5-family SimHash: generated SQL (48 per-bit votes),
-# bit-identical to the Spark fold because md5 is engine-portable.
-_SIMHASH_BITS = 48
-_SIMHASH_ORACLE = """
+# Oracle generator for the md5-family SimHash: generated SQL (one
+# per-bit vote per position), bit-identical to the Spark fold because
+# md5 is engine-portable. The token hash is always the first 12 hex
+# chars (48 bits); narrower fingerprints vote on its low ``bits``.
+def _simhash_oracle(bits: int) -> str:
+    return """
     WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
         FROM documents
@@ -286,18 +291,33 @@ _SIMHASH_ORACLE = """
            ({fold}) AS simhash
     FROM votes
 """.format(
-    votes=",\n        ".join(
-        f"SUM(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
-        for i in range(_SIMHASH_BITS)
-    ),
-    fold=" + ".join(
-        f"(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << (_SIMHASH_BITS - 1 - i)}"
-        for i in range(_SIMHASH_BITS)
-    ),
-)
+        votes=",\n        ".join(
+            f"SUM(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+            for i in range(bits)
+        ),
+        fold=" + ".join(
+            f"(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << (bits - 1 - i)}"
+            for i in range(bits)
+        ),
+    )
 
 
-@query("dedup_simhash_md5", oracle=_SIMHASH_ORACLE)
+@query("dedup_simhash", oracle=_simhash_oracle(32))
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash fingerprints; fingerprint-equal docs are near-dups. The
+    registry name points at the md5 hash family at 32 bits (r5 verdict
+    #1b) so the fingerprint — every vote and the bit fold — replays in
+    the oracle; the 48-bit sibling below covers the wider operating
+    point, and the xxhash64 64-bit fast path stays as
+    operators/dedup.py simhash_fingerprints, pytest-covered."""
+    from graphdbetl_spark.operators.dedup import simhash_fingerprints_md5
+
+    return simhash_fingerprints_md5(
+        T(spark, sf, "documents"), "text", "doc_id", bits=32
+    )
+
+
+@query("dedup_simhash_md5", oracle=_simhash_oracle(48))
 def dedup_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash over the engine-portable md5 hash family (48-bit) —
     same vote/fold pipeline as dedup_simhash but ORACLE-CHECKED: DuckDB
@@ -1138,15 +1158,31 @@ def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", quality_logit(F.col("text")).alias("q_score"))
 
 
-@query("text_tokens")  # BPE-ish split uses lookarounds (not RE2) -> rows-only
+@query(
+    "text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS subword_tokens
+    FROM documents
+    """,
+)
 def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    """Token counting two ways: whitespace words and a BPE-ish
-    word/punct boundary split (LLM token-budget proxy)."""
+    """Token counting two ways: whitespace words and a subword split
+    (LLM token-budget proxy). The subword column uses the
+    RE2-compatible PORTABLE_SUBWORD_PATTERN (r5 verdict #1b: the
+    registry name now points at the portable split so both counts
+    replay in the oracle); the lookaround-based BPE-ish split stays as
+    functions/text.py bpe_ish_token_count, pytest-covered."""
+    from graphdbetl_spark.functions.text import portable_subword_token_count
+
     d = T(spark, sf, "documents")
     return d.select(
         "doc_id",
-        token_count(F.col("text")).alias("ws_tokens"),
-        bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        portable_subword_token_count(F.col("text")).cast("long").alias("subword_tokens"),
     )
 
 

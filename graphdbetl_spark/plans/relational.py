@@ -533,15 +533,52 @@ def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("agg_approx")  # approximate by nature -> rows-only check
+@query(
+    "agg_approx",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           true AS approx_customers_ok,
+           true AS approx_median_ok,
+           true AS approx_p95_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def agg_approx(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch aggregates (HLL++ / GK quantiles): constant memory per
-    group at any scale — the 100 TB substitute for exact distinct."""
+    group at any scale — the 100 TB substitute for exact distinct.
+    Sketch values are engine-hash-specific, so the driver row attests
+    them through the in-plan error-bound pattern (r5 verdict #1e, the
+    ``agg_approx_bounds`` treatment): each sketch statistic — HLL++
+    distinct at default rsd, GK median and p95 at default accuracy —
+    must land inside its published bound of the exact statistic
+    computed in the SAME plan, pinned as booleans the oracle asserts
+    literally true. A sketch drifting out of bound (or a broken exact
+    aggregate) breaks the hash match."""
     o = T(spark, sf, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("o_totalprice", 0.95).alias("approx_p95_price"),
+    agg = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey").alias("__approx"),
+        F.percentile_approx("o_totalprice", 0.5).alias("__amed"),
+        F.percentile_approx("o_totalprice", 0.95).alias("__ap95"),
+        F.expr("percentile(o_totalprice, 0.45)").alias("__p45"),
+        F.expr("percentile(o_totalprice, 0.55)").alias("__p55"),
+        F.expr("percentile(o_totalprice, 0.93)").alias("__p93"),
+        F.expr("percentile(o_totalprice, 0.97)").alias("__p97"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("__approx") - F.col("exact_customers"))
+            <= 0.15 * F.col("exact_customers")  # 3·rsd at default rsd=0.05
+        ).alias("approx_customers_ok"),
+        ((F.col("__amed") >= F.col("__p45")) & (F.col("__amed") <= F.col("__p55"))).alias(
+            "approx_median_ok"
+        ),
+        ((F.col("__ap95") >= F.col("__p93")) & (F.col("__ap95") <= F.col("__p97"))).alias(
+            "approx_p95_ok"
+        ),
     )
 
 

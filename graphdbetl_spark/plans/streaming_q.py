@@ -103,15 +103,37 @@ def rollup_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("sketch_kmv_distinct")  # hash-family-specific (xxhash64) -> rows-only
+@query(
+    "sketch_kmv_distinct",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT o_orderstatus, md5(CAST(o_custkey AS VARCHAR)) AS hh
+        FROM orders
+    ), r AS (
+        SELECT o_orderstatus, hh,
+               row_number() OVER (PARTITION BY o_orderstatus ORDER BY hh) AS rn
+        FROM h
+    ), kmin AS (SELECT o_orderstatus, hh FROM r WHERE rn <= 64)
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS k_used,
+           ROUND(CASE WHEN COUNT(*) = 64
+                 THEN 63.0 / (('0x' || substr(MAX(hh), 1, 15))::BIGINT
+                              / power(16.0, 15))
+                 ELSE COUNT(*)::DOUBLE END, 4) AS est_distinct
+    FROM kmin GROUP BY o_orderstatus
+    """,
+)
 def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """KMV distinct-count sketch estimates per order status — mergeable
-    K-minimum-values sketch built from collect_set/sort_array/slice
-    (operators/sketch.py; error bound and mergeability unit-tested)."""
-    from graphdbetl_spark.operators.sketch import kmv_estimate, kmv_sketch
+    """Per-group KMV distinct-count estimates (customers per order
+    status). The registry name points at the md5 hash family (r5
+    verdict #1b) so every k-minimum hex string and the estimator
+    arithmetic replay in the oracle; the mergeable xxhash64
+    collect_set/sort/slice sketch stays as operators/sketch.py
+    kmv_sketch/kmv_merge/kmv_estimate, pytest-covered (error bound and
+    mergeability)."""
+    from graphdbetl_spark.operators.sketch import kmv_distinct_md5_grouped
 
     o = T(spark, sf, "orders")
-    return kmv_estimate(kmv_sketch(o, ["o_orderstatus"], "o_custkey", k=256), k=256)
+    return kmv_distinct_md5_grouped(o, ["o_orderstatus"], "o_custkey", k=64)
 
 
 @query(
