@@ -221,12 +221,29 @@ def pca_project(
     Eigenvector sign is fixed by making each component's
     largest-|loading| coordinate positive (eigh's sign is otherwise
     arbitrary), so output is deterministic. Engine-specific float
-    reductions (LAPACK) make this rows-only for the oracle gate;
-    pytest pins orthonormality, variance ordering, and reconstruction
-    error instead.
+    reductions (LAPACK) make the projected VALUES non-replayable in an
+    oracle; the registry entry therefore attests the operator through
+    distributed PCA invariants instead (see plans/llm_q.py
+    embedding_pca_project), and pytest pins orthonormality, variance
+    ordering, and reconstruction error.
 
     Returns (id_col, proj: array<double>[out_dim]).
     """
+    mu, comps = pca_fit(df, id_col, vec_col, dim, out_dim)
+    return pca_apply(df, id_col, vec_col, mu, comps)
+
+
+def pca_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 8,
+):
+    """Fit half of :func:`pca_project`: distributed covariance
+    accumulation + driver-side eigh. Returns ``(mu, comps)`` numpy
+    arrays — mu is the d-vector of column means, comps the
+    (out_dim × dim) orthonormal projector with deterministic signs."""
     import numpy as np
 
     pairs = (
@@ -260,6 +277,16 @@ def pca_project(
         jmax = int(np.abs(comps[k]).argmax())
         if comps[k, jmax] < 0:
             comps[k] = -comps[k]
+    return mu, comps
+
+
+def pca_apply(
+    df: DataFrame, id_col: str, vec_col: str, mu, comps
+) -> DataFrame:
+    """Projection half of :func:`pca_project`: mu/comps broadcast as
+    plan literals into a map-only zip_with projection (how a fitted
+    rotation ships to a 1000-executor projection job)."""
+    out_dim = len(comps)
     mu_lit = F.array(*[F.lit(float(v)) for v in mu])
     centered = F.zip_with(F.col(vec_col), mu_lit, lambda x, m: x - m)
     proj = F.array(*[

@@ -806,20 +806,130 @@ def mine_hard_negatives_q(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
-@query("embedding_pca_project")  # LAPACK eigh float order -> rows-only
+@query(
+    "embedding_pca_project",
+    oracle="""
+    SELECT CAST(k AS INT) AS component,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           true AS projector_orthonormal,
+           true AS var_ordered,
+           true AS mean_centered,
+           true AS uncorrelated,
+           true AS variance_captured_ok
+    FROM range(0, 8) t(k)
+    """,
+)
 def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     """PCA projection to 8 components: covariance as ONE bounded-key
     aggregation (d(d+1)/2 running sums — keyed by dim pair, never by
     row), eigendecomposition driver-side on the 64×64 matrix (a few
     KB; deterministic sign fix), projection broadcast back into a
     map-only zip_with. Corpus collected never; driver memory O(d²).
-    pytest pins orthonormality, variance ordering, and reconstruction
-    error (operators/similarity.py pca_project)."""
-    from graphdbetl_spark.operators.similarity import pca_project
 
+    LAPACK's float reductions make the projected VALUES non-replayable
+    in DuckDB, and the r5 driver crashed canonicalizing the ArrayType
+    proj column — so the registry entry attests the operator through
+    PCA's own invariants, each computed over the DISTRIBUTED projection
+    output and pinned as a boolean the oracle asserts literally true
+    (r5 verdict #1a, the agg_approx_bounds pattern), one row per
+    component:
+
+    - var_ordered: empirical var(proj_k) is non-increasing in k
+      (projection onto eigenvectors sorted by eigenvalue);
+    - mean_centered: |mean(proj_k)| ~ 0 (the projection subtracts the
+      same-data mean);
+    - uncorrelated: max_j |corr(proj_j, proj_k)| ~ 0 for j != k
+      (eigenvectors diagonalize the covariance — THE PCA property);
+    - variance_captured_ok: sum_k var(proj_k) / total input variance
+      in [out_dim/dim, 1] (top-k eigenvalues each >= the mean
+      eigenvalue, and never exceed the trace);
+    - projector_orthonormal: comps @ comps.T == I (driver-side check
+      of the fitted plan-literal projector itself).
+
+    A broken covariance accumulation, eigh ordering, sign fix, or
+    projection expression flips a boolean and breaks the hash match.
+    pytest additionally pins orthonormality, variance ordering, and
+    reconstruction error on fixtures (tests/test_similarity.py)."""
+    import numpy as np
+
+    from graphdbetl_spark.operators.similarity import pca_apply, pca_fit
+
+    out_dim, dim = 8, 64
     e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
-    out = pca_project(e, "vec_id", "embedding", dim=64, out_dim=8)
-    return out.select("vec_id", F.transform("proj", lambda x: F.round(x, 6)).alias("proj"))
+    mu, comps = pca_fit(e, "vec_id", "embedding", dim=dim, out_dim=out_dim)
+    ortho = bool(np.allclose(comps @ comps.T, np.eye(out_dim), atol=1e-9))
+    proj = pca_apply(e, "vec_id", "embedding", mu, comps)
+
+    flat = proj.select(F.posexplode("proj").alias("component", "value"))
+    stats = flat.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg("value").alias("__mu"),
+        (F.avg(F.col("value") * F.col("value"))).alias("__m2"),
+    ).withColumn("__var", F.col("__m2") - F.col("__mu") * F.col("__mu"))
+
+    # cross moments E[proj_j * proj_k] for j < k: 28 bounded keys
+    xm = (
+        proj.select(F.posexplode("proj").alias("j", "__xj"), F.col("proj").alias("__p"))
+        .select("j", "__xj", F.posexplode("__p").alias("k", "__xk"))
+        .filter(F.col("k") > F.col("j"))
+        .groupBy("j", "k")
+        .agg(F.avg(F.col("__xj") * F.col("__xk")).alias("__exy"))
+    )
+    sj = stats.select(F.col("component").alias("j"), F.col("__mu").alias("__muj"),
+                      F.col("__var").alias("__varj"))
+    sk = stats.select(F.col("component").alias("k"), F.col("__mu").alias("__muk"),
+                      F.col("__var").alias("__vark"))
+    corr = (
+        xm.join(F.broadcast(sj), "j").join(F.broadcast(sk), "k")
+        .select(
+            "j", "k",
+            (
+                F.abs(F.col("__exy") - F.col("__muj") * F.col("__muk"))
+                / F.sqrt(F.col("__varj") * F.col("__vark"))
+            ).alias("__acorr"),
+        )
+    )
+    # fold both directions so every component sees its max |corr|
+    per_k_corr = (
+        corr.select(F.col("j").alias("component"), "__acorr")
+        .unionByName(corr.select(F.col("k").alias("component"), "__acorr"))
+        .groupBy("component")
+        .agg(F.max("__acorr").alias("__maxcorr"))
+    )
+
+    # total input variance (trace of the covariance): d bounded keys
+    total_var = (
+        e.select(F.posexplode("embedding").alias("i", "__x"))
+        .groupBy("i")
+        .agg((F.avg(F.col("__x") * F.col("__x"))
+              - F.avg("__x") * F.avg("__x")).alias("__v"))
+        .agg(F.sum("__v").alias("__total_var"))
+    )
+    captured = stats.agg(F.sum("__var").alias("__cap"))
+
+    w = Window.orderBy("component")  # 8 rows — single-partition window is fine
+    return (
+        stats.withColumn("__prev_var", F.lag("__var").over(w))
+        .join(F.broadcast(per_k_corr), "component")
+        .crossJoin(F.broadcast(total_var))
+        .crossJoin(F.broadcast(captured))
+        .select(
+            F.col("component").cast("int").alias("component"),
+            "n_vectors",
+            F.lit(ortho).alias("projector_orthonormal"),
+            (
+                F.col("__prev_var").isNull()
+                | (F.col("__var") <= F.col("__prev_var") + F.lit(1e-9))
+            ).alias("var_ordered"),
+            (F.abs("__mu") < 1e-6).alias("mean_centered"),
+            (F.col("__maxcorr") < 1e-6).alias("uncorrelated"),
+            (
+                (F.col("__cap") / F.col("__total_var")
+                 >= F.lit(out_dim / dim) - F.lit(1e-9))
+                & (F.col("__cap") / F.col("__total_var") <= F.lit(1.0) + F.lit(1e-9))
+            ).alias("variance_captured_ok"),
+        )
+    )
 
 
 @query("sim_ivf_topk")  # approximate by construction -> rows-only
