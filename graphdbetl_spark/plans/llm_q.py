@@ -1530,15 +1530,182 @@ def curation_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", reason.alias("reason"), keep.alias("keep"))
 
 
-@query("bpe_learn_merges")  # data-dependent iterative loop -> rows-only
+# ---- BPE trajectory oracles (r5 verdict #1d): BPE with deterministic
+# tie-breaks is exactly replayable, so the k-round learn loop unrolls
+# into DuckDB CTEs (the train_quality_classifier treatment). The greedy
+# left-to-right merge fold is replayed with a delimiter encoding: each
+# word becomes D<sym>DD<sym>D... (D = \x1f, absent from the ASCII
+# corpus and from any merged symbol), and one merge (l, r) is ONE
+# left-to-right non-overlapping replace of D<l>DD<r>D with D<lr>D —
+# exactly the fold's semantics (the replacement is never rescanned,
+# matching the fold's no-remerge-within-a-pass behavior).
+_BPE_D = "\x1f"
+
+
+def _bpe_sym_sql(word_expr: str) -> str:
+    """Delimited symbol string of a word's character sequence."""
+    d, dd = _BPE_D, _BPE_D * 2
+    return (
+        f"'{d}' || array_to_string(list_transform(range(1, length({word_expr}) + 1), "
+        f"i -> substring({word_expr}, i, 1)), '{dd}') || '{d}'"
+    )
+
+
+def _bpe_pairs_cte(i: int) -> str:
+    """Pair counts + argmax (ties to lexicographically smallest pair —
+    the Spark orderBy(cnt desc, l, r) tie-break) for round ``i``."""
+    d, dd = _BPE_D, _BPE_D * 2
+    return f"""p{i} AS (
+        SELECT string_split(pr, '{dd}')[1] AS l, string_split(pr, '{dd}')[2] AS r,
+               SUM(freq) AS cnt
+        FROM (
+            SELECT freq, unnest(list_transform(range(1, len(syms)),
+                         x -> syms[x] || '{dd}' || syms[x+1])) AS pr
+            FROM (SELECT freq, string_split(trim(s, '{d}'), '{dd}') AS syms
+                  FROM s{i})
+        ) GROUP BY 1, 2
+    )"""
+
+
+def _bpe_base_ctes() -> str:
+    return f"""w0 AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+        WHERE w <> '' GROUP BY w
+    ), s0 AS (
+        SELECT freq, {_bpe_sym_sql('w')} AS s FROM w0
+    )"""
+
+
+def _bpe_learn_ctes(k: int) -> str:
+    """CTE chain replaying k single-merge rounds: s0, (p_i, m_i, s_i+1)*."""
+    d, dd = _BPE_D, _BPE_D * 2
+    parts = [_bpe_base_ctes()]
+    for i in range(k):
+        parts.append(_bpe_pairs_cte(i))
+        parts.append(f"m{i} AS (SELECT l, r FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1)")
+        parts.append(
+            f"""s{i + 1} AS (
+        SELECT freq, replace(s, '{d}' || m.l || '{dd}' || m.r || '{d}',
+                                '{d}' || m.l || m.r || '{d}') AS s
+        FROM s{i}, m{i} m
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_learn_oracle(k: int) -> str:
+    rows = "\n    UNION ALL ".join(
+        f'SELECT CAST({i} AS INT) AS rank, l AS "left", r AS "right", '
+        f"l || r AS merged FROM m{i}"
+        for i in range(k)
+    )
+    return f"WITH {_bpe_learn_ctes(k)}\n    {rows}"
+
+
+def _bpe_tokenize_oracle(k: int) -> str:
+    d, dd = _BPE_D, _BPE_D * 2
+    enc = _bpe_sym_sql("w")
+    for i in range(k):
+        enc = (
+            f"replace({enc}, '{d}' || m{i}.l || '{dd}' || m{i}.r || '{d}', "
+            f"'{d}' || m{i}.l || m{i}.r || '{d}')"
+        )
+    froms = ", ".join(f"m{i}" for i in range(k))
+    return f"""WITH {_bpe_learn_ctes(k)},
+    docs AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), ex AS (SELECT doc_id, unnest(toks) AS w FROM docs),
+    enc AS (
+        SELECT doc_id,
+               len(string_split(trim({enc}, '{d}'), '{dd}')) AS n_sub
+        FROM ex, {froms}
+    ), agg AS (SELECT doc_id, SUM(n_sub) AS n_subwords FROM enc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_words,
+           CAST(COALESCE(a.n_subwords, 0) AS BIGINT) AS n_subwords
+    FROM docs d LEFT JOIN agg a USING (doc_id)"""
+
+
+def _bpe_batched_learn_oracle(k: int, m: int) -> str:
+    """Unrolled replay of the batched learner (batch_m=m): per round,
+    rank the top 4m+1 candidate pairs (the exact rows the Spark driver
+    collects) and greedily select up to m CONFLICT-FREE pairs — slot j
+    takes the minimum-rank candidate whose {l, r, merged} symbols are
+    disjoint from every earlier slot's — then apply the batch's
+    rewrites in slot order. Assumes each round fills all m slots
+    (natural text far from exhaustion always does; if a corpus ever
+    under-fills a round the Spark loop re-plans and this static unroll
+    mismatches loudly rather than silently)."""
+    d, dd = _BPE_D, _BPE_D * 2
+    impossible = _BPE_D * 3  # DDD never occurs: symbols are non-empty
+    rounds = k // m
+    assert rounds * m == k, "static unroll needs full rounds"
+    parts = [_bpe_base_ctes()]
+    for i in range(rounds):
+        parts.append(_bpe_pairs_cte(i))
+        parts.append(
+            f"""cand{i} AS (
+        SELECT l, r, l || r AS mg,
+               row_number() OVER (ORDER BY cnt DESC, l, r) AS rk
+        FROM p{i} ORDER BY cnt DESC, l, r LIMIT {4 * m + 1}
+    )"""
+        )
+        for j in range(m):
+            if j == 0:
+                parts.append(
+                    f"b{i}_0 AS (SELECT l, r, mg, rk FROM cand{i} ORDER BY rk LIMIT 1)"
+                )
+            else:
+                conds = " AND ".join(
+                    f"c.{col} NOT IN (x{p}.l, x{p}.r, x{p}.mg)"
+                    for p in range(j)
+                    for col in ("l", "r", "mg")
+                )
+                froms = ", ".join(f"b{i}_{p} x{p}" for p in range(j))
+                parts.append(
+                    f"""b{i}_{j} AS (
+        SELECT c.l, c.r, c.mg, c.rk FROM cand{i} c, {froms}
+        WHERE {conds}
+        ORDER BY c.rk LIMIT 1
+    )"""
+                )
+        if i < rounds - 1:
+            rewrite = "s"
+            for j in range(m):
+                rewrite = (
+                    f"replace({rewrite}, "
+                    f"COALESCE((SELECT '{d}' || l || '{dd}' || r || '{d}' "
+                    f"FROM b{i}_{j}), '{impossible}'), "
+                    f"COALESCE((SELECT '{d}' || l || r || '{d}' FROM b{i}_{j}), ''))"
+                )
+            parts.append(
+                f"s{i + 1} AS (SELECT freq, {rewrite} AS s FROM s{i})"
+            )
+    rows = "\n    UNION ALL ".join(
+        f'SELECT CAST({i * m + j} AS INT) AS rank, l AS "left", r AS "right", '
+        f"mg AS merged FROM b{i}_{j}"
+        for i in range(rounds)
+        for j in range(m)
+    )
+    return f"WITH {',{nl}    '.format(nl=chr(10)).join(parts)}\n    {rows}"
+
+
+@query("bpe_learn_merges", oracle=_bpe_learn_oracle(5))
 def bpe_learn_merges_q(spark: SparkSession, sf: str) -> DataFrame:
     """First 5 BPE merge rules learned from the corpus — the full
     tokenizer-training loop (Sennrich et al. 2016), not just one
     round's counting: per round, pair counts aggregate distributed,
     the arg-max pair is the ONLY row the driver sees, and the greedy
     left-to-right rewrite folds over vocabulary symbol arrays
-    (operators/curation.py bpe_learn_merges; pytest pins the sequence
-    against a pure-Python reference)."""
+    (operators/curation.py bpe_learn_merges). Deterministic tie-breaks
+    make the whole trajectory replayable: the oracle unrolls all 5
+    rounds in CTEs (r5 verdict #1d); pytest additionally pins the
+    sequence against a pure-Python reference."""
     from graphdbetl_spark.operators.curation import bpe_learn_merges
 
     merges = bpe_learn_merges(T(spark, sf, "documents"), "text", k_merges=5)
@@ -1547,15 +1714,35 @@ def bpe_learn_merges_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("bpe_tokenize_corpus")  # merges are data-dependent -> rows-only
+@query("bpe_learn_merges_batched", oracle=_bpe_batched_learn_oracle(8, 4))
+def bpe_learn_merges_batched_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCALE LEVER of the BPE learner, driver-attested (r5 verdict
+    #4): batch_m=4 applies up to 4 conflict-free merges per driver
+    round (disjoint symbol sets commute, so one rewrite pass applies
+    the batch), cutting the driver round count to k/4 — 8 merges in 2
+    rounds here. The oracle replays the ranked candidate collection,
+    the greedy conflict-free slot selection, and the batched rewrites
+    round by round."""
+    from graphdbetl_spark.operators.curation import bpe_learn_merges
+
+    merges = bpe_learn_merges(
+        T(spark, sf, "documents"), "text", k_merges=8, batch_m=4
+    )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string"
+    )
+
+
+@query("bpe_tokenize_corpus", oracle=_bpe_tokenize_oracle(5))
 def bpe_tokenize_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end tokenizer story: learn the first 5 BPE merges from
     the corpus, then apply them back over every document — per-doc
     word and subword budgets, the numbers a dataloader consumes. The
     merge table is a plan literal at apply time (how a trained
     tokenizer ships to a tokenization job); apply is a zero-shuffle
-    scan projection. pytest pins learn+apply against a pure-Python
-    reference."""
+    scan projection. The oracle replays learn AND apply (the greedy
+    fold as delimiter-encoded replaces); pytest pins both against a
+    pure-Python reference."""
     from graphdbetl_spark.operators.curation import (
         bpe_apply_merges,
         bpe_learn_merges,

@@ -91,6 +91,8 @@ _PRIORITY: tuple[str, ...] = (
     # --- the 25 never-attested entries end here ---
     # re-attest after the r5 output-canonicalization fix
     "agg_decimal",
+    # r6 additions (oracle-backed, never driver-attested)
+    "bpe_learn_merges_batched",
     # r5 additions queue here (before the long-attested tail)
     # previously attested (r1-r4 green), most recent rotations first
     "text_unigram_logprob", "text_winnow_fingerprints",
