@@ -468,6 +468,256 @@ def md5_sampled_centroids(
     return base.join(ranks, id_col).select("cell", F.col(vec_col).alias("centroid"))
 
 
+def lsh_hyperplanes(
+    n_planes: int = 8, dim: int = 64, seed: str = "42"
+) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from hashlib-md5 bits — plain
+    Python, so the SAME literal vectors embed in the Spark plan and the
+    generated DuckDB oracle (no in-engine hashing to keep in sync)."""
+    import hashlib
+
+    planes = []
+    for k in range(n_planes):
+        h = []
+        for i in range(dim):
+            dig = hashlib.md5(f"{seed}:{k}:{i}".encode()).hexdigest()
+            h.append(1.0 if int(dig[:8], 16) % 2 == 0 else -1.0)
+        planes.append(h)
+    return planes
+
+
+def _unit_dot(a: str, b: str):
+    """Left-fold dot product — the exact sequential float order
+    DuckDB's list_reduce replays (0.0 + x1 == x1 in IEEE)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def ivf_assign_cells_md5(u: DataFrame, id_col: str, cents: DataFrame) -> DataFrame:
+    """Assign every unit vector to its max-dot centroid (ties to the
+    lowest cell id) via a broadcast of the tiny centroid table and a
+    struct-min partial agg — map-only, no window, the
+    dedup_semantic_clusters assignment shape. Returns (id, cell)."""
+    dt = _unit_dot("__unit", "centroid")
+    return (
+        u.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.struct((-dt).alias("nd"), F.col("cell").alias("c")).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("__s").alias("__m"))
+        .select(F.col(id_col), F.col("__m.c").alias("cell"))
+    )
+
+
+def _probe_cells_md5(
+    queries: DataFrame, vec_col: str, id_col: str, cents: DataFrame, n_probe: int
+) -> DataFrame:
+    """Rank cells per query by centroid dot and keep the top n_probe.
+    Returns (query_id, __qv, cell)."""
+    q = _unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv")
+    )
+    dt = _unit_dot("__qv", "centroid")
+    w = Window.partitionBy("query_id").orderBy(F.col("__dt").desc(), F.col("cell"))
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__dt", dt)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "cell")
+    )
+
+
+def ivf_cosine_topk_md5(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    seed: str = "42",
+) -> DataFrame:
+    """IVF ANN with the md5-sampled deterministic coarse quantizer —
+    the ORACLE-CHECKABLE member of the IVF family (r5 verdict #1c, the
+    sim_pq_topk_md5 treatment): cells are the n_cells corpus vectors
+    ranked first by md5(seed:id) (the PQ donor pattern), assignment is
+    the broadcast struct-min argmax, and each query scores only its
+    n_probe max-dot cells. Every step is md5-seeded DataFrame algebra,
+    so candidate restriction AND final ranking replay bit-for-bit in
+    any md5-capable engine; the k-means build (``ivf_cosine_topk``)
+    stays the quality path for clustered corpora, recall-floor-checked.
+
+    Scale shape: identical to ivf_query — candidates come from an
+    equi-join on cell id ((n_probe/n_cells) of the corpus per query;
+    at 100 TB persist the assignment bucketed by cell), the centroid
+    table broadcasts, and the only shuffle is the final top-k window.
+
+    Returns (query_id, neighbor_id, rank) — integer-only output keeps
+    the driver hash float-free.
+    """
+    u = _unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("__unit"))
+    cents = md5_sampled_centroids(u, id_col, k=n_cells, seed=seed)
+    corpus_cells = u.join(ivf_assign_cells_md5(u, id_col, cents), id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cv"), "cell"
+    )
+    probed = _probe_cells_md5(queries, vec_col, id_col, cents, n_probe)
+    w = Window.partitionBy("query_id").orderBy(F.col("__s").desc(), F.col("neighbor_id"))
+    return (
+        probed.join(corpus_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__s", _unit_dot("__qv", "__cv"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def lsh_cosine_topk_md5(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+    seed: str = "42",
+) -> DataFrame:
+    """Random-hyperplane LSH ANN with literal md5-derived ±1 planes —
+    the ORACLE-CHECKABLE member of the LSH family (r5 verdict #1c):
+    the n_planes sign bits split into n_tables bucket tables
+    (OR-amplification — a candidate matches in ANY table), candidates
+    come from equi-joins on (table, bucket), and survivors score by
+    exact unit-vector dot. The planes are plan literals from
+    :func:`lsh_hyperplanes`, so buckets, candidates, and ranking all
+    replay in the oracle; the BucketedRandomProjectionLSH path
+    (``lsh_cosine_topk``) stays recall-floor-checked.
+
+    Scale shape: linear candidate generation (equi-join per table),
+    bucket count 2^(n_planes/n_tables) grows with the corpus via the
+    plane-count knob; the only shuffle is the final top-k window.
+
+    Returns (query_id, neighbor_id, rank). Queries with fewer than k
+    bucket-mates return fewer rows — recall < 1 by construction, and
+    the oracle replays exactly that.
+    """
+    planes = lsh_hyperplanes(n_planes, dim, seed)
+    per_t = n_planes // n_tables
+
+    def prep(df: DataFrame, alias_id: str) -> DataFrame:
+        base = _unit_vectors(df, vec_col).select(
+            F.col(id_col).alias(alias_id),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
+            F.col("__unit"),
+        )
+        tbls = []
+        for t in range(n_tables):
+            bucket = None
+            for j in range(per_t):
+                p = planes[t * per_t + j]
+                dot_p = F.aggregate(
+                    F.zip_with("__v", F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                term = F.when(dot_p >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+                bucket = term if bucket is None else bucket + term
+            tbls.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bk")))
+        return base.select(
+            alias_id, "__unit", F.explode(F.array(*tbls)).alias("tb")
+        ).select(alias_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"), "__unit")
+
+    qb = prep(queries, "query_id")
+    cb = prep(corpus, "neighbor_id")
+    cand = (
+        qb.select("query_id", "tbl", "bk")
+        .join(cb.select("neighbor_id", "tbl", "bk"), ["tbl", "bk"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qu = _unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv")
+    )
+    cu = _unit_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__s").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(qu, "query_id")
+        .join(cu, "neighbor_id")
+        .withColumn("__s", _unit_dot("__qv", "__cv"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivfpq_cosine_topk_md5(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    dim: int = 64,
+    m: int = 32,
+    k_codes: int = 16,
+    seed: str = "42",
+) -> DataFrame:
+    """IVF-PQ with BOTH levels md5-deterministic — the oracle-checkable
+    composition of :func:`ivf_cosine_topk_md5` (coarse cells) and
+    :func:`pq_cosine_topk`'s sampled codebooks + ADC scoring (r5
+    verdict #1c): each query reads only the PQ codes of its n_probe
+    cells and scores them with the per-query LUT fold. Candidate
+    restriction, code assignment, LUT build, ADC scores, and ranking
+    all replay bit-for-bit in the DuckDB oracle; the k-means/xxhash
+    composition (``ivfpq_cosine_topk``) stays the clustered-corpus
+    quality path, pytest recall-floor-checked.
+
+    Returns (query_id, neighbor_id, rank)."""
+    _pq_check(dim, m)
+    sub = dim // m
+    u = _unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("__unit"))
+    cents = md5_sampled_centroids(u, id_col, k=n_cells, seed=seed)
+    asn = ivf_assign_cells_md5(u, id_col, cents)
+    codes, codebooks = pq_build_codebooks_md5(
+        corpus, id_col, vec_col, dim, m, k_codes, seed
+    )
+    probed = _probe_cells_md5(queries, vec_col, id_col, cents, n_probe).select(
+        "query_id", "cell"
+    )
+    qn = _unit_vectors(queries, vec_col)
+    cbrow = F.broadcast(_pq_codebook_row(codebooks))
+    dot = _dot_unrolled_sql("__unit", f"j * {sub}", "c", sub)
+    lut = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(element_at(__cb, j + 1), c -> {dot}))"
+    )
+    ql = qn.crossJoin(cbrow).select(F.col(id_col).alias("query_id"), lut.alias("__lut"))
+    cand = probed.join(
+        codes.join(asn, id_col).select(
+            F.col(id_col).alias("neighbor_id"), "codes", "cell"
+        ),
+        "cell",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(ql), "query_id")
+        .select("query_id", "neighbor_id", _adc_score(m).alias("__s"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def _dot_unrolled(vec, base, cent, sub: int):
     """Σ_i vec[base+i] · cent[i] as a plain left-associated arithmetic
     chain — no inner lambda, so the per-codeword work inside the

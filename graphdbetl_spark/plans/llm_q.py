@@ -360,20 +360,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _lsh_hyperplanes(n_planes: int = 8, dim: int = 64, seed: str = "42") -> list[list[float]]:
-    """Deterministic ±1 hyperplanes from hashlib-md5 bits — plain
-    Python, so the SAME literal vectors embed in the Spark plan and the
-    generated DuckDB oracle (no in-engine hashing to keep in sync)."""
-    import hashlib
-
-    planes = []
-    for k in range(n_planes):
-        h = []
-        for i in range(dim):
-            dig = hashlib.md5(f"{seed}:{k}:{i}".encode()).hexdigest()
-            h.append(1.0 if int(dig[:8], 16) % 2 == 0 else -1.0)
-        planes.append(h)
-    return planes
+# canonical home is operators/similarity.py (shared by the md5 ANN
+# operators); re-exported here for the blocked-dedup plan builders.
+from graphdbetl_spark.operators.similarity import (  # noqa: E402
+    lsh_hyperplanes as _lsh_hyperplanes,
+)
 
 
 def _embedding_lsh_oracle(n_planes: int = 8, threshold: float = 0.2) -> str:
@@ -932,28 +923,198 @@ def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_topk")  # approximate by construction -> rows-only
-def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-indexed ANN: k-means cells + n_probe cell scan per query —
-    the inverted-file scale path (see operators/similarity.py)."""
-    from graphdbetl_spark.operators.similarity import ivf_cosine_topk
+# ---- md5-deterministic ANN oracles (r5 verdict #1c): the IVF / LSH /
+# IVF-PQ registry entries re-point at md5-seeded builds so the whole
+# approximate pipeline — candidate restriction included — replays in
+# DuckDB (the sim_pq_topk_md5 treatment). The k-means / BRP-LSH builds
+# stay as the clustered-corpus quality paths, recall-floor-checked.
 
-    e = T(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") < 5)
-    return ivf_cosine_topk(e, q, "vec_id", "embedding", k=10).select(
-        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+
+def _ivf_md5_ctes(n_cells: int, n_probe: int) -> str:
+    """Shared oracle CTEs: unit vectors, md5-sampled coarse cells,
+    max-dot assignment (ties to lowest cell), per-query cell probing."""
+    return f"""un AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), u AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(
+                   list_reduce(list_transform(v, y -> y * y),
+                               (acc, b) -> acc + b))) AS uv
+        FROM un
+    ), d AS (
+        SELECT uv AS cuv,
+               row_number() OVER (
+                   ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+        FROM u ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}
+    ), dots AS (
+        SELECT u.vec_id, d.cell,
+               list_reduce(list_transform(range(1, 65),
+                           i -> u.uv[i] * d.cuv[i]), (acc, b) -> acc + b) AS dt
+        FROM u CROSS JOIN d
+    ), asn AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dt DESC, cell) AS rn
+            FROM dots) WHERE rn = 1
+    ), probed AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dt DESC, cell) AS rn
+            FROM dots WHERE vec_id < 5) WHERE rn <= {n_probe}
+    )"""
+
+
+_SIM_RANK_TAIL = """
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= {k}
+    """
+
+
+def _sim_ivf_md5_oracle(n_cells: int = 8, n_probe: int = 3, k: int = 10) -> str:
+    return f"""
+    WITH {_ivf_md5_ctes(n_cells, n_probe)}, scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_reduce(list_transform(range(1, 65),
+                           i -> q.uv[i] * c.uv[i]), (acc, b) -> acc + b) AS s
+        FROM probed p
+        JOIN asn a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN u q ON q.vec_id = p.query_id
+        JOIN u c ON c.vec_id = a.vec_id
     )
+    {_SIM_RANK_TAIL.format(k=k)}"""
 
 
-@query("sim_lsh_topk")  # approximate by construction -> rows-only
+def _sim_lsh_md5_oracle(n_planes: int = 8, n_tables: int = 2, k: int = 10) -> str:
+    planes = _lsh_hyperplanes(n_planes)
+    per_t = n_planes // n_tables
+    tbl_cols = ", ".join(
+        " + ".join(
+            f"(CASE WHEN list_reduce(list_transform(range(1, 65), "
+            f"i -> v[i] * (ARRAY{planes[t * per_t + j]})[i]), "
+            f"(acc, b) -> acc + b) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(per_t)
+        )
+        + f" AS bk{t}"
+        for t in range(n_tables)
+    )
+    or_cond = " OR ".join(f"q.bk{t} = c.bk{t}" for t in range(n_tables))
+    return f"""
+    WITH un AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), u AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(
+                   list_reduce(list_transform(v, y -> y * y),
+                               (acc, b) -> acc + b))) AS uv
+        FROM un
+    ), b AS (
+        SELECT vec_id, {tbl_cols} FROM un
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM b q JOIN b c ON ({or_cond}) AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    ), scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_reduce(list_transform(range(1, 65),
+                           i -> q.uv[i] * c.uv[i]), (acc, b) -> acc + b) AS s
+        FROM cand JOIN u q ON q.vec_id = cand.query_id
+                  JOIN u c ON c.vec_id = cand.neighbor_id
+    )
+    {_SIM_RANK_TAIL.format(k=k)}"""
+
+
+def _sim_ivfpq_md5_oracle(
+    n_cells: int = 8, n_probe: int = 3, k: int = 10
+) -> str:
+    # PQ codebook/code/LUT CTEs are the sim_pq_topk_md5 oracle verbatim
+    # (dim 64, m=32 subspaces of 2, k_codes=16 donors, seed '42').
+    return f"""
+    WITH {_ivf_md5_ctes(n_cells, n_probe)}, donors AS (
+        SELECT uv,
+               row_number() OVER (
+                   ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+        FROM u ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ), cbh AS (
+        SELECT s.j AS sub, code,
+               list_transform(range(1, 3), i -> uv[s.j * 2 + i]) AS centroid
+        FROM donors, (SELECT unnest(range(0, 32)) AS j) s
+    ), cb1 AS (
+        SELECT sub,
+               list(centroid ORDER BY code) AS cents,
+               list(list_reduce(list_transform(centroid, x -> x * x), (a, b) -> a + b) / 2.0
+                    ORDER BY code) AS hns
+        FROM cbh GROUP BY sub
+    ), cbn AS (
+        SELECT list(cents ORDER BY sub) AS cb, list(hns ORDER BY sub) AS cn FROM cb1
+    ), codes AS (
+        SELECT vec_id,
+               list_transform(range(0, 32), j ->
+                   list_indexof(sm[j + 1], list_max(sm[j + 1])) - 1) AS codes
+        FROM (
+            SELECT vec_id,
+                   list_transform(range(0, 32), j ->
+                       list_transform(range(0, 16), c ->
+                           uv[j * 2 + 1] * cb[j + 1][c + 1][1]
+                           + uv[j * 2 + 2] * cb[j + 1][c + 1][2]
+                           - cn[j + 1][c + 1])) AS sm
+            FROM u, cbn
+        )
+    ), ql AS (
+        SELECT vec_id AS query_id,
+               list_transform(range(0, 32), j ->
+                   list_transform(range(0, 16), c ->
+                       uv[j * 2 + 1] * cb[j + 1][c + 1][1]
+                       + uv[j * 2 + 2] * cb[j + 1][c + 1][2])) AS lut
+        FROM u, cbn WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_reduce(list_transform(range(0, 32),
+                           j -> q.lut[j + 1][c.codes[j + 1] + 1]),
+                           (acc, b) -> acc + b) AS s
+        FROM ql q
+        JOIN probed p ON p.query_id = q.query_id
+        JOIN asn a ON a.cell = p.cell AND a.vec_id <> q.query_id
+        JOIN codes c ON c.vec_id = a.vec_id
+    )
+    {_SIM_RANK_TAIL.format(k=k)}"""
+
+
+@query("sim_ivf_topk", oracle=_sim_ivf_md5_oracle())
+def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-indexed ANN: coarse cells + n_probe cell scan per query —
+    the inverted-file scale path. The registry name points at the
+    md5-sampled deterministic coarse quantizer (r5 verdict #1c) so
+    cell build, assignment, probing, and ranking all replay in the
+    oracle; the k-means build stays as operators/similarity.py
+    ivf_cosine_topk, recall-floor-checked (sim_ivf_recall_floor)."""
+    from graphdbetl_spark.operators.similarity import ivf_cosine_topk_md5
+
+    e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_cosine_topk_md5(e, q, "vec_id", "embedding", k=10)
+
+
+@query("sim_lsh_topk", oracle=_sim_lsh_md5_oracle())
 def sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN (random-hyperplane projections): candidate
-    generation is an equi-join on (table, bucket) — the scale path."""
-    e = T(spark, sf, "embeddings")
+    generation is an equi-join on (table, bucket) — the scale path.
+    The registry name points at literal md5-derived ±1 planes with
+    2-table OR-amplification (r5 verdict #1c) so buckets, candidates,
+    and ranking all replay in the oracle; the
+    BucketedRandomProjectionLSH path stays as operators/similarity.py
+    lsh_cosine_topk, recall-floor-checked (sim_lsh_recall_floor)."""
+    from graphdbetl_spark.operators.similarity import lsh_cosine_topk_md5
+
+    e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
     q = e.filter(F.col("vec_id") < 5)
-    return lsh_cosine_topk(e, q, "vec_id", "embedding", k=10).select(
-        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
-    )
+    return lsh_cosine_topk_md5(e, q, "vec_id", "embedding", k=10)
 
 
 # ------------------------------------------------------ text analysis
@@ -2398,20 +2559,21 @@ def sim_lsh_recall_floor(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("sim_ivfpq_topk")  # compounded approximation -> rows-only
+@query("sim_ivfpq_topk", oracle=_sim_ivfpq_md5_oracle())
 def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-PQ two-level ANN (FAISS IVFPQ architecture): coarse k-means
-    cells restrict each query to n_probe cells; within them, candidates
-    score by PQ asymmetric distance over 8x-compressed codes — the
-    billion-vector serving shape. Quality guard: pytest recall floor vs
-    brute force (operators/similarity.py ivfpq_cosine_topk)."""
-    from graphdbetl_spark.operators.similarity import ivfpq_cosine_topk
+    """IVF-PQ two-level ANN (FAISS IVFPQ architecture): coarse cells
+    restrict each query to n_probe cells; within them, candidates score
+    by PQ asymmetric distance over 8x-compressed codes — the
+    billion-vector serving shape. The registry name points at the
+    fully md5-deterministic composition (r5 verdict #1c) so BOTH
+    levels — cells and codes — plus the ADC LUT scoring replay in the
+    oracle; the k-means composition stays as operators/similarity.py
+    ivfpq_cosine_topk, pytest recall-floor-checked vs brute force."""
+    from graphdbetl_spark.operators.similarity import ivfpq_cosine_topk_md5
 
     e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
     q = e.filter(F.col("vec_id") < 5)
-    return ivfpq_cosine_topk(e, q, "vec_id", "embedding", k=10).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    return ivfpq_cosine_topk_md5(e, q, "vec_id", "embedding", k=10)
 
 
 @query(

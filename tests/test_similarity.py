@@ -363,3 +363,35 @@ def test_adc_numpy_kernel_bit_equals_join_fallback(spark):
         for r in fallback.collect()
     )
     assert rows_np == rows_jvm  # exact float equality
+
+
+def test_md5_ann_variants_recall_floors_and_determinism(spark):
+    """The md5-deterministic IVF / LSH / IVF-PQ variants (the
+    oracle-checked registry members) must keep usable recall on the
+    uniform-random worst case and be run-to-run identical (no RNG
+    anywhere). Floors are conservative; the point is that a cell/plane
+    seeding or probing regression can't silently destroy recall while
+    the oracle still matches (the oracle replays whatever the engine
+    does — recall is pinned HERE)."""
+    from graphdbetl_spark.operators.similarity import (
+        ivf_cosine_topk_md5,
+        ivfpq_cosine_topk_md5,
+        lsh_cosine_topk_md5,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.limit(8)
+    for fn, floor in (
+        (ivf_cosine_topk_md5, 0.25),
+        (lsh_cosine_topk_md5, 0.10),
+        (ivfpq_cosine_topk_md5, 0.15),
+    ):
+        rows = fn(emb, queries, k=10).collect()
+        r = _recall(spark, rows, k=10)
+        assert r >= floor, f"{fn.__name__} recall {r:.2f} < {floor}"
+        again = fn(emb, queries, k=10).collect()
+        assert {(x.query_id, x.neighbor_id, x.rank) for x in rows} == {
+            (x.query_id, x.neighbor_id, x.rank) for x in again
+        }
