@@ -41,19 +41,64 @@ def storage_snapshot(spark):
     return len(infos), sum(i.memSize() for i in infos)
 
 
-def make_batch_files(spark, src: str, stage: str, n_batches: int, per_batch: int = 5):
-    """One small parquet file per micro-batch: half near-dups of the
-    corpus text family, half novel — deterministic contents."""
-    os.makedirs(src, exist_ok=True)
+def _neardup_row(doc_id: int) -> str:
     base = "the quick brown fox jumps over the lazy dog near the river bank"
+    if doc_id % 2 == 0:
+        return base + f" tail{doc_id % 2}"
+    return f"novel document {doc_id} with unique words w{doc_id}a w{doc_id}b w{doc_id}c"
+
+
+_QUALITY_PASS = (
+    "the data pipeline and the spark engine have been running with a steady "
+    "flow of fresh tokens that keep arriving from every source while the "
+    "quality gate checks each document against the word rules and the "
+    "entropy floor so that only reasonable text moves forward to training "
+    "and the rest lands in a reject dataset with an audit reason for later "
+    "review by the curation team"
+)  # 60+ words, mean word length ~4.6, plenty of stopwords, high entropy
+
+
+def _quality_row(doc_id: int) -> str:
+    """3 of 5 docs per batch PASS the gopher+entropy gate, 2 REJECT
+    (one too short for the 50-word rule, one low-entropy repetition) —
+    r5 ADVICE: the original fixture produced pass=0, so the pass-side
+    sink path was never exercised."""
+    mod = doc_id % 5
+    if mod < 3:
+        return _QUALITY_PASS + f" shard marker {doc_id}"
+    if mod == 3:
+        return f"tiny doc {doc_id}"
+    return ("aa bb " * 40) + str(doc_id)  # 80 words, ~1.7 bits/char
+
+
+_EVAL_SENTENCE = (
+    "the held out benchmark question asks which river flows through the "
+    "old capital city"
+)
+
+
+def _decon_row(doc_id: int) -> str:
+    """Every 3rd doc shares a 5-gram with the static eval set
+    (contaminated); the rest are clean unique text."""
+    if doc_id % 3 == 0:
+        return f"scraped page {doc_id} quoting {_EVAL_SENTENCE} verbatim"
+    return (
+        f"clean article {doc_id} about topic t{doc_id} with words "
+        f"x{doc_id}a x{doc_id}b x{doc_id}c x{doc_id}d x{doc_id}e"
+    )
+
+
+def make_batch_files(
+    spark, src: str, stage: str, n_batches: int, per_batch: int = 5,
+    row_fn=_neardup_row,
+):
+    """One small parquet file per micro-batch; deterministic contents
+    from ``row_fn(doc_id) -> text``."""
+    os.makedirs(src, exist_ok=True)
     for b in range(n_batches):
-        rows = []
-        for i in range(per_batch):
-            doc_id = b * per_batch + i
-            if i % 2 == 0:
-                rows.append((doc_id, base + f" tail{doc_id % 2}"))
-            else:
-                rows.append((doc_id, f"novel document {doc_id} with unique words w{doc_id}a w{doc_id}b w{doc_id}c"))
+        rows = [
+            (b * per_batch + i, row_fn(b * per_batch + i)) for i in range(per_batch)
+        ]
         df = spark.createDataFrame(rows, SCHEMA)
         tmp = os.path.join(stage, f"b{b}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -142,7 +187,9 @@ def run_quality_soak(spark, root: str, n_batches: int) -> None:
     # lifetime; this phase measures the stateless gate in isolation
     spark.catalog.clearCache()
     src = os.path.join(root, "qg_src")
-    make_batch_files(spark, src, os.path.join(root, "qg_stage"), n_batches)
+    make_batch_files(
+        spark, src, os.path.join(root, "qg_stage"), n_batches, row_fn=_quality_row
+    )
     stream = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -171,14 +218,163 @@ def run_quality_soak(spark, root: str, n_batches: int) -> None:
     n_p = spark.read.parquet(os.path.join(root, "qg_pass")).count()
     n_r = spark.read.parquet(os.path.join(root, "qg_reject")).count()
     final = storage_snapshot(spark)[0]
+    # per-side ground truth from the BATCH operators over all docs
+    # (r5 ADVICE: assert each side's count, and exercise both sinks)
+    from graphdbetl_spark.operators.curation import char_entropy, gopher_quality
+
+    all_docs = spark.read.parquet(src)
+    g = gopher_quality(all_docs, "text", "doc_id").select("doc_id", "passes")
+    e = char_entropy(all_docs, "text", "doc_id", low=2.5).select(
+        "doc_id", "low_entropy"
+    )
+    both = g.join(e, "doc_id")
+    exp_p = both.filter(F.col("passes") & ~F.col("low_entropy")).count()
+    exp_r = both.count() - exp_p
     print(f"quality soak: {n_batches} batches, pass={n_p} reject={n_r} "
-          f"(total {n_batches * 5}), peak cached_rdds={peak}")
-    assert n_p + n_r == n_batches * 5
+          f"(batch-mode ground truth {exp_p}/{exp_r}), peak cached_rdds={peak}")
+    assert (n_p, n_r) == (exp_p, exp_r), "streaming routing != batch gate"
+    assert n_p > 0 and n_r > 0, "fixture must exercise BOTH sinks"
     # no reference state: at most the one transient in-flight routed
     # batch may appear; nothing may survive the stream
     assert peak <= 1, f"stateless gate pinned {peak} datasets"
     assert final == 0, "stateless gate leaked cache past the stream's end"
     print("  FLAT: the stateless gate pinned no storage beyond the in-flight batch")
+
+
+def run_concurrent_soak(spark, root: str, n_batches: int) -> None:
+    """TWO routers sharing one session for n_batches micro-batches
+    each (r5 verdict #6): the stateless quality gate and the
+    decontamination router (which owns a cached eval-gram reference)
+    run CONCURRENTLY, and midway the checkpoint-mode incremental
+    near-dup screen (minhash_incremental_md5 cache_corpus=False — the
+    lineage-owned localCheckpoint path of commit ab36fd1) fires three
+    times as a fire-and-forget batch job. Proves (a) both streams
+    route exactly as their batch operators, (b) storage stays flat at
+    the decontamination eval cache (+bounded in-flight transients),
+    and (c) the localCheckpoint lifecycle frees its blocks instead of
+    interacting with — or leaking into — the concurrent consumers."""
+    import gc
+
+    from graphdbetl_spark.streaming.curation import (
+        start_streaming_decontamination,
+        start_streaming_quality_gate,
+    )
+
+    spark.catalog.clearCache()
+    src_q = os.path.join(root, "cc_q_src")
+    src_d = os.path.join(root, "cc_d_src")
+    make_batch_files(spark, src_q, os.path.join(root, "cc_q_stage"),
+                     n_batches, row_fn=_quality_row)
+    make_batch_files(spark, src_d, os.path.join(root, "cc_d_stage"),
+                     n_batches, row_fn=_decon_row)
+    eval_df = spark.createDataFrame(
+        [(900_000, _EVAL_SENTENCE), (900_001, "another benchmark prompt "
+          "asking about the tallest mountain on the southern continent")],
+        SCHEMA,
+    )
+    sq = (spark.readStream.schema(SCHEMA)
+          .option("maxFilesPerTrigger", "1").parquet(src_q))
+    sd = (spark.readStream.schema(SCHEMA)
+          .option("maxFilesPerTrigger", "1").parquet(src_d))
+    qq = start_streaming_quality_gate(
+        sq, "text", "doc_id",
+        os.path.join(root, "cc_q_pass"), os.path.join(root, "cc_q_reject"),
+        os.path.join(root, "cc_q_ck"), trigger_once=False,
+    )
+    qd = start_streaming_decontamination(
+        sd, eval_df, "text", "doc_id",
+        os.path.join(root, "cc_d_clean"), os.path.join(root, "cc_d_quar"),
+        os.path.join(root, "cc_d_ck"), trigger_once=False,
+    )
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    ckpt_corpus = spark.createDataFrame(
+        [(800_000 + i, base + f" tail{i % 2}") for i in range(8)], SCHEMA
+    )
+    ckpt_batch = spark.createDataFrame(
+        [(1, base + " tail0"), (2, "wholly new content unlike anything")], SCHEMA
+    )
+    from graphdbetl_spark.operators.dedup import minhash_incremental_md5
+
+    samples, ckpt_after = [], []
+    fired = 0
+    try:
+        while True:
+            time.sleep(2.0)
+            pq_, pd_ = qq.lastProgress, qd.lastProgress
+            done_q = int(pq_["batchId"]) if pq_ else -1
+            done_d = int(pd_["batchId"]) if pd_ else -1
+            samples.append((done_q, done_d, *storage_snapshot(spark)))
+            lo = min(done_q, done_d)
+            if fired < 3 and lo >= (fired + 1) * n_batches // 4:
+                # checkpoint-mode screen mid-flight; drop refs + GC so
+                # the ContextCleaner can free the checkpointed blocks
+                out = minhash_incremental_md5(
+                    ckpt_corpus, ckpt_batch, "text", "doc_id",
+                    cache_corpus=False,
+                ).collect()
+                assert {r["doc_id"]: r["is_near_dup"] for r in out} == {
+                    1: True, 2: False
+                }
+                fired += 1
+                gc.collect()
+                time.sleep(2.0)
+                ckpt_after.append(storage_snapshot(spark))
+            if (done_q >= n_batches - 1 and done_d >= n_batches - 1
+                    and not qq.status["isDataAvailable"]
+                    and not qd.status["isDataAvailable"]):
+                break
+    finally:
+        qq.stop()
+        qd.stop()
+    assert fired == 3, f"checkpoint-mode screen fired {fired}/3 times"
+    # both streams == their batch operators
+    from graphdbetl_spark.operators.curation import (
+        char_entropy,
+        decontaminate_against_eval,
+        gopher_quality,
+    )
+
+    all_q = spark.read.parquet(src_q)
+    g = gopher_quality(all_q, "text", "doc_id").select("doc_id", "passes")
+    e = char_entropy(all_q, "text", "doc_id", low=2.5).select("doc_id", "low_entropy")
+    both = g.join(e, "doc_id")
+    exp_p = both.filter(F.col("passes") & ~F.col("low_entropy")).count()
+    exp_r = both.count() - exp_p
+    n_p = spark.read.parquet(os.path.join(root, "cc_q_pass")).count()
+    n_r = spark.read.parquet(os.path.join(root, "cc_q_reject")).count()
+    all_d = spark.read.parquet(src_d)
+    flags = decontaminate_against_eval(all_d, "text", "doc_id", eval_df, n=5)
+    exp_quar = flags.filter(F.col("contaminated")).count()
+    exp_clean = flags.count() - exp_quar
+    n_c = spark.read.parquet(os.path.join(root, "cc_d_clean")).count()
+    n_qr = spark.read.parquet(os.path.join(root, "cc_d_quar")).count()
+    print(f"concurrent soak: {n_batches}+{n_batches} batches; "
+          f"quality pass={n_p}/reject={n_r} (truth {exp_p}/{exp_r}); "
+          f"decon clean={n_c}/quarantine={n_qr} (truth {exp_clean}/{exp_quar})")
+    for s in samples[:: max(1, len(samples) // 10)]:
+        print(f"  q_batch={s[0]:5d} d_batch={s[1]:5d} cached_rdds={s[2]} mem={s[3]}")
+    print(f"  storage after each checkpoint-mode firing: {ckpt_after}")
+    assert (n_p, n_r) == (exp_p, exp_r), "concurrent quality routing diverged"
+    assert (n_c, n_qr) == (exp_clean, exp_quar), "concurrent decon routing diverged"
+    assert n_p > 0 and n_r > 0 and n_c > 0 and n_qr > 0
+    # storage budget: 1 eval cache + <=1 in-flight routed batch per
+    # stream + <=2 localCheckpoint blocks from a just-fired
+    # checkpoint-mode screen (the ContextCleaner frees those
+    # asynchronously after the refs drop — a bounded transient, not a
+    # leak). The leak signatures are (a) the budget exceeded, (b) the
+    # post-firing snapshots RATCHETING by ~2 per firing (blocks never
+    # freed), or (c) anything but the eval cache surviving both
+    # streams' end.
+    peak = max(s[2] for s in samples)
+    assert peak <= 5, f"concurrent streams pinned {peak} datasets (budget 5)"
+    assert samples[-1][2] <= 1, "cache leaked past both streams' end"
+    for n_rdd, _ in ckpt_after:
+        assert n_rdd <= 5, "localCheckpoint blocks exceeded the transient budget"
+    assert ckpt_after[-1][0] <= ckpt_after[0][0] + 2, (
+        "localCheckpoint blocks ratcheted across firings: "
+        f"{[c[0] for c in ckpt_after]}"
+    )
+    print("  FLAT: eval cache only at end; localCheckpoint firings left no residue")
 
 
 def run_crash_matrix(spark, root: str) -> None:
@@ -272,6 +468,7 @@ def main() -> int:
     try:
         run_neardup_soak(spark, root, n_batches)
         run_quality_soak(spark, root, max(50, n_batches // 4))
+        run_concurrent_soak(spark, root, n_batches)
         run_crash_matrix(spark, root)
         print("SOAK OK")
         return 0
