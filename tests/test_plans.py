@@ -232,35 +232,38 @@ def test_join_strategy_hints_are_honored(spark):
 
 
 def test_driver_priority_slate():
-    """Round-5 rotation contract (r4 verdict #2): the slate leads with
-    the 25 queries no driver CORRECTNESS file (r1-r4) has ever
-    attested — including the rows-only approximate operators, whose
-    weaker driver check is still the durable evidence — followed by
-    agg_decimal for re-attestation after its output canonicalization.
-    Nothing GREEN-attested in r1-r4 may occupy those first 26 slots."""
+    """Round-6 rotation contract (r5 verdict #1): the slate leads with
+    the 12 entries no driver CORRECTNESS file (r1-r5) has ever marked
+    GREEN — exactly the formerly-oracle-less operators that gained
+    oracles this round (plus the new batched-BPE entry). Nothing
+    green-attested in r1-r5 may occupy those first 12 slots, every
+    registered query has an oracle, and the slate head fits well
+    inside the driver's ~50-query budget."""
     import json
     from pathlib import Path
 
-    from graphdbetl_spark.plans.registry import _PRIORITY, all_queries
+    from graphdbetl_spark.plans.registry import _PRIORITY, all_oracles, all_queries
 
     qs = list(all_queries())
     assert len(_PRIORITY) == len(set(_PRIORITY))
     assert qs[: len(_PRIORITY)] == list(_PRIORITY)  # all registered, in order
+    # every queries() entry must be oracle-backed (zero no_oracle rows)
+    assert set(all_queries()) == set(all_oracles())
     root = Path(__file__).resolve().parent.parent
     green: set[str] = set()
-    for f in sorted(root.glob("CORRECTNESS_r0[1-4].json")):
+    for f in sorted(root.glob("CORRECTNESS_r0[1-5].json")):
         for name, rec in json.loads(f.read_text()).items():
             if rec.get("rows_match") and rec.get("hash_match", True):
                 green.add(name)
     if green:
-        assert not green & set(qs[:26]), "slate wastes slots on attested queries"
-    assert qs[25] == "agg_decimal"  # red in r4, re-attested right after the 25
-    for must_have in (
-        "graph_pagerank", "graph_triangle_count", "stream_interval_join",
-        "dedup_url_canonical", "train_quality_classifier", "sim_range_search",
-        "bpe_learn_merges", "dedup_minhash", "sketch_kmv_distinct",
-    ):
-        assert must_have in _PRIORITY[:25]
+        assert not green & set(qs[:12]), "slate wastes slots on attested queries"
+    never_green = (
+        "embedding_pca_project", "bpe_learn_merges", "bpe_tokenize_corpus",
+        "bpe_learn_merges_batched", "dedup_minhash", "dedup_simhash",
+        "sim_ivf_topk", "sim_lsh_topk", "sim_ivfpq_topk", "text_tokens",
+        "sketch_kmv_distinct", "agg_approx",
+    )
+    assert set(qs[:12]) == set(never_green)
 
 
 def test_domain_cap_uses_window_group_limit(spark):
