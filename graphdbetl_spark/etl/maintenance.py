@@ -188,3 +188,60 @@ def prune_partitions(
             fs.delete(status.getPath(), True)
             pruned.append(value)
     return sorted(pruned)
+
+
+def zorder_rank_exact(
+    df: DataFrame, col_a: str, col_b: str, buckets: int = 16
+) -> Column:
+    """Z-order key with EXACT type-1 (discrete) percentile bucket
+    bounds — the deterministic, oracle-replayable sibling of
+    :func:`zorder_rank` (whose approxQuantile sketch is sampling-based
+    and so attestable only by invariant, not by value). Production
+    writes at 100 TB keep using the sketch; this variant exists so the
+    bucket/interleave math itself — the part a layout bug would
+    corrupt — has a bit-for-bit cross-engine check.
+
+    Discrete (not interpolated) bounds on purpose: continuous
+    percentile is engine-convention-dependent (Spark's `percentile`
+    and DuckDB's `quantile_cont` interpolate from different rank
+    indices — measured 3/15 bounds apart at sf0.1), while "smallest
+    value whose cumulative count reaches ceil(p·n)" is pure integer
+    arithmetic both engines compute identically. Bounds come from a
+    per-value count (shuffle bounded by DISTINCT value cardinality) +
+    one cumulative-sum window over those distinct values; the driver
+    receives only the 2·(n-1) bound values, and bucket assignment +
+    Morton interleave are then literal-array codegen expressions — no
+    extra scan of the data. The single-partition window is over
+    distinct VALUES, not rows — fine for the integer-domain layout
+    columns this targets; swap in zorder_rank when the domain itself
+    is huge.
+    """
+    bits = max(1, (buckets - 1).bit_length())
+    n_b = 1 << bits
+
+    def type1_bounds(col: str) -> list[float]:
+        from pyspark.sql import Window
+
+        n = df.count()
+        ranks = sorted({-(-(i * n) // n_b) for i in range(1, n_b)})
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = (
+            df.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .select(F.col(col).alias("__v"), F.sum("__c").over(w).alias("__cum"))
+        )
+        rdf = df.sparkSession.createDataFrame([(r,) for r in ranks], ["__r"])
+        rows = (
+            cum.crossJoin(F.broadcast(rdf))
+            .filter(F.col("__cum") >= F.col("__r"))
+            .groupBy("__r")
+            .agg(F.min("__v").alias("__b"))
+            .collect()
+        )
+        return sorted({float(r["__b"]) for r in rows})
+
+    return _interleave_bits(
+        _quantile_bucket(F.col(col_a), type1_bounds(col_a)),
+        _quantile_bucket(F.col(col_b), type1_bounds(col_b)),
+        bits=bits,
+    )

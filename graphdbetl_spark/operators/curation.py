@@ -1141,3 +1141,46 @@ def bigram_lm_score(
             F.round(F.avg("__lp"), 6).alias("mean_logprob"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Semantic (embedding-level) benchmark decontamination: flag every
+    candidate-training vector whose max cosine to ANY eval vector
+    reaches ``threshold``. Complements ``decontaminate_against_eval``
+    (surface n-gram overlap) — paraphrased or lightly-rewritten eval
+    leakage shares no 5-gram but sits at high embedding similarity,
+    which is how modern pipelines (e.g. the GPT-3/PaLM contamination
+    appendices at the n-gram tier, SemDeDup at the embedding tier)
+    actually audit for it.
+
+    Scale shape: the eval side is a benchmark — MBs against a 100 TB
+    corpus — so it is explicitly BROADCAST and the corpus streams ONCE
+    through a codegen'd dot-product scan; the per-corpus-row max is a
+    map-side-combined aggregate, so the only shuffle carries one
+    (id, max) row per corpus vector, independent of |eval|. For eval
+    sets that grow with the corpus, block both sides with the
+    hyperplane-bucket machinery (dedup_embedding_lsh_blocked) instead.
+
+    Returns (id_col, max_eval_cosine rounded 6, contaminated bool);
+    the threshold compares the UNROUNDED max on both engines.
+    """
+    from graphdbetl_spark.functions.vectors import cosine_similarity
+
+    ev = F.broadcast(eval_df.select(F.col(vec_col).alias("__ev")))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        .join(ev)
+        .groupBy(id_col)
+        .agg(F.max(cosine_similarity(F.col("__cv"), F.col("__ev"))).alias("__mx"))
+        .select(
+            id_col,
+            F.round("__mx", 6).alias("max_eval_cosine"),
+            (F.col("__mx") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )

@@ -79,3 +79,54 @@ def replicated_skew_join(
     replicated_dim = dim.select("*", salts)
     out = salted_fact.join(replicated_dim, [key, "__salt"])
     return out.drop("__salt")
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Pre-join key-skew diagnostic: the numbers that decide between a
+    plain shuffle join, AQE skew split, and explicit salting
+    (`salted_count_sum` / `replicated_skew_join`) BEFORE burning a
+    cluster-hour discovering the straggler. One shuffle on the key
+    (map-side-combined counts — the shuffle carries one row per key,
+    not per input row); every downstream step runs over the n_keys-row
+    count table, which joins no bigger than a broadcast.
+
+    Returns ONE row: n_rows, n_keys, max_key_rows, p50/p99_key_rows
+    (exact interpolated percentiles of the per-key row counts),
+    avg_key_rows, skew_ratio (= max/avg; >~4 means AQE skew split,
+    >~16 means salt), hot_keys (count of keys holding >2x the mean —
+    integer arithmetic, engine-exact), and salt_buckets
+    (= ceil(skew_ratio), the bucket count that levels the hottest key
+    to the mean).
+
+    The percentiles are EXACT (`percentile`), which collects the
+    per-key counts — right for join-key diagnosis where key
+    cardinality << row count; for user-id-cardinality keys swap in
+    `approx_percentile` (same report shape, sketch-bounded memory).
+    """
+    c = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    t = c.agg(
+        F.sum("__cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__cnt").alias("max_key_rows"),
+        F.expr("percentile(__cnt, 0.5D)").alias("__p50"),
+        F.expr("percentile(__cnt, 0.99D)").alias("__p99"),
+    )
+    h = (
+        c.crossJoin(F.broadcast(t.select("n_rows", "n_keys")))
+        .filter(F.col("__cnt") * F.col("n_keys") > 2 * F.col("n_rows"))
+        .agg(F.count(F.lit(1)).alias("hot_keys"))
+    )
+    ratio = F.col("max_key_rows").cast("double") * F.col("n_keys") / F.col("n_rows")
+    return t.crossJoin(F.broadcast(h)).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round("__p50", 6).alias("p50_key_rows"),
+        F.round("__p99", 6).alias("p99_key_rows"),
+        F.round(F.col("n_rows").cast("double") / F.col("n_keys"), 6).alias(
+            "avg_key_rows"
+        ),
+        F.round(ratio, 6).alias("skew_ratio"),
+        "hot_keys",
+        F.ceil(ratio).alias("salt_buckets"),
+    )

@@ -525,3 +525,38 @@ def score_quality_trained(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
     w = _logreg_fit(d, "text", "doc_id", iters=10, lr=0.5)
     return logreg_score_trained(d, "text", "doc_id", w)
+
+
+@query(
+    "decontaminate_semantic",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+                   AS is_eval
+        FROM embeddings
+    ), m AS (
+        SELECT t.vec_id, max(list_cosine_similarity(t.v, e.v)) AS mx
+        FROM s t JOIN s e ON e.is_eval AND NOT t.is_eval
+        GROUP BY 1
+    )
+    SELECT vec_id, ROUND(mx, 6) AS max_eval_cosine, mx >= 0.35 AS contaminated
+    FROM m
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-tier benchmark decontamination: flag training vectors
+    whose max cosine to the held-out eval split (md5 buckets 0-9)
+    reaches 0.35 — catches paraphrased eval leakage that shares no
+    5-gram with `decontaminate_ngrams`. Eval side broadcast, corpus
+    scanned once, per-row max map-side-combined (see
+    operators/curation.py semantic_decontaminate)."""
+    from graphdbetl_spark.operators.curation import semantic_decontaminate
+
+    e = T(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    b = hash_bucket(F.col("vec_id"))
+    return semantic_decontaminate(
+        e.filter(b >= 10), e.filter(b < 10), "vec_id", "embedding", threshold=0.35
+    )

@@ -461,3 +461,104 @@ def join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
     )
+
+
+@query(
+    "skew_report",
+    oracle="""
+    WITH c AS (
+        SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ), t AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(cnt) AS BIGINT) AS max_key_rows,
+               quantile_cont(cnt, 0.5) AS p50,
+               quantile_cont(cnt, 0.99) AS p99
+        FROM c
+    ), h AS (
+        SELECT CAST(count(*) AS BIGINT) AS hot_keys
+        FROM c, t WHERE cnt * t.n_keys > 2 * t.n_rows
+    )
+    SELECT n_rows, n_keys, max_key_rows,
+           ROUND(p50, 6) AS p50_key_rows,
+           ROUND(p99, 6) AS p99_key_rows,
+           ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_key_rows,
+           ROUND(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows, 6) AS skew_ratio,
+           hot_keys,
+           CAST(ceil(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows) AS BIGINT)
+               AS salt_buckets
+    FROM t, h
+    """,
+)
+def skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-join key-skew diagnostic over lineitem.l_suppkey: one
+    map-side-combined count shuffle, then a single-row report (max /
+    p50 / p99 per-key rows, skew ratio, hot-key count, recommended
+    salt buckets) — the numbers that pick plain join vs AQE skew split
+    vs salting before the straggler burns a cluster-hour (see
+    operators/skew.py key_skew_report)."""
+    from graphdbetl_spark.operators.skew import key_skew_report
+
+    return key_skew_report(T(spark, sf, "lineitem"), "l_suppkey")
+
+
+@query(
+    "maintenance_zorder_key",
+    oracle="""
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_extendedprice * 100 AS BIGINT) AS a,
+               CAST(l_quantity AS BIGINT) AS b
+        FROM lineitem
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM src
+    ), ranks AS (
+        SELECT DISTINCT (i * n + 15) // 16 AS r FROM range(1, 16) t(i), nn
+    ), cca AS (
+        SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM (
+            SELECT a AS v, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY 1)
+    ), pa AS (
+        SELECT list_sort(list_distinct(list(bound))) AS qa FROM (
+            SELECT r, min(v) AS bound FROM cca, ranks WHERE cum >= r GROUP BY r)
+    ), ccb AS (
+        SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM (
+            SELECT b AS v, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY 1)
+    ), pb AS (
+        SELECT list_sort(list_distinct(list(bound))) AS qb FROM (
+            SELECT r, min(v) AS bound FROM ccb, ranks WHERE cum >= r GROUP BY r)
+    ), r AS (
+        SELECT l_orderkey, l_linenumber,
+               len(list_filter(qa, x -> a >= x)) AS ba,
+               len(list_filter(qb, x -> b >= x)) AS bb
+        FROM src, pa, pb
+    )
+    SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+           CAST(((ba & 1) << 0) | ((bb & 1) << 1)
+              | ((ba & 2) << 1) | ((bb & 2) << 2)
+              | ((ba & 4) << 2) | ((bb & 4) << 3)
+              | ((ba & 8) << 3) | ((bb & 8) << 4) AS BIGINT) AS zkey
+    FROM r
+    """,
+)
+def maintenance_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout key over (price-cents, quantity) with exact
+    type-1 (discrete, integer-arithmetic) percentile bounds — attests
+    the bucket + Morton-interleave math behind write_zordered
+    bit-for-bit (the production write path keeps the approxQuantile
+    sketch, which a value oracle can't replay; interpolated percentile
+    is engine-convention-dependent — see etl/maintenance.py
+    zorder_rank_exact). Bucketing + interleave are literal-array
+    codegen over one corpus pass."""
+    from graphdbetl_spark.etl.maintenance import zorder_rank_exact
+
+    li = T(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * 100).cast("long").alias("__a"),
+        F.col("l_quantity").cast("long").alias("__b"),
+    )
+    z = zorder_rank_exact(li, "__a", "__b", buckets=16)
+    return li.select(
+        "l_orderkey", "l_linenumber", z.cast("long").alias("zkey")
+    )

@@ -2930,3 +2930,32 @@ def sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
     q = e.filter(F.col("vec_id") % 100 == 0)
     return cosine_range_search(e, q, "vec_id", "embedding", threshold=0.25)
+
+
+@query(
+    "embedding_whiten",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS component,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), st AS (
+        SELECT component, avg(v) AS mu, stddev_pop(v) AS sd
+        FROM ex GROUP BY 1
+    )
+    SELECT e.vec_id, CAST(e.component AS INT) AS component,
+           ROUND(CASE WHEN s.sd = 0 THEN 0.0 ELSE (e.v - s.mu) / s.sd END, 6)
+               AS zvalue
+    FROM ex e JOIN st s USING (component)
+    """,
+)
+def embedding_whiten(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension standardization of the embedding corpus — the
+    whitening pass in front of cosine/PCA/IVF when dimensions arrive
+    on mixed scales. Dimension-keyed moment shuffle is bounded by d
+    (64 rows per map task), stats broadcast back, one codegen corpus
+    pass; output flattened to (vec_id, component, zvalue) scalars
+    (see operators/similarity.py standardize_dimensions)."""
+    from graphdbetl_spark.operators.similarity import standardize_dimensions
+
+    return standardize_dimensions(T(spark, sf, "embeddings"), "vec_id", "embedding")

@@ -83,6 +83,11 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_learn_merges_batched", "dedup_minhash", "dedup_simhash",
     "sim_ivf_topk", "sim_lsh_topk", "sim_ivfpq_topk", "text_tokens",
     "sketch_kmv_distinct", "agg_approx",
+    # new operators this round (never attested): semantic-tier
+    # decontamination, per-dimension whitening, key-skew diagnostic,
+    # Z-order layout attestation
+    "decontaminate_semantic", "embedding_whiten", "skew_report",
+    "maintenance_zorder_key",
     # r5-attested slate (green in CORRECTNESS_r05)
     "graph_degree_stats", "graph_triangle_count", "graph_two_hop",
     "graph_pagerank", "stream_interval_join",

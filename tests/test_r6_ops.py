@@ -1,0 +1,93 @@
+"""Round-6 operator additions: semantic decontamination, per-dimension
+whitening, key-skew diagnostics, exact-bound Z-ordering."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from graphdbetl_spark.etl.maintenance import zorder_rank_exact
+from graphdbetl_spark.operators.curation import semantic_decontaminate
+from graphdbetl_spark.operators.similarity import standardize_dimensions
+from graphdbetl_spark.operators.skew import key_skew_report
+
+
+def test_semantic_decontaminate_flags_planted_duplicate(spark):
+    # corpus vec 1 duplicates eval vec 10 (cosine 1.0, scale-invariant);
+    # vec 2 is orthogonal to both eval vectors.
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0, 4.0]), (2, [0.0, 1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    ev = spark.createDataFrame(
+        [(10, [1.0, 0.0, 2.0]), (11, [3.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(corpus, ev, threshold=0.9).collect()
+    }
+    assert rows[1]["contaminated"] and rows[1]["max_eval_cosine"] == 1.0
+    assert not rows[2]["contaminated"] and rows[2]["max_eval_cosine"] == 0.0
+
+
+def test_semantic_decontaminate_broadcasts_eval_side(spark):
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    ev = spark.createDataFrame([(2, [0.0, 1.0])], ["vec_id", "embedding"])
+    plan = semantic_decontaminate(corpus, ev)._jdf.queryExecution().toString()
+    assert "Broadcast" in plan
+
+
+def test_standardize_dimensions_unit_moments(spark):
+    import random
+
+    rng = random.Random(7)
+    data = [(i, [rng.uniform(-5, 5) for _ in range(3)]) for i in range(50)]
+    out = standardize_dimensions(
+        spark.createDataFrame(data, ["vec_id", "embedding"])
+    ).collect()
+    assert len(out) == 150
+    by_dim = {}
+    for r in out:
+        by_dim.setdefault(r["component"], []).append(r["zvalue"])
+    assert sorted(by_dim) == [1, 2, 3]
+    for vs in by_dim.values():
+        mu = sum(vs) / len(vs)
+        sd = math.sqrt(sum((v - mu) ** 2 for v in vs) / len(vs))
+        assert abs(mu) < 1e-5 and abs(sd - 1.0) < 1e-5
+
+
+def test_key_skew_report_values(spark):
+    # key 'a' -> 6 rows, 'b' -> 2, 'c' -> 2, 'd' -> 2: n=12, k=4, max=6
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 2 + [("d",)] * 2
+    rep = key_skew_report(spark.createDataFrame(rows, ["k"]), "k").collect()[0]
+    assert rep["n_rows"] == 12 and rep["n_keys"] == 4
+    assert rep["max_key_rows"] == 6
+    assert rep["avg_key_rows"] == 3.0
+    assert rep["skew_ratio"] == 2.0
+    assert rep["salt_buckets"] == 2
+    # only 'a' holds more than 2x the mean (6 > 2*3 fails; strict >)
+    assert rep["hot_keys"] == 0
+    assert rep["p50_key_rows"] == 2.0
+
+
+def test_key_skew_report_hot_keys_strictly_above_twice_mean(spark):
+    rows = [("a",)] * 7 + [("b",)] * 1 + [("c",)] * 1 + [("d",)] * 1
+    rep = key_skew_report(spark.createDataFrame(rows, ["k"]), "k").collect()[0]
+    assert rep["hot_keys"] == 1  # 7*4 > 2*10
+    assert rep["salt_buckets"] == 3  # ceil(7/2.5)
+
+
+def test_zorder_rank_exact_locality_and_range(spark):
+    # 16x16 integer grid: buckets=4 -> 2 bits per column, zkey in [0, 16)
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(grid, ["a", "b"])
+    z = df.withColumn("z", zorder_rank_exact(df, "a", "b", buckets=4))
+    got = {(r["a"], r["b"]): r["z"] for r in z.collect()}
+    assert set(got.values()) <= set(range(16))
+    # every quadrant cell is one contiguous z value; z respects Morton
+    # order: (low,low) quadrant < (high,high) quadrant
+    assert got[(0, 0)] < got[(15, 15)]
+    # same bucket cell -> same z (type-1 bounds put 3 in the next cell:
+    # ceil(256/4)=64 -> first value whose cum count reaches 64 is 3)
+    assert got[(0, 0)] == got[(2, 2)]
+    assert got[(3, 3)] != got[(0, 0)]
+    # uniform grid: all 16 cells hit
+    assert len(set(got.values())) == 16
