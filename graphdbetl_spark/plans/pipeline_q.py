@@ -209,13 +209,20 @@ def graph_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
 )
 def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     """Triangle count on the co-purchase part graph (parts sharing an
-    order are connected). Orientation by vertex id (u<v) means each
-    triangle is counted exactly once and every wedge join fans out only
-    to higher ids — the degree-ordering trick that makes triangle
-    counting tractable on skewed graphs."""
+    order are connected). Each undirected edge is oriented from the
+    lower-(degree, id) endpoint to the higher — the degree-ordering
+    trick (Ortmann & Brandes; GraphX's triangleCount does the same):
+    every vertex's OUT-degree is then bounded by ~sqrt(2m), so the
+    wedge join's fan-out is O(m^1.5) worst-case instead of hub-degree
+    squared — id-only orientation leaves a high-degree hub emitting
+    deg(hub)^2 wedges, the shape that melts down on skewed graphs.
+    Any total order counts each triangle exactly once, so the count
+    (and the id-oriented DuckDB oracle) is unchanged; the degree table
+    is one extra bounded-key aggregation joined back onto the edge
+    list."""
     items = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
-    edges = (
+    und = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -223,6 +230,26 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    edges = (
+        und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("u"), F.col("e.t").alias("v"))
         .cache()  # reused three times in the wedge-close join
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
