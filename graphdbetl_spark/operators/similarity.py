@@ -1309,3 +1309,50 @@ def standardize_dimensions(
             ).alias("zvalue"),
         )
     )
+
+
+def ivf_append_report(
+    corpus: DataFrame,
+    new_pred,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    seed: str = "42",
+) -> DataFrame:
+    """Incremental IVF index maintenance — the streaming-ingest path:
+    vectors matching ``new_pred`` are an arriving batch appended to an
+    index whose md5-sampled centroids were fitted on the BASE corpus
+    only. Appending never re-clusters: the fixed centroid table is
+    broadcast and assignment is the same map-only max-dot pass the
+    query path uses, so ingest cost is one scan of the batch no matter
+    how big the index already is (FAISS `add` vs `train`; at 100 TB
+    the assignments land in a cell-bucketed table and queries stay
+    co-located).
+
+    What re-clustering would fix is drift — so the report surfaces it:
+    per cell, base/new/total member counts plus a rebuild_hint that
+    fires when the post-append cell exceeds 2x the mean cell size
+    (pure integer arithmetic: n_total * n_cells > 2 * total). A
+    drifted batch distribution piles into few cells, degrading probe
+    recall; the hint is the trigger for scheduling a centroid refit.
+    """
+    u = _unit_vectors(corpus, vec_col)
+    base = u.filter(~new_pred)
+    cents = md5_sampled_centroids(base, id_col, k=n_cells, seed=seed)
+    asn = ivf_assign_cells_md5(u, id_col, cents)
+    tagged = asn.join(
+        corpus.select(F.col(id_col), new_pred.alias("__new")), id_col
+    )
+    c = tagged.groupBy("cell").agg(
+        F.sum(F.when(~F.col("__new"), 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("__new"), 1).otherwise(0)).alias("n_new"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    t = c.agg(F.sum("n_total").alias("__total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_base",
+        "n_new",
+        "n_total",
+        (F.col("n_total") * n_cells > 2 * F.col("__total")).alias("rebuild_hint"),
+    )

@@ -2959,3 +2959,61 @@ def embedding_whiten(spark: SparkSession, sf: str) -> DataFrame:
     from graphdbetl_spark.operators.similarity import standardize_dimensions
 
     return standardize_dimensions(T(spark, sf, "embeddings"), "vec_id", "embedding")
+
+
+def _sim_ivf_append_oracle(n_cells: int = 8) -> str:
+    """Replay of ivf_append_report: base-only (vec_id % 7 <> 0)
+    md5-sampled centroids, max-dot assignment of ALL vectors against
+    them, per-cell base/new counts + the integer rebuild predicate."""
+    return f"""
+    WITH un AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), u AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(
+                   list_reduce(list_transform(v, y -> y * y),
+                               (acc, b) -> acc + b))) AS uv
+        FROM un
+    ), d AS (
+        SELECT uv AS cuv,
+               row_number() OVER (
+                   ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+        FROM u WHERE vec_id % 7 <> 0
+        ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}
+    ), dots AS (
+        SELECT u.vec_id, d.cell,
+               list_reduce(list_transform(range(1, 65),
+                           i -> u.uv[i] * d.cuv[i]), (acc, b) -> acc + b) AS dt
+        FROM u CROSS JOIN d
+    ), asn AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dt DESC, cell) AS rn
+            FROM dots) WHERE rn = 1
+    ), c AS (
+        SELECT CAST(cell AS INT) AS cell,
+               CAST(count(*) FILTER (vec_id % 7 <> 0) AS BIGINT) AS n_base,
+               CAST(count(*) FILTER (vec_id % 7 = 0) AS BIGINT) AS n_new,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM asn GROUP BY 1
+    ), t AS (SELECT CAST(sum(n_total) AS BIGINT) AS total FROM c)
+    SELECT cell, n_base, n_new, n_total,
+           n_total * {n_cells} > 2 * total AS rebuild_hint
+    FROM c, t
+    """
+
+
+@query("sim_ivf_append", oracle=_sim_ivf_append_oracle())
+def sim_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ANN index maintenance: an arriving batch
+    (vec_id % 7 == 0) appends to the md5-IVF index fitted on the base
+    corpus — assignment to EXISTING centroids is the map-only
+    broadcast pass (no re-clustering), and the per-cell report flags
+    drifted cells (> 2x mean size, integer arithmetic) as rebuild
+    candidates (see operators/similarity.py ivf_append_report)."""
+    from graphdbetl_spark.operators.similarity import ivf_append_report
+
+    e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
+    return ivf_append_report(e, F.col("vec_id") % 7 == 0, "vec_id", "embedding")

@@ -91,3 +91,22 @@ def test_zorder_rank_exact_locality_and_range(spark):
     assert got[(3, 3)] != got[(0, 0)]
     # uniform grid: all 16 cells hit
     assert len(set(got.values())) == 16
+
+
+def test_ivf_append_report_counts_and_drift(spark):
+    from graphdbetl_spark.operators.similarity import ivf_append_report
+
+    # base: 8 well-spread 2-d vectors; batch: 6 new vectors piled onto
+    # one direction -> that cell must exceed 2x the mean and flag.
+    base = [(i, [math.cos(i), math.sin(i)]) for i in range(8)]
+    new = [(100 + i, [1.0, 0.01 * i]) for i in range(6)]
+    df = spark.createDataFrame(base + new, ["vec_id", "embedding"])
+    rep = ivf_append_report(
+        df, F.col("vec_id") >= 100, "vec_id", "embedding", n_cells=4
+    ).collect()
+    assert sum(r["n_base"] for r in rep) == 8
+    assert sum(r["n_new"] for r in rep) == 6
+    for r in rep:
+        assert r["n_total"] == r["n_base"] + r["n_new"]
+        assert r["rebuild_hint"] == (r["n_total"] * 4 > 2 * 14)
+    assert any(r["rebuild_hint"] for r in rep)  # the piled-on cell
