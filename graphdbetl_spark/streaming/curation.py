@@ -204,3 +204,61 @@ def start_streaming_quality_gate(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_semantic_screen(
+    vec_stream: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    threshold: float = 0.35,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming semantic decontamination: route an arriving embedding
+    stream into ``clean_path`` / ``quarantine_path`` by max cosine to
+    the static eval set (the embedding-tier sibling of
+    :func:`start_streaming_decontamination` — catches paraphrased eval
+    leakage that shares no n-gram).
+
+    The eval side is cached once and broadcast into every micro-batch's
+    max-cosine pass (operators/curation.py semantic_decontaminate), so
+    per-batch work is one scan of the batch — independent of corpus
+    history AND of how long the stream has run; no per-batch state
+    accumulates. Both sinks commit through
+    :func:`write_batch_exactly_once` (batch_id-keyed staging + commit
+    markers): a crash between the writes + checkpoint replay re-commits
+    only the missed sink."""
+    from graphdbetl_spark.operators.curation import semantic_decontaminate
+    from graphdbetl_spark.streaming.txn_sink import write_batch_exactly_once
+
+    eval_cached = eval_df.select(id_col, vec_col).cache()
+    eval_cached.count()
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        flags = semantic_decontaminate(
+            batch, eval_cached, id_col, vec_col, threshold=threshold
+        )
+        routed = batch.join(flags.select(id_col, "contaminated"), id_col).cache()
+        try:
+            write_batch_exactly_once(
+                routed.filter(~F.col("contaminated")).drop("contaminated"),
+                batch_id,
+                clean_path,
+            )
+            write_batch_exactly_once(
+                routed.filter(F.col("contaminated")).drop("contaminated"),
+                batch_id,
+                quarantine_path,
+            )
+        finally:
+            routed.unpersist()
+
+    writer = vec_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -310,3 +310,64 @@ def test_streaming_quality_gate_routes_and_audits(spark, tmp_path):
     assert got_ok == {1, 4}
     assert rej[2] == "gopher+low_entropy"
     assert rej[3] == "gopher"
+
+
+def test_streaming_semantic_screen_routes_batches(spark, tmp_path):
+    from graphdbetl_spark.operators.curation import semantic_decontaminate
+    from graphdbetl_spark.streaming.curation import start_streaming_semantic_screen
+
+    src = str(tmp_path / "vec_src")
+    clean = str(tmp_path / "sclean")
+    quarantine = str(tmp_path / "squar")
+    ckpt = str(tmp_path / "sck")
+    os.makedirs(src)
+
+    schema = "vec_id long, embedding array<double>"
+    eval_df = spark.createDataFrame([(100, [1.0, 0.0, 0.0])], schema)
+
+    def add_file(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        for f in os.listdir(str(tmp_path / name)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(str(tmp_path / name), f),
+                            os.path.join(src, f"{name}.parquet"))
+
+    batch1 = [
+        (1, [2.0, 0.1, 0.0]),   # near-parallel to eval -> contaminated
+        (2, [0.0, 1.0, 0.0]),   # orthogonal -> clean
+    ]
+    batch2 = [
+        (3, [0.0, 0.5, 0.5]),   # orthogonal -> clean
+        (4, [5.0, 0.0, 0.1]),   # near-parallel -> contaminated
+    ]
+
+    add_file(batch1, "v1")
+    q = start_streaming_semantic_screen(
+        spark.readStream.schema(schema).parquet(src),
+        eval_df, "vec_id", "embedding", clean, quarantine, ckpt,
+        threshold=0.9,
+    )
+    q.awaitTermination(120)
+    add_file(batch2, "v2")
+    q2 = start_streaming_semantic_screen(
+        spark.readStream.schema(schema).parquet(src),
+        eval_df, "vec_id", "embedding", clean, quarantine, ckpt,
+        threshold=0.9,
+    )
+    q2.awaitTermination(120)
+
+    got_clean = {r.vec_id for r in spark.read.parquet(clean).collect()}
+    got_quar = {r.vec_id for r in spark.read.parquet(quarantine).collect()}
+    assert got_clean == {2, 3}
+    assert got_quar == {1, 4}
+
+    # streaming result == batch operator on the union of all batches
+    all_vecs = spark.createDataFrame(batch1 + batch2, schema)
+    batch_flags = {
+        r.vec_id: r.contaminated
+        for r in semantic_decontaminate(
+            all_vecs, eval_df, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    assert got_quar == {v for v, c in batch_flags.items() if c}
