@@ -82,6 +82,14 @@ HEADLINE = [
     "train_quality_classifier",
     # exact cosine range search (broadcast queries, in-scan radius filter)
     "sim_range_search",
+    # r6 additions: embedding-tier decontamination, per-dimension
+    # whitening, the pre-join skew diagnostic, Z-order layout keying,
+    # and incremental IVF append — benched cold like every new family.
+    "decontaminate_semantic",
+    "embedding_whiten",
+    "skew_report",
+    "maintenance_zorder_key",
+    "sim_ivf_append",
 ]
 
 

@@ -1174,7 +1174,8 @@ def semantic_decontaminate(
 
     ev = F.broadcast(eval_df.select(F.col(vec_col).alias("__ev")))
     return (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        ensure_scan_parallelism(corpus, id_col)
+        .select(F.col(id_col), F.col(vec_col).alias("__cv"))
         .join(ev)
         .groupBy(id_col)
         .agg(F.max(cosine_similarity(F.col("__cv"), F.col("__ev"))).alias("__mx"))
