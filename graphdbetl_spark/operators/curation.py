@@ -1185,3 +1185,62 @@ def semantic_decontaminate(
             (F.col("__mx") >= F.lit(threshold)).alias("contaminated"),
         )
     )
+
+
+def importance_resample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_pred,
+    k: int = 100,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every candidate
+    document by its average per-token log-likelihood RATIO between a
+    target-domain LM and the whole-corpus LM (both Laplace-smoothed
+    unigram models fitted in-plan over the shared vocabulary), and keep
+    the top-``k`` candidates — the documents from the general pool that
+    look most like the target domain. This is the selection step that
+    upgrades hand-rule curation (Gopher/C4 gates) to distribution
+    matching against a target corpus.
+
+    Scale shape: ONE token-count shuffle fits both LMs (conditional
+    partial aggs over the same exploded pass — target and corpus
+    counts ride the same map-side combine); the totals are a broadcast
+    1-row cross join; the LM-to-token scoring join is vocabulary-sized
+    and AQE-strategied (the unigram_logprob shape); the top-k is
+    orderBy+limit → TakeOrderedAndProject (per-partition top-k, one
+    merge — never a global sort), and the rank window runs over the
+    constant-k survivor set only. Ordering is on the ROUNDED weight
+    with id tiebreak, so the cut is deterministic under float
+    accumulation-order noise.
+    """
+    toks = _tokens(F.col(text_col))
+    ex = ensure_scan_parallelism(df, id_col).select(
+        F.col(id_col), target_pred.alias("__t"), F.explode(toks).alias("__tok")
+    )
+    cnt = ex.groupBy("__tok").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
+        F.count(F.lit(1)).alias("__cc"),
+    )
+    tots = cnt.agg(
+        F.sum("__ct").alias("__tt"),
+        F.sum("__cc").alias("__tc"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    lm = cnt.crossJoin(F.broadcast(tots)).select(
+        "__tok",
+        (
+            F.log((F.col("__ct") + 1) / (F.col("__tt") + F.col("__v")).cast("double"))
+            - F.log((F.col("__cc") + 1) / (F.col("__tc") + F.col("__v")).cast("double"))
+        ).alias("__w"),
+    )
+    dw = (
+        ex.filter(~F.col("__t"))
+        .join(lm, "__tok")
+        .groupBy(id_col)
+        .agg(F.round(F.avg("__w"), 6).alias("importance_weight"))
+    )
+    sel = dw.orderBy(F.col("importance_weight").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("importance_weight").desc(), F.col(id_col))
+    return sel.withColumn("rank", F.row_number().over(w).cast("int"))

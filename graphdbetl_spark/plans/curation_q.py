@@ -560,3 +560,49 @@ def decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_decontaminate(
         e.filter(b >= 10), e.filter(b < 10), "vec_id", "embedding", threshold=0.35
     )
+
+
+@query(
+    "select_importance_resampling",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang = 'en' AS is_t,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tk
+        FROM documents
+    ), cnt AS (
+        SELECT tk, CAST(count(*) FILTER (is_t) AS BIGINT) AS ct,
+               CAST(count(*) AS BIGINT) AS cc
+        FROM tok GROUP BY tk
+    ), tots AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cc) AS BIGINT) AS tc,
+               CAST(count(*) AS BIGINT) AS v
+        FROM cnt
+    ), lm AS (
+        SELECT tk, ln((ct + 1) / CAST(tt + v AS DOUBLE))
+                 - ln((cc + 1) / CAST(tc + v AS DOUBLE)) AS w
+        FROM cnt, tots
+    ), dw AS (
+        SELECT t.doc_id, ROUND(avg(w), 6) AS importance_weight
+        FROM tok t JOIN lm USING (tk) WHERE NOT t.is_t GROUP BY 1
+    ), sel AS (
+        SELECT doc_id, importance_weight,
+               row_number() OVER (ORDER BY importance_weight DESC, doc_id)
+                   AS rnk
+        FROM dw
+    )
+    SELECT doc_id, importance_weight, CAST(rnk AS INT) AS rank
+    FROM sel WHERE rnk <= 100
+    """,
+)
+def select_importance_resampling(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style data selection: rank non-English candidate documents
+    by average per-token log-likelihood ratio between the
+    English-target unigram LM and the whole-corpus LM (both fitted
+    in-plan from ONE shared token-count shuffle) and keep the top 100
+    — distribution matching against a target domain, the step beyond
+    hand-rule gates (see operators/curation.py importance_resample)."""
+    from graphdbetl_spark.operators.curation import importance_resample
+
+    return importance_resample(
+        T(spark, sf, "documents"), "text", "doc_id", F.col("lang") == "en", k=100
+    )

@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     # Z-order layout attestation
     "decontaminate_semantic", "embedding_whiten", "skew_report",
     "maintenance_zorder_key", "sim_ivf_append",
+    "select_importance_resampling",
     # r5-attested slate (green in CORRECTNESS_r05)
     "graph_degree_stats", "graph_triangle_count", "graph_two_hop",
     "graph_pagerank", "stream_interval_join",

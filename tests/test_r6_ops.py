@@ -110,3 +110,22 @@ def test_ivf_append_report_counts_and_drift(spark):
         assert r["n_total"] == r["n_base"] + r["n_new"]
         assert r["rebuild_hint"] == (r["n_total"] * 4 > 2 * 14)
     assert any(r["rebuild_hint"] for r in rep)  # the piled-on cell
+
+
+def test_importance_resample_prefers_target_like_docs(spark):
+    from graphdbetl_spark.operators.curation import importance_resample
+
+    # target docs speak "qq ww"; candidate 10 mimics them, candidate 11
+    # uses vocabulary the target never emits -> 10 must outrank 11.
+    rows = [
+        (1, "qq ww qq ww qq", True),
+        (2, "qq ww ww qq", True),
+        (10, "qq ww qq", False),
+        (11, "zz yy xx zz", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = importance_resample(df, "text", "doc_id", F.col("is_t"), k=10).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == {10, 11}  # target docs are never selected
+    assert got[10]["importance_weight"] > got[11]["importance_weight"]
+    assert got[10]["rank"] == 1 and got[11]["rank"] == 2
