@@ -90,6 +90,8 @@ HEADLINE = [
     "skew_report",
     "maintenance_zorder_key",
     "sim_ivf_append",
+    # DSIR selection: two LMs from one count shuffle + top-k cut
+    "select_importance_resampling",
 ]
 
 

@@ -1169,16 +1169,36 @@ def semantic_decontaminate(
 
     Returns (id_col, max_eval_cosine rounded 6, contaminated bool);
     the threshold compares the UNROUNDED max on both engines.
-    """
-    from graphdbetl_spark.functions.vectors import cosine_similarity
 
-    ev = F.broadcast(eval_df.select(F.col(vec_col).alias("__ev")))
+    Each side unit-normalizes ONCE (a per-row projection below the
+    join, so the norm fold runs per vector, not per pair) and the
+    per-pair work is a single left-fold dot — 3× fewer interpreted
+    lambda evals than cosine-per-pair, the dominant cost of the scan
+    (measured on the 30× replica). The fold order matches DuckDB's
+    ``list_reduce`` exactly (0.0 + x1 == x1 in IEEE), the
+    sim_pq_topk_md5 bit-parity treatment.
+    """
+
+    def unit(col):
+        n = F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda y: y * y), F.lit(0.0), lambda a, v: a + v
+            )
+        )
+        return F.transform(col, lambda x: x / n)
+
+    dot = F.aggregate(
+        F.zip_with("__cu", "__eu", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    ev = F.broadcast(eval_df.select(unit(F.col(vec_col)).alias("__eu")))
     return (
         ensure_scan_parallelism(corpus, id_col)
-        .select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        .select(F.col(id_col), unit(F.col(vec_col)).alias("__cu"))
         .join(ev)
         .groupBy(id_col)
-        .agg(F.max(cosine_similarity(F.col("__cv"), F.col("__ev"))).alias("__mx"))
+        .agg(F.max(dot).alias("__mx"))
         .select(
             id_col,
             F.round("__mx", 6).alias("max_eval_cosine"),

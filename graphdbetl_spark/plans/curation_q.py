@@ -535,9 +535,18 @@ def score_quality_trained(spark: SparkSession, sf: str) -> DataFrame:
                ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
                    AS is_eval
         FROM embeddings
+    ), u AS (
+        SELECT vec_id, is_eval,
+               list_transform(v, x -> x / sqrt(
+                   list_reduce(list_transform(v, y -> y * y),
+                               (acc, b) -> acc + b))) AS uv
+        FROM s
     ), m AS (
-        SELECT t.vec_id, max(list_cosine_similarity(t.v, e.v)) AS mx
-        FROM s t JOIN s e ON e.is_eval AND NOT t.is_eval
+        SELECT t.vec_id,
+               max(list_reduce(list_transform(range(1, 65),
+                               i -> t.uv[i] * e.uv[i]),
+                               (acc, b) -> acc + b)) AS mx
+        FROM u t JOIN u e ON e.is_eval AND NOT t.is_eval
         GROUP BY 1
     )
     SELECT vec_id, ROUND(mx, 6) AS max_eval_cosine, mx >= 0.35 AS contaminated
