@@ -1170,40 +1170,48 @@ def semantic_decontaminate(
     Returns (id_col, max_eval_cosine rounded 6, contaminated bool);
     the threshold compares the UNROUNDED max on both engines.
 
-    Each side unit-normalizes ONCE (a per-row projection below the
-    join, so the norm fold runs per vector, not per pair) and the
-    per-pair work is a single left-fold dot — 3× fewer interpreted
-    lambda evals than cosine-per-pair, the dominant cost of the scan
-    (measured on the 30× replica). The fold order matches DuckDB's
-    ``list_reduce`` exactly (0.0 + x1 == x1 in IEEE), the
-    sim_pq_topk_md5 bit-parity treatment.
+    The pair scan is a vectorized Arrow kernel, not DataFrame
+    higher-order functions: interpreted lambda folds cost ~2 µs per
+    element (SCALING.md r2 lesson), and |corpus|·|eval| 64-element
+    dots put the HOF form at 105 s for 22.5M pairs on the 30× replica
+    — numpy does the identical arithmetic per Arrow batch in seconds.
+    Bit-parity with the DuckDB oracle: both sides unit-normalize once,
+    every reduction runs in TRUE left-fold order (`_np_seq_sum`; the
+    per-pair dot accumulates dimension-by-dimension so each pair's sum
+    is sequential, matching `list_reduce` — 0.0 + x1 == x1 in IEEE),
+    max is order-independent, and rounding + thresholding stay JVM-side
+    (np.round is half-even; F.round/DuckDB ROUND are ties-away). The
+    eval matrix is collected bounded-by-construction (a benchmark, not
+    data — the PQ codebook-closure pattern); kernel working memory is
+    |batch| × |eval| doubles per task.
     """
+    import numpy as np
+    import pandas as pd
 
-    def unit(col):
-        n = F.sqrt(
-            F.aggregate(
-                F.transform(col, lambda y: y * y), F.lit(0.0), lambda a, v: a + v
-            )
-        )
-        return F.transform(col, lambda x: x / n)
+    from graphdbetl_spark.operators.similarity import _np_seq_sum
 
-    dot = F.aggregate(
-        F.zip_with("__cu", "__eu", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, v: a + v,
+    ev = np.array(
+        [r[0] for r in eval_df.select(vec_col).collect()], dtype=np.float64
     )
-    ev = F.broadcast(eval_df.select(unit(F.col(vec_col)).alias("__eu")))
-    return (
-        ensure_scan_parallelism(corpus, id_col)
-        .select(F.col(id_col), unit(F.col(vec_col)).alias("__cu"))
-        .join(ev)
-        .groupBy(id_col)
-        .agg(F.max(dot).alias("__mx"))
-        .select(
-            id_col,
-            F.round("__mx", 6).alias("max_eval_cosine"),
-            (F.col("__mx") >= F.lit(threshold)).alias("contaminated"),
-        )
+    eu = ev / np.sqrt(_np_seq_sum(ev * ev, axis=1))[:, None]
+
+    def screen(batches):
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cu = v / np.sqrt(_np_seq_sum(v * v, axis=1))[:, None]
+            acc = np.zeros((len(pdf), eu.shape[0]))
+            for i in range(eu.shape[1]):  # dim-major: left-fold per pair
+                acc = acc + cu[:, i : i + 1] * eu[None, :, i]
+            yield pd.DataFrame({id_col: pdf[id_col], "__mx": acc.max(axis=1)})
+
+    src = ensure_scan_parallelism(corpus, id_col).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    id_type = dict(src.dtypes)[id_col]
+    return src.mapInPandas(screen, schema=f"{id_col} {id_type}, __mx double").select(
+        id_col,
+        F.round("__mx", 6).alias("max_eval_cosine"),
+        (F.col("__mx") >= F.lit(threshold)).alias("contaminated"),
     )
 
 

@@ -28,11 +28,14 @@ def test_semantic_decontaminate_flags_planted_duplicate(spark):
     assert not rows[2]["contaminated"] and rows[2]["max_eval_cosine"] == 0.0
 
 
-def test_semantic_decontaminate_broadcasts_eval_side(spark):
+def test_semantic_decontaminate_is_map_only(spark):
+    # eval matrix ships in the Arrow-kernel closure: the corpus scan
+    # must stay a single map-only stage — no join, no shuffle exchange
     corpus = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
     ev = spark.createDataFrame([(2, [0.0, 1.0])], ["vec_id", "embedding"])
     plan = semantic_decontaminate(corpus, ev)._jdf.queryExecution().toString()
-    assert "Broadcast" in plan
+    assert "Join" not in plan
+    assert "Exchange hash" not in plan
 
 
 def test_standardize_dimensions_unit_moments(spark):
