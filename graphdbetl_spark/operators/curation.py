@@ -1182,8 +1182,10 @@ def semantic_decontaminate(
     max is order-independent, and rounding + thresholding stay JVM-side
     (np.round is half-even; F.round/DuckDB ROUND are ties-away). The
     eval matrix is collected bounded-by-construction (a benchmark, not
-    data — the PQ codebook-closure pattern); kernel working memory is
-    |batch| × |eval| doubles per task.
+    data — the PQ codebook-closure pattern); the eval axis is scored
+    in chunks with a running max (max is associative, so chunking is
+    bit-neutral), capping kernel working memory at ~80 MB per task no
+    matter how large the eval set grows.
     """
     import numpy as np
     import pandas as pd
@@ -1199,10 +1201,15 @@ def semantic_decontaminate(
         for pdf in batches:
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             cu = v / np.sqrt(_np_seq_sum(v * v, axis=1))[:, None]
-            acc = np.zeros((len(pdf), eu.shape[0]))
-            for i in range(eu.shape[1]):  # dim-major: left-fold per pair
-                acc = acc + cu[:, i : i + 1] * eu[None, :, i]
-            yield pd.DataFrame({id_col: pdf[id_col], "__mx": acc.max(axis=1)})
+            chunk = max(1, 10_000_000 // max(len(pdf), 1))
+            mx = np.full(len(pdf), -np.inf)
+            for lo in range(0, eu.shape[0], chunk):
+                ec = eu[lo : lo + chunk]
+                acc = np.zeros((len(pdf), ec.shape[0]))
+                for i in range(ec.shape[1]):  # dim-major: left-fold per pair
+                    acc = acc + cu[:, i : i + 1] * ec[None, :, i]
+                mx = np.maximum(mx, acc.max(axis=1))
+            yield pd.DataFrame({id_col: pdf[id_col], "__mx": mx})
 
     src = ensure_scan_parallelism(corpus, id_col).select(
         F.col(id_col), F.col(vec_col)
