@@ -132,3 +132,16 @@ def test_importance_resample_prefers_target_like_docs(spark):
     assert set(got) == {10, 11}  # target docs are never selected
     assert got[10]["importance_weight"] > got[11]["importance_weight"]
     assert got[10]["rank"] == 1 and got[11]["rank"] == 2
+
+
+def test_importance_resample_topk_is_take_ordered(spark):
+    # the k-cut must compile to TakeOrderedAndProject (per-partition
+    # top-k + single merge), never a global sort
+    rows = [(i, "aa bb cc", i % 2 == 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    from graphdbetl_spark.operators.curation import importance_resample
+
+    plan = importance_resample(
+        df, "text", "doc_id", F.col("is_t"), k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
