@@ -102,8 +102,16 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     per-key counts — right for join-key diagnosis where key
     cardinality << row count; for user-id-cardinality keys swap in
     `approx_percentile` (same report shape, sketch-bounded memory).
+
+    The count table is materialized ONCE (`localCheckpoint`): the
+    report reads it three ways (totals, hot-key filter, final row),
+    and without the checkpoint each branch re-derives it — 4 scans +
+    count shuffles of the INPUT per diagnostic (plan-measured;
+    ReuseExchange only collapsed 2). Checkpointing strips stats, so
+    the small-by-construction sides below carry explicit broadcasts
+    (the r4 invariant).
     """
-    c = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    c = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__cnt")).localCheckpoint()
     t = c.agg(
         F.sum("__cnt").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
