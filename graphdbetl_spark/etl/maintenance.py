@@ -96,9 +96,21 @@ def _interleave_bits(a: Column, b: Column, bits: int = 21) -> Column:
 
 
 def _quantile_bucket(col: Column, bounds: list[float]) -> Column:
-    """Bucket index = number of interior quantile boundaries ≤ value —
-    a literal-array scan, JVM-side codegen, no shuffle. Monotonic in
-    the value, so ordering by the bucket preserves column order."""
+    """Bucket index = number of interior quantile boundaries ≤ value.
+    For small bound sets the comparison sum is UNROLLED into plain
+    expressions — higher-order aggregates are interpreted (~2 µs per
+    lambda eval, the SCALING.md r2 lesson) and put the folded bucket
+    projection at ~1.7 s per 600k rows, while the unrolled chain stays
+    inside whole-stage codegen. Past 64 bounds the chain would nest
+    the expression tree too deep (StackOverflow in the column
+    converter at zorder_rank's default 1023), so large sets keep the
+    array fold. Monotonic in the value either way, so ordering by the
+    bucket preserves column order."""
+    if len(bounds) <= 64:
+        b: Column = F.lit(0).cast("long")
+        for x in bounds:
+            b = b + F.when(col >= F.lit(float(x)), 1).otherwise(0).cast("long")
+        return b
     arr = F.array(*[F.lit(float(b)) for b in bounds])
     return F.aggregate(
         arr,
@@ -219,29 +231,42 @@ def zorder_rank_exact(
     bits = max(1, (buckets - 1).bit_length())
     n_b = 1 << bits
 
-    def type1_bounds(col: str) -> list[float]:
-        from pyspark.sql import Window
+    from pyspark.sql import Window
 
-        n = df.count()
-        ranks = sorted({-(-(i * n) // n_b) for i in range(1, n_b)})
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-        cum = (
-            df.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .select(F.col(col).alias("__v"), F.sum("__c").over(w).alias("__cum"))
-        )
-        rdf = df.sparkSession.createDataFrame([(r,) for r in ranks], ["__r"])
-        rows = (
-            cum.crossJoin(F.broadcast(rdf))
-            .filter(F.col("__cum") >= F.col("__r"))
-            .groupBy("__r")
-            .agg(F.min("__v").alias("__b"))
-            .collect()
-        )
-        return sorted({float(r["__b"]) for r in rows})
-
+    # Both columns' bounds in ONE pass: explode each row into tagged
+    # (column, value) pairs, count per (tag, value), cum-sum inside a
+    # per-tag window, and pick every rank's bound in a single collect
+    # of 2.(n_b-1) rows. Two jobs total (row count, bounds) instead of
+    # per-column count+window+collect chains.
+    n = df.count()
+    ranks = sorted({-(-(i * n) // n_b) for i in range(1, n_b)})
+    tagged = df.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("__t"), F.col(col_a).alias("__v")),
+                F.struct(F.lit(1).alias("__t"), F.col(col_b).alias("__v")),
+            )
+        ).alias("e")
+    ).select("e.__t", "e.__v")
+    w = Window.partitionBy("__t").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        tagged.groupBy("__t", "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select("__t", "__v", F.sum("__c").over(w).alias("__cum"))
+    )
+    rdf = df.sparkSession.createDataFrame([(r,) for r in ranks], ["__r"])
+    rows = (
+        cum.join(F.broadcast(rdf), F.col("__cum") >= F.col("__r"))
+        .groupBy("__t", "__r")
+        .agg(F.min("__v").alias("__b"))
+        .collect()
+    )
+    ba = sorted({float(r["__b"]) for r in rows if r["__t"] == 0})
+    bb = sorted({float(r["__b"]) for r in rows if r["__t"] == 1})
     return _interleave_bits(
-        _quantile_bucket(F.col(col_a), type1_bounds(col_a)),
-        _quantile_bucket(F.col(col_b), type1_bounds(col_b)),
+        _quantile_bucket(F.col(col_a), ba),
+        _quantile_bucket(F.col(col_b), bb),
         bits=bits,
     )
