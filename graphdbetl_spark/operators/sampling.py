@@ -374,3 +374,86 @@ def mixture_epoch_plan(
         F.round(budget * q, 2).alias("planned_tokens"),
         F.round(budget * q / F.col("x.n"), 4).alias("epochs"),
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+    max_log2: int = 16,
+) -> DataFrame:
+    """Weighted random sampling without replacement (Efraimidis &
+    Spirakis 2006, A-Res): each row draws a priority key u^(1/w) from
+    a uniform u and its weight w, and the sample is the k LARGEST
+    keys — inclusion probability rises with weight, and the selection
+    is a single global top-k, never a full sort. This is the one-pass
+    way to draw a probability-proportional-to-size corpus subset
+    (e.g. favor long documents for a context-length-heavy mixture) at
+    100 TB: the key is a scan-stage codegen projection and the top-k
+    is TakeOrderedAndProject (per-partition heaps, k rows per task to
+    the driver-side merge).
+
+    Two determinism choices make the draw exactly replayable in any
+    md5-capable engine (the sample_temperature treatment, extended to
+    priorities):
+
+    - u is hash-derived, not RNG: the first 13 md5 hex chars of the id
+      (52 bits, exactly double-representable) map to (0,1) as
+      (h + 0.5) / 2^52 — both the add and the power-of-two divide are
+      IEEE-exact.
+    - w is quantized to the power of two 2^j, j = Σ_t [w ≥ 2^t]
+      (integer comparisons, the same unrolled-codegen shape as the
+      Z-order bucket), so the key u^(1/2^j) is j applications of
+      sqrt — the ONLY float power IEEE-754 requires to be correctly
+      rounded, hence bit-identical across engines. pow(u, 1.0/w) would
+      differ in the last ulp between libms and flip the top-k cut.
+      The quantization coarsens weights within a 2x band to the same
+      tier — acceptable for corpus selection, where weights span
+      orders of magnitude and the 2x band is inside the noise of any
+      length-based weighting.
+
+    The j sqrt applications chain through SEPARATE projections
+    (withColumn per step): each step references its predecessor twice
+    (branch + fall-through), so folding them into one expression would
+    double the tree per step (2^max_log2 nodes); CollapseProject keeps
+    non-trivially-referenced projections apart, bounding the plan at
+    max_log2 sqrt nodes.
+
+    Returns the k sampled rows as (id, weight tier 2^j, priority key),
+    ordered by (key desc, id) with the id tiebreak making the cut
+    deterministic even on (impossible, but cheap to pin) key ties.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col(id_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 52))
+    w = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    j: Column = F.lit(0)
+    for t in range(1, max_log2 + 1):
+        j = j + F.when(w >= F.lit(1 << t), 1).otherwise(0)
+    out = df.select(
+        F.col(id_col),
+        j.cast("int").alias("__j"),
+        u.alias("__x"),
+    )
+    for step in range(1, max_log2 + 1):
+        out = out.withColumn(
+            "__x",
+            F.when(F.col("__j") >= step, F.sqrt(F.col("__x"))).otherwise(
+                F.col("__x")
+            ),
+        )
+    return (
+        out.select(
+            id_col,
+            F.expr("shiftleft(cast(1 as bigint), __j)").alias("w2"),
+            F.col("__x").alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(k)
+    )

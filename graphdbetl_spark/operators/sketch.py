@@ -206,3 +206,92 @@ def countmin_topk_md5(
         .orderBy(F.col("est").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def kmv_jaccard_md5(
+    df: DataFrame, set_col: str, value_col: str, k: int = 128
+) -> DataFrame:
+    """Cross-corpus overlap from KMV sketches: Jaccard similarity of
+    two VALUE SETS (tagged 'a' / 'b' in ``set_col``) estimated from
+    their k-minimum md5 hashes alone (Beyer et al. 2007, "On synopses
+    for distinct-value estimation under multiset operations").
+
+    The dataset-overlap question ("how much of corpus B is already in
+    corpus A's shingles?") at 100 TB cannot be answered by a join —
+    but KMV sketches are MERGEABLE under union (k-min of A ∪ B = k
+    smallest of kmin(A) ∪ kmin(B)), so |A|, |B| and |A ∪ B| all come
+    from the two k-row sketches, and inclusion–exclusion gives the
+    intersection: |A ∩ B| = |A| + |B| − |A ∪ B|, J = |A ∩ B| / |A ∪ B|.
+    Relative error ~ 1/sqrt(k−2) per estimate. In production the two
+    sketches are tiny persisted tables maintained incrementally per
+    corpus; here both derive in one pass.
+
+    Plan shape: one distinct over (set, hash) — the only corpus-sized
+    shuffle — then per-set k-minima via a rank window (Spark's
+    WindowGroupLimit pushes the k cut into per-partition partial
+    top-k, so the exchange carries ≤ k rows per set per task), then
+    ONE single-row aggregation collects both ≤ k-element sketches as
+    sorted arrays and the union sketch merges them as an array
+    expression (the :func:`kmv_merge` idiom) — deriving the union as a
+    second DataFrame branch would re-run the corpus distinct when
+    ReuseExchange misses, so everything past the k-cut stays inside
+    one row. Every hex string, order statistic, and division replays
+    bit-for-bit in any md5-capable engine (the proven
+    (k−1)/unit(kth_min) estimator of :func:`kmv_distinct_md5`; exact
+    count when a set has < k values).
+
+    Returns ONE row: per-set sketch fills, the three distinct-count
+    estimates, and the intersection / Jaccard estimates (clamped at 0
+    — inclusion–exclusion noise can dip negative on disjoint sets).
+    """
+    h = df.select(set_col, F.md5(F.col(value_col)).alias("hh")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(set_col).orderBy("hh")
+    kmin = h.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+
+    def unit(max_h: Column) -> Column:
+        return F.conv(F.substring(max_h, 1, 15), 16, 10).cast("double") / float(
+            16**15
+        )
+
+    def est(k_used: Column, max_h: Column) -> Column:
+        return F.when(k_used == k, F.lit(float(k - 1)) / unit(max_h)).otherwise(
+            k_used.cast("double")
+        )
+
+    tag = F.col(set_col)
+    one = kmin.groupBy().agg(
+        F.sort_array(F.collect_list(F.when(tag == "a", F.col("hh")))).alias("__sa"),
+        F.sort_array(F.collect_list(F.when(tag == "b", F.col("hh")))).alias("__sb"),
+    )
+    # kmin(A ∪ B) = k smallest of kmin(A) ∪ kmin(B) — mergeability
+    uarr = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("__sa"), F.col("__sb")))), 1, k
+    )
+    def last(arr: Column) -> Column:  # null (not ANSI error) on empty set
+        return F.when(F.size(arr) > 0, F.element_at(arr, -1))
+
+    one = one.select(
+        F.size("__sa").cast("long").alias("k_a"),
+        last(F.col("__sa")).alias("__mh_a"),
+        F.size("__sb").cast("long").alias("k_b"),
+        last(F.col("__sb")).alias("__mh_b"),
+        F.size(uarr).cast("long").alias("k_u"),
+        last(uarr).alias("__mh_u"),
+    )
+    est_a = est(F.col("k_a"), F.col("__mh_a"))
+    est_b = est(F.col("k_b"), F.col("__mh_b"))
+    est_u = est(F.col("k_u"), F.col("__mh_u"))
+    inter = F.greatest(F.lit(0.0), est_a + est_b - est_u)
+    jac = F.when(est_u > 0, inter / est_u).otherwise(F.lit(0.0))
+    return one.select(
+        "k_a",
+        "k_b",
+        "k_u",
+        F.round(est_a, 4).alias("est_a"),
+        F.round(est_b, 4).alias("est_b"),
+        F.round(est_u, 4).alias("est_union"),
+        F.round(inter, 4).alias("est_intersection"),
+        F.round(jac, 6).alias("jaccard_est"),
+    )

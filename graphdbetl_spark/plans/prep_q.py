@@ -351,3 +351,52 @@ def mixture_epochs(spark: SparkSession, sf: str) -> DataFrame:
     return mixture_epoch_plan(
         T(spark, sf, "documents"), "text", "source", alpha=0.5, budget_factor=2.0
     )
+
+
+def _weighted_sample_oracle(k: int = 100, max_log2: int = 16) -> str:
+    """Generated oracle for select_weighted_sample: the j-step sqrt
+    chain unrolls into lateral column aliases (x1 references x0 in the
+    same SELECT), mirroring the engine's per-step projections."""
+    j_sum = "\n             + ".join(
+        f"CASE WHEN greatest(n_chars, 1) >= {1 << t} THEN 1 ELSE 0 END"
+        for t in range(1, max_log2 + 1)
+    )
+    chain = ",\n           ".join(
+        f"CASE WHEN j >= {s} THEN sqrt(x{s - 1}) ELSE x{s - 1} END AS x{s}"
+        for s in range(1, max_log2 + 1)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               {j_sum} AS j,
+               (CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                     AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / CAST(4503599627370496 AS DOUBLE) AS x0
+        FROM documents
+    ), chain AS (
+        SELECT doc_id, j, x0,
+           {chain}
+        FROM base
+    )
+    SELECT doc_id, (CAST(1 AS BIGINT) << j) AS w2, x{max_log2} AS priority
+    FROM chain
+    ORDER BY priority DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@query("select_weighted_sample", oracle=_weighted_sample_oracle())
+def select_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Probability-proportional-to-size corpus sampling without
+    replacement (Efraimidis–Spirakis A-Res priorities, weights =
+    document length quantized to powers of two): key u^(1/2^j) via j
+    IEEE-exact sqrt applications from an md5-derived uniform, sample =
+    global top-100 keys — TakeOrderedAndProject, no full sort, no
+    shuffle beyond the k-row reduce. See operators/sampling.py
+    weighted_priority_sample for why the power-of-two quantization is
+    what makes an ES draw bit-replayable across engines."""
+    from graphdbetl_spark.operators.sampling import weighted_priority_sample
+
+    return weighted_priority_sample(
+        T(spark, sf, "documents"), "doc_id", "n_chars", k=100
+    )

@@ -89,6 +89,9 @@ _PRIORITY: tuple[str, ...] = (
     "decontaminate_semantic", "embedding_whiten", "skew_report",
     "maintenance_zorder_key", "sim_ivf_append",
     "select_importance_resampling",
+    # r6 continuation additions (never attested): PPS corpus sampling
+    # and the KMV cross-corpus overlap estimate
+    "select_weighted_sample", "sketch_kmv_jaccard",
     # r5-attested slate (green in CORRECTNESS_r05)
     "graph_degree_stats", "graph_triangle_count", "graph_two_hop",
     "graph_pagerank", "stream_interval_join",

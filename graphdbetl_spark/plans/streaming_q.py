@@ -411,3 +411,70 @@ def stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
     return streaming_interval_join(purchases, clicks, window="30 minutes")
+
+
+@query(
+    "sketch_kmv_jaccard",
+    oracle=r"""
+    WITH t AS (
+        SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS grp,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT grp, md5(s) AS hh
+        FROM t, LATERAL (
+            SELECT unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s) u
+    ), km AS (
+        SELECT grp, hh, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hh) AS rn
+        FROM sh
+    ), kmin AS (SELECT grp, hh FROM km WHERE rn <= 128),
+    per AS (
+        SELECT CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+               MAX(CASE WHEN grp = 'a' THEN hh END) AS mh_a,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS k_b,
+               MAX(CASE WHEN grp = 'b' THEN hh END) AS mh_b
+        FROM kmin
+    ), u0 AS (SELECT DISTINCT hh FROM kmin ORDER BY hh LIMIT 128),
+    uni AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_u, MAX(hh) AS mh_u FROM u0),
+    e AS (
+        SELECT k_a, k_b, k_u,
+               CASE WHEN k_a = 128
+                    THEN 127.0 / (('0x' || substr(mh_a, 1, 15))::BIGINT / power(16.0, 15))
+                    ELSE k_a::DOUBLE END AS ea,
+               CASE WHEN k_b = 128
+                    THEN 127.0 / (('0x' || substr(mh_b, 1, 15))::BIGINT / power(16.0, 15))
+                    ELSE k_b::DOUBLE END AS eb,
+               CASE WHEN k_u = 128
+                    THEN 127.0 / (('0x' || substr(mh_u, 1, 15))::BIGINT / power(16.0, 15))
+                    ELSE k_u::DOUBLE END AS eu
+        FROM per, uni
+    )
+    SELECT k_a, k_b, k_u,
+           ROUND(ea, 4) AS est_a, ROUND(eb, 4) AS est_b, ROUND(eu, 4) AS est_union,
+           ROUND(GREATEST(CAST(0 AS DOUBLE), ea + eb - eu), 4) AS est_intersection,
+           ROUND(CASE WHEN eu > 0
+                      THEN GREATEST(CAST(0 AS DOUBLE), ea + eb - eu) / eu
+                      ELSE CAST(0 AS DOUBLE) END, 6) AS jaccard_est
+    FROM e
+    """,
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus shingle overlap WITHOUT a join: Jaccard similarity
+    between the English and non-English sub-corpora's 3-gram shingle
+    sets, estimated purely from two 128-minimum md5 sketches via KMV
+    mergeability + inclusion–exclusion (Beyer et al. 2007) — the
+    dataset-overlap diagnostic that stays k-row-sized at 100 TB where
+    any exact intersection is another corpus-scale shuffle. One
+    distinct + WindowGroupLimit k-cut; estimator arithmetic replays
+    bit-for-bit. See operators/sketch.py kmv_jaccard_md5."""
+    from graphdbetl_spark.operators.dedup import _shingles
+    from graphdbetl_spark.operators.sketch import kmv_jaccard_md5
+
+    d = T(spark, sf, "documents")
+    sh = d.select(
+        F.when(F.col("lang") == "en", "a").otherwise("b").alias("grp"),
+        F.explode(_shingles(F.col("text"))).alias("shingle"),
+    )
+    return kmv_jaccard_md5(sh, "grp", "shingle", k=128)

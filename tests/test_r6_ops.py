@@ -145,3 +145,68 @@ def test_importance_resample_topk_is_take_ordered(spark):
         df, "text", "doc_id", F.col("is_t"), k=5
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_priority_sample_favors_heavy_rows(spark):
+    # 200 rows: ids 0..99 weight 1, ids 100..199 weight 4096 — the
+    # heavy half's priorities u^(1/4096) crowd out the light half's u.
+    data = [(i, 1 if i < 100 else 4096) for i in range(200)]
+    df = spark.createDataFrame(data, ["id", "w"])
+    from graphdbetl_spark.operators.sampling import weighted_priority_sample
+
+    out = weighted_priority_sample(df, "id", "w", k=50).collect()
+    assert len(out) == 50
+    heavy = sum(1 for r in out if r["id"] >= 100)
+    assert heavy >= 45  # PPS: heavy rows dominate the sample
+    tiers = {r["w2"] for r in out if r["id"] >= 100}
+    assert tiers == {4096}  # 4096 = 2^12 is its own quantization tier
+    # priorities are valid (0,1) keys, descending with the sort
+    ps = [r["priority"] for r in out]
+    assert ps == sorted(ps, reverse=True)
+    assert all(0.0 < p < 1.0 for p in ps)
+
+
+def test_weighted_priority_sample_is_take_ordered(spark):
+    # key projection in the scan stage + global top-k: the plan must
+    # be TakeOrderedAndProject with NO shuffle exchange and the sqrt
+    # chain must not explode the expression tree (bounded plan size).
+    df = spark.createDataFrame([(i, i + 1) for i in range(20)], ["id", "w"])
+    from graphdbetl_spark.operators.sampling import weighted_priority_sample
+
+    plan = weighted_priority_sample(df, "id", "w", k=5)._jdf.queryExecution().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hash" not in plan
+    assert len(plan) < 200_000
+
+
+def test_kmv_jaccard_identical_and_disjoint_sets(spark):
+    from graphdbetl_spark.operators.sketch import kmv_jaccard_md5
+
+    # identical sets -> union == each set -> jaccard exactly 1
+    same = [(g, f"v{i}") for g in ("a", "b") for i in range(300)]
+    r = kmv_jaccard_md5(
+        spark.createDataFrame(same, ["grp", "val"]), "grp", "val", k=64
+    ).collect()[0]
+    assert r["k_a"] == r["k_b"] == r["k_u"] == 64
+    assert r["jaccard_est"] == 1.0
+    assert r["est_a"] == r["est_union"]
+    # disjoint sets -> intersection estimate clamps at >= 0, jaccard ~ 0
+    disj = [("a", f"x{i}") for i in range(300)] + [("b", f"y{i}") for i in range(300)]
+    r2 = kmv_jaccard_md5(
+        spark.createDataFrame(disj, ["grp", "val"]), "grp", "val", k=64
+    ).collect()[0]
+    assert r2["est_intersection"] >= 0.0
+    assert r2["jaccard_est"] < 0.25
+
+
+def test_kmv_jaccard_small_sets_exact(spark):
+    from graphdbetl_spark.operators.sketch import kmv_jaccard_md5
+
+    # below-k sets take the exact-count path: 10 & 10 with 5 shared
+    rows = [("a", f"s{i}") for i in range(10)] + [("b", f"s{i}") for i in range(5, 15)]
+    r = kmv_jaccard_md5(
+        spark.createDataFrame(rows, ["grp", "val"]), "grp", "val", k=64
+    ).collect()[0]
+    assert (r["est_a"], r["est_b"], r["est_union"]) == (10.0, 10.0, 15.0)
+    assert r["est_intersection"] == 5.0
+    assert abs(r["jaccard_est"] - 5.0 / 15.0) < 1e-6
