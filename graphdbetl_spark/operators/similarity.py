@@ -468,6 +468,35 @@ def md5_sampled_centroids(
     return base.join(ranks, id_col).select("cell", F.col(vec_col).alias("centroid"))
 
 
+def md5_sampled_centroids_raw(
+    corpus: DataFrame, id_col: str, vec_col: str, k: int, seed: str = "42"
+) -> DataFrame:
+    """:func:`md5_sampled_centroids` fed from the RAW corpus: pick the
+    k md5-ranked rows first (the rank key is the id alone), THEN
+    unit-normalize the k survivors. Normalizing before the top-k pays
+    an interpreted transform over the WHOLE corpus just to keep k rows
+    — 26–29 s per 200k × 64 pass at the 100× replica once
+    CollapseProject inlines the scan projection into the lambda; this
+    shape pays it over k rows. Bit-identical centroids: the selection
+    never looks at the vectors, and the k-row normalization is the
+    same JVM expression."""
+    picked = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.md5(
+                F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+            ).alias("__r"),
+        )
+        .orderBy("__r", id_col)
+        .limit(k)
+        .drop("__r")
+    )
+    return md5_sampled_centroids(
+        _unit_vectors(picked, vec_col), id_col, k=k, seed=seed
+    )
+
+
 def lsh_hyperplanes(
     n_planes: int = 8, dim: int = 64, seed: str = "42"
 ) -> list[list[float]]:
@@ -494,21 +523,74 @@ def _unit_dot(a: str, b: str):
     )
 
 
-def ivf_assign_cells_md5(u: DataFrame, id_col: str, cents: DataFrame) -> DataFrame:
+def ivf_assign_cells_md5(
+    u: DataFrame,
+    id_col: str,
+    cents: DataFrame,
+    passthrough: bool = False,
+    vec_col: str = "__unit",
+    normalize: bool = False,
+) -> DataFrame:
     """Assign every unit vector to its max-dot centroid (ties to the
-    lowest cell id) via a broadcast of the tiny centroid table and a
-    struct-min partial agg — map-only, no window, the
-    dedup_semantic_clusters assignment shape. Returns (id, cell)."""
-    dt = _unit_dot("__unit", "centroid")
-    return (
-        u.crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col),
-            F.struct((-dt).alias("nd"), F.col("cell").alias("c")).alias("__s"),
-        )
-        .groupBy(id_col)
-        .agg(F.min("__s").alias("__m"))
-        .select(F.col(id_col), F.col("__m.c").alias("cell"))
+    lowest cell id). Returns (id, cell), or (id, __unit, cell) with
+    ``passthrough`` — which spares the caller a corpus-sized self-join
+    to re-attach the vectors (sim_ivf_topk's shape).
+
+    The scoring is a vectorized Arrow kernel, not the broadcast
+    crossJoin + HOF-fold + struct-min it used to be: interpreted
+    lambda folds cost ~2 µs per element (SCALING.md r2 lesson), and
+    |corpus|·n_cells 64-element dots put the DataFrame form at 55.7 s
+    for 1.6M dots on the 100× replica — numpy does the identical
+    arithmetic per Arrow batch in under a second. With ``normalize``
+    the kernel also unit-normalizes the raw ``vec_col`` itself,
+    removing the OTHER interpreted hot pass: a JVM
+    ``transform(x -> x / fold-norm)`` over a wide corpus re-evaluates
+    its argument tree per element once CollapseProject inlines the
+    scan projection into the lambda (measured 26–29 s per 200k × 64
+    pass at 100×; the kernel does it in milliseconds).
+
+    Bit-parity with the DuckDB oracle (the semantic_decontaminate
+    kernel treatment): normalization divides by
+    sqrt(left-fold Σ x²) (`_np_seq_sum` — matches the engines' fold
+    order; sqrt and division are IEEE-exact), the per-pair dot
+    accumulates dimension-major so each pair's sum is a TRUE left
+    fold (matches ``list_reduce``; 0.0 + x1 == x1 in IEEE), and the
+    argmax scans cells in ascending id order so float-equal ties
+    break to the lowest cell exactly like the struct-min did. The
+    centroid table is collected bounded-by-construction (n_cells rows
+    — the PQ codebook-closure pattern); zero-norm vectors (NaN units)
+    are out of contract either way.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(
+        cents.select("cell", "centroid").collect(), key=lambda r: r["cell"]
+    )
+    cm = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cells = np.array([r["cell"] for r in cent_rows], dtype=np.int32)
+
+    def assign(batches):
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if normalize:
+                v = v / np.sqrt(_np_seq_sum(v * v, axis=1))[:, None]
+            acc = np.zeros((len(pdf), cm.shape[0]))
+            for i in range(cm.shape[1]):  # dim-major: left-fold per pair
+                acc = acc + v[:, i : i + 1] * cm[None, :, i]
+            out = {id_col: pdf[id_col]}
+            if passthrough:
+                out["__unit"] = list(v) if normalize else pdf[vec_col]
+            out["cell"] = cells[np.argmax(acc, axis=1)]
+            yield pd.DataFrame(out)
+
+    src = u.select(id_col, vec_col)
+    id_type = dict(src.dtypes)[id_col]
+    unit_part = ", __unit array<double>" if passthrough else ""
+    return src.mapInPandas(
+        assign, schema=f"{id_col} {id_type}{unit_part}, cell int"
+    ).select(
+        id_col, *(["__unit"] if passthrough else []), "cell"
     )
 
 
@@ -559,11 +641,20 @@ def ivf_cosine_topk_md5(
     Returns (query_id, neighbor_id, rank) — integer-only output keeps
     the driver hash float-free.
     """
-    u = _unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("__unit"))
-    cents = md5_sampled_centroids(u, id_col, k=n_cells, seed=seed)
-    corpus_cells = u.join(ivf_assign_cells_md5(u, id_col, cents), id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cv"), "cell"
-    )
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+
+    cents = md5_sampled_centroids_raw(corpus, id_col, vec_col, k=n_cells, seed=seed)
+    # normalize=True keeps the corpus-wide unit pass inside the kernel;
+    # passthrough carries __unit through the assignment, sparing a
+    # corpus-sized self-join to re-attach the vectors
+    corpus_cells = ivf_assign_cells_md5(
+        ensure_scan_parallelism(corpus, id_col),
+        id_col,
+        cents,
+        passthrough=True,
+        vec_col=vec_col,
+        normalize=True,
+    ).select(F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cv"), "cell")
     probed = _probe_cells_md5(queries, vec_col, id_col, cents, n_probe)
     w = Window.partitionBy("query_id").orderBy(F.col("__s").desc(), F.col("neighbor_id"))
     return (
@@ -681,11 +772,18 @@ def ivfpq_cosine_topk_md5(
     quality path, pytest recall-floor-checked.
 
     Returns (query_id, neighbor_id, rank)."""
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+
     _pq_check(dim, m)
     sub = dim // m
-    u = _unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("__unit"))
-    cents = md5_sampled_centroids(u, id_col, k=n_cells, seed=seed)
-    asn = ivf_assign_cells_md5(u, id_col, cents)
+    cents = md5_sampled_centroids_raw(corpus, id_col, vec_col, k=n_cells, seed=seed)
+    asn = ivf_assign_cells_md5(
+        ensure_scan_parallelism(corpus, id_col),
+        id_col,
+        cents,
+        vec_col=vec_col,
+        normalize=True,
+    )
     codes, codebooks = pq_build_codebooks_md5(
         corpus, id_col, vec_col, dim, m, k_codes, seed
     )
@@ -1336,10 +1434,18 @@ def ivf_append_report(
     drifted batch distribution piles into few cells, degrading probe
     recall; the hint is the trigger for scheduling a centroid refit.
     """
-    u = _unit_vectors(corpus, vec_col)
-    base = u.filter(~new_pred)
-    cents = md5_sampled_centroids(base, id_col, k=n_cells, seed=seed)
-    asn = ivf_assign_cells_md5(u, id_col, cents)
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+
+    cents = md5_sampled_centroids_raw(
+        corpus.filter(~new_pred), id_col, vec_col, k=n_cells, seed=seed
+    )
+    asn = ivf_assign_cells_md5(
+        ensure_scan_parallelism(corpus, id_col),
+        id_col,
+        cents,
+        vec_col=vec_col,
+        normalize=True,
+    )
     tagged = asn.join(
         corpus.select(F.col(id_col), new_pred.alias("__new")), id_col
     )
