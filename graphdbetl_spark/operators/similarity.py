@@ -696,34 +696,56 @@ def lsh_cosine_topk_md5(
     bucket-mates return fewer rows — recall < 1 by construction, and
     the oracle replays exactly that.
     """
+    import numpy as np
+    import pandas as pd
+
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+
     planes = lsh_hyperplanes(n_planes, dim, seed)
     per_t = n_planes // n_tables
+    pm = np.array(planes, dtype=np.float64)
 
     def prep(df: DataFrame, alias_id: str) -> DataFrame:
-        base = _unit_vectors(df, vec_col).select(
-            F.col(id_col).alias(alias_id),
-            F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
-            F.col("__unit"),
+        # Buckets + unit vectors in ONE Arrow kernel (the IVF-assignment
+        # treatment): the DataFrame form paid n_planes interpreted
+        # 64-element folds per row PLUS the CollapseProject-inlined
+        # unit-normalize quadratic, twice per side (bucketing + the
+        # verification re-normalize). Parity: plane dots accumulate
+        # dimension-major over the raw doubles (left fold, matching the
+        # oracle's list_reduce), sign → bit OR is integer, and the
+        # normalize is the _np_seq_sum fold. The planes stay md5-derived
+        # Python literals shared verbatim with the generated oracle SQL.
+        def kern(batches):
+            for pdf in batches:
+                v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                un = v / np.sqrt(_np_seq_sum(v * v, axis=1))[:, None]
+                acc = np.zeros((len(pdf), pm.shape[0]))
+                for i in range(pm.shape[1]):  # dim-major: left-fold dots
+                    acc = acc + v[:, i : i + 1] * pm[None, :, i]
+                n = len(pdf)
+                for t in range(n_tables):
+                    bk = np.zeros(n, dtype=np.int64)
+                    for j in range(per_t):
+                        bk = bk + (
+                            (acc[:, t * per_t + j] >= 0).astype(np.int64) << j
+                        )
+                    yield pd.DataFrame(
+                        {
+                            alias_id: pdf[id_col],
+                            "tbl": np.full(n, t, dtype=np.int32),
+                            "bk": bk.astype(np.int32),
+                            "__unit": list(un),
+                        }
+                    )
+
+        src = df.select(id_col, vec_col)
+        id_type = dict(src.dtypes)[id_col]
+        return src.mapInPandas(
+            kern, schema=f"{alias_id} {id_type}, tbl int, bk int, __unit array<double>"
         )
-        tbls = []
-        for t in range(n_tables):
-            bucket = None
-            for j in range(per_t):
-                p = planes[t * per_t + j]
-                dot_p = F.aggregate(
-                    F.zip_with("__v", F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, b: a + b,
-                )
-                term = F.when(dot_p >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-                bucket = term if bucket is None else bucket + term
-            tbls.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bk")))
-        return base.select(
-            alias_id, "__unit", F.explode(F.array(*tbls)).alias("tb")
-        ).select(alias_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"), "__unit")
 
     qb = prep(queries, "query_id")
-    cb = prep(corpus, "neighbor_id")
+    cb = prep(ensure_scan_parallelism(corpus, id_col), "neighbor_id")
     cand = (
         qb.select("query_id", "tbl", "bk")
         .join(cb.select("neighbor_id", "tbl", "bk"), ["tbl", "bk"])
@@ -731,11 +753,13 @@ def lsh_cosine_topk_md5(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qu = _unit_vectors(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv")
+    # tbl 0 carries exactly one (id, unit) row per vector — no second
+    # corpus normalize pass, no dedup shuffle
+    qu = qb.filter(F.col("tbl") == 0).select(
+        "query_id", F.col("__unit").alias("__qv")
     )
-    cu = _unit_vectors(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cv")
+    cu = cb.filter(F.col("tbl") == 0).select(
+        "neighbor_id", F.col("__unit").alias("__cv")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__s").desc(), F.col("neighbor_id"))
     return (
