@@ -27,22 +27,65 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries`` is expected to be small → broadcast; the corpus streams
-    once through a whole-stage-codegen pipeline computing the dot
-    product with higher-order array functions (JVM-side, no Python).
-    Top-k per query via window row_number (partial top-k pushdown).
+    ``queries`` is small by contract (they broadcast in the DataFrame
+    form; here they're collected into the kernel closure — the PQ
+    codebook-closure pattern, bounded by construction). The corpus
+    streams ONCE through a vectorized Arrow kernel that emits each
+    query's per-batch top-k — the same partial-top-k-before-the-
+    shuffle that WindowGroupLimit performed, but without the
+    |corpus|·|queries| interpreted cosine folds that preceded it: one
+    fold-dot plus two fold-norms per pair put the DataFrame form past
+    900 s at the 100× replica, where the kernel takes seconds. The
+    exchange carries ≤ batches·|Q|·k rows into the final rank window.
+
+    Bit-parity: the kernel reproduces the old JVM cosine EXACTLY —
+    dot and both squared-norm reductions accumulate dimension-major
+    over the raw doubles (true left folds, `_np_seq_sum`), then one
+    IEEE divide by the norm product — and the per-batch cut sorts by
+    (-cosine, neighbor_id), the same total order the global window
+    ranks by, so float-equal ties survive the partial cut correctly
+    (duplicate vectors are common in dedup fixtures).
     """
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    )
-    scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-        .join(q, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
-        )
+    import numpy as np
+    import pandas as pd
+
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.sqrt(_np_seq_sum(qm * qm, axis=1))
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.sqrt(_np_seq_sum(v * v, axis=1))
+            dots = np.zeros((len(pdf), qm.shape[0]))
+            for i in range(qm.shape[1]):  # dim-major: left-fold per pair
+                dots = dots + v[:, i : i + 1] * qm[None, :, i]
+            scores = dots / (cn[:, None] * qn[None, :])
+            nids = pdf[id_col].values
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                s = scores[:, qi]
+                valid = np.flatnonzero(nids != qid)
+                if valid.size == 0:
+                    continue
+                order = valid[np.lexsort((nids[valid], -s[valid]))][:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(nids[order])
+                out_s.extend(s[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+            )
+
+    src = ensure_scan_parallelism(corpus, id_col).select(id_col, vec_col)
+    id_type = dict(src.dtypes)[id_col]
+    scored = src.mapInPandas(
+        kern,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double",
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -317,34 +360,58 @@ def mine_hard_negatives(
     pairs that teach a metric model the most (in-batch negatives are
     mostly easy; mined ones dominate gradient signal).
 
-    Same scale shape as brute-force top-k: anchors broadcast, the
-    corpus streams once through a codegen dot-product scan with the
-    label-mismatch predicate applied BEFORE scoring, and
-    WindowGroupLimit prunes per-anchor candidates ahead of the top-k
-    shuffle. Swap the scan for an IVF/PQ index probe when the anchor
-    set stops being broadcastable.
+    Same scale shape as brute-force top-k: anchors live in the kernel
+    closure (bounded by construction), the corpus streams once through
+    the vectorized Arrow scan with the label-mismatch predicate applied
+    BEFORE the per-batch top-k cut (the cosine_topk_bruteforce kernel
+    with labels instead of self-exclusion — identical left-fold
+    arithmetic and (-cosine, id) tie order). Swap the scan for an
+    IVF/PQ index probe when the anchor set stops being broadcastable.
 
     Returns (query_id, neighbor_id, cosine, rank).
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            F.col(label_col).alias("__ql"),
-        )
-    )
-    scored = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cv"),
-            F.col(label_col).alias("__cl"),
-        )
-        .join(q, F.col("__ql") != F.col("__cl"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
-        )
+    import numpy as np
+    import pandas as pd
+
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+
+    qrows = queries.select(id_col, vec_col, label_col).collect()
+    qids = [r[0] for r in qrows]
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qlabels = [r[2] for r in qrows]
+    qn = np.sqrt(_np_seq_sum(qm * qm, axis=1))
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.sqrt(_np_seq_sum(v * v, axis=1))
+            dots = np.zeros((len(pdf), qm.shape[0]))
+            for i in range(qm.shape[1]):  # dim-major: left-fold per pair
+                dots = dots + v[:, i : i + 1] * qm[None, :, i]
+            scores = dots / (cn[:, None] * qn[None, :])
+            nids = pdf[id_col].values
+            nlabels = pdf[label_col].values
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                s = scores[:, qi]
+                valid = np.flatnonzero(nlabels != qlabels[qi])
+                if valid.size == 0:
+                    continue
+                order = valid[np.lexsort((nids[valid], -s[valid]))][:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(nids[order])
+                out_s.extend(s[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+            )
+
+    src = ensure_scan_parallelism(corpus, id_col).select(id_col, vec_col, label_col)
+    id_type = dict(src.dtypes)[id_col]
+    scored = src.mapInPandas(
+        kern,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double",
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
