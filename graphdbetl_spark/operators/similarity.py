@@ -1439,23 +1439,63 @@ def cosine_range_search(
     corpus, block both sides with the hyperplane-bucket machinery
     (dedup_embedding_lsh_blocked) instead.
     Returns (query_id, neighbor_id, cosine rounded 6), self-pairs
-    excluded."""
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    )
-    return (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-        .join(q, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("__cos"),
-        )
-        .filter(F.col("__cos") >= threshold)
-        .select(
-            "query_id", "neighbor_id", F.round("__cos", 6).alias("cosine")
-        )
-    )
+    excluded.
+
+    The pair scan is the cosine_topk_bruteforce Arrow kernel (exact
+    JVM-cosine bit-parity: dim-major left-fold dot/norms, one IEEE
+    divide; the interpreted-fold form cost three 64-element folds per
+    pair). The radius filter runs IN the kernel — only matches cross
+    Arrow back into the plan — while rounding stays JVM-side
+    (np.round is half-even; F.round/DuckDB ROUND are ties-away). The
+    query axis is scored in chunks (the semantic_decontaminate
+    treatment) so kernel working memory stays bounded as the query
+    batch grows."""
+    import numpy as np
+    import pandas as pd
+
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.sqrt(_np_seq_sum(qm * qm, axis=1))
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.sqrt(_np_seq_sum(v * v, axis=1))
+            nids = pdf[id_col].values
+            chunk = max(1, 10_000_000 // max(len(pdf), 1))
+            frames = []
+            for lo in range(0, qm.shape[0], chunk):
+                qc, qnc, qidc = qm[lo : lo + chunk], qn[lo : lo + chunk], qids[lo : lo + chunk]
+                dots = np.zeros((len(pdf), qc.shape[0]))
+                for i in range(qc.shape[1]):  # dim-major: left-fold per pair
+                    dots = dots + v[:, i : i + 1] * qc[None, :, i]
+                scores = dots / (cn[:, None] * qnc[None, :])
+                ci, qi = np.nonzero(
+                    (scores >= threshold) & (nids[:, None] != qidc[None, :])
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qidc[qi],
+                            "neighbor_id": nids[ci],
+                            "__cos": scores[ci, qi],
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "__cos": []}
+            )
+
+    src = ensure_scan_parallelism(corpus, id_col).select(id_col, vec_col)
+    id_type = dict(src.dtypes)[id_col]
+    return src.mapInPandas(
+        kern, schema=f"query_id {id_type}, neighbor_id {id_type}, __cos double"
+    ).select("query_id", "neighbor_id", F.round("__cos", 6).alias("cosine"))
 
 
 def standardize_dimensions(
