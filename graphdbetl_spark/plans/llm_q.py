@@ -441,20 +441,46 @@ def _embedding_blocked_pairs(
     literal ±1 vectors derived from md5 bits in plain Python, so the
     oracle replays the exact buckets — candidate generation is
     oracle-checked, like the minhash md5 family."""
+    import numpy as np
+    import pandas as pd
+
+    from graphdbetl_spark.operators.similarity import _np_seq_sum  # noqa: F401
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+
     planes = _lsh_hyperplanes(n_planes)
     e = T(spark, sf, "embeddings")
     v = _dvec(F.col("embedding"))
-    dot_p = lambda p: F.aggregate(  # noqa: E731
-        F.zip_with("v", F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, b: a + b,
+    pm = np.array(planes, dtype=np.float64)
+
+    # Sign buckets in an Arrow kernel (the sim_lsh_topk prep treatment):
+    # n_planes interpreted 64-element folds per row cost ~10 s of the
+    # 100× wall; the kernel's dim-major accumulation is the same left
+    # fold the oracle's list_reduce replays, and sign → bit OR is
+    # integer arithmetic.
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vv = np.array(pdf["v"].tolist(), dtype=np.float64)
+            acc = np.zeros((len(pdf), pm.shape[0]))
+            for i in range(pm.shape[1]):  # dim-major: left-fold dots
+                acc = acc + vv[:, i : i + 1] * pm[None, :, i]
+            bk = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(pm.shape[0]):
+                bk = bk + ((acc[:, j] >= 0).astype(np.int64) << j)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "v": pdf["v"],
+                    "bucket": bk.astype(np.int32),
+                }
+            )
+
+    u = ensure_scan_parallelism(e, "vec_id").select("vec_id", "label", v.alias("v"))
+    bkt = u.mapInPandas(
+        kern, schema="vec_id bigint, label int, v array<double>, bucket int"
     )
-    bucket = None
-    u = e.select("vec_id", "label", v.alias("v"))
-    for k, p in enumerate(planes):
-        term = F.when(dot_p(p) >= 0, F.lit(1 << k)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    bkt = u.withColumn("bucket", bucket)
     a = bkt.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
                    F.col("bucket").alias("ba"), F.col("v").alias("va"))
     b = bkt.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
