@@ -369,41 +369,57 @@ def bpe_apply_merges(
     """Apply learned BPE merge rules to a corpus — the tokenize step
     paired with :func:`bpe_learn_merges`: each word starts as its
     character sequence and every merge applies in rank order with the
-    same greedy left-to-right fold the learner used. Pure per-row
-    array expressions in the scan (nested folds, k_merges deep) — no
-    shuffle, no UDF; the merge table is a plan literal, exactly how a
-    trained tokenizer ships to a 1000-executor tokenization job.
+    same greedy left-to-right semantics the learner used. The merge
+    table ships in the kernel closure, exactly how a trained tokenizer
+    ships to a 1000-executor tokenization job.
+
+    The apply is an Arrow kernel using the ORACLE'S OWN formulation:
+    each word encodes as D<sym>DD<sym>D… (D = \\x1f, absent from the
+    corpus by the same contract the oracle already relies on), words
+    join on \\x1e, and one merge (l, r) is ONE left-to-right
+    non-overlapping ``str.replace`` of D<l>DD<r>D with D<lr>D — proven
+    equivalent to the greedy symbol fold by the green oracle replays.
+    The previous nested-HOF form (per word × per merge × per symbol,
+    rebuilding an array per element) exceeded 870 s at the 100×
+    replica; the kernel's C-speed replaces take seconds. All outputs
+    are integers — no float-parity surface at all. Tokenization
+    semantics mirror the JVM/RE2 pair exactly: trim strips spaces
+    only, the split is ASCII ``\\s+``, empty tokens drop.
 
     Returns (id_col, n_words, n_subwords) — the before/after token
     budget, the number a dataloader actually consumes.
     """
-    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    import re
 
-    def apply_one(syms, left: str, right: str, merged: str):
-        return F.aggregate(
-            syms,
-            F.expr("cast(array() as array<string>)"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (s == F.lit(right)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
+    import pandas as pd
 
-    def encode(word):
-        syms = F.filter(F.split(word, ""), lambda c: c != "")
-        for _, left, right, merged in merges:
-            syms = apply_one(syms, left, right, merged)
-        return F.size(syms)
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
 
-    n_subwords = F.aggregate(
-        F.transform(toks, encode), F.lit(0), lambda a, n: a + n
-    )
-    return df.select(
-        F.col(id_col),
-        F.size(toks).cast("long").alias("n_words"),
-        n_subwords.cast("long").alias("n_subwords"),
+    d_, w_ = "\x1f", "\x1e"
+    rules = [
+        (d_ + left + d_ + d_ + right + d_, d_ + merged + d_)
+        for _, left, right, merged in merges
+    ]
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    def kern(batches):
+        for pdf in batches:
+            nw, ns = [], []
+            for t in pdf[text_col]:
+                words = [w for w in ws_re.split((t or "").strip(" ")) if w]
+                nw.append(len(words))
+                enc = w_.join(d_ + (d_ + d_).join(w) + d_ for w in words)
+                for pat, rep in rules:
+                    enc = enc.replace(pat, rep)
+                ns.append(enc.count(d_) // 2)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_words": nw, "n_subwords": ns}
+            )
+
+    src = ensure_scan_parallelism(df, id_col).select(id_col, text_col)
+    id_type = dict(src.dtypes)[id_col]
+    return src.mapInPandas(
+        kern, schema=f"{id_col} {id_type}, n_words long, n_subwords long"
     )
 
 
