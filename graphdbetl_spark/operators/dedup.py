@@ -117,31 +117,63 @@ def winnow_fingerprints(
 
     Hashes use the engine-portable md5-family idiom (first 12 hex
     chars → 48-bit BIGINT) so a SQL oracle replays the selection bit
-    for bit. Pure per-row array expressions inside the scan — zero
-    shuffle before the final explode/distinct; window minima cost
-    O(len·w) per doc with w small and constant.
+    for bit — integer-only output, no float surface.
+
+    The per-row pipeline is an Arrow kernel, not interpreted array
+    expressions: hashing every gram through transform-md5 plus the
+    O(len·w) window-min slices cost ~140 s PER PASS over the 100×
+    replica (and a multi-consumer caller pays it once per branch). The
+    kernel memoizes gram → 48-bit hash in a per-task dict — gram
+    vocabulary repeats heavily in any real corpus — and slides the
+    minima in plain loops over small ints. Tokenization mirrors the
+    JVM/RE2 pair exactly (space-only trim, ASCII ``\\s+`` split, NO
+    empty-token filter — k-grams of the raw split, like _tokens).
 
     Returns (id_col, fp) exploded rows, one per distinct fingerprint;
     documents with at least one k-gram but fewer than w of them yield
     the single global minimum (the algorithm's short-document case).
     """
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
     from graphdbetl_spark.operators.skew import ensure_scan_parallelism
 
-    df = ensure_scan_parallelism(df, id_col)
-    grams = _word_ngrams(_tokens(F.col(text_col)), k)
-    gh = F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long")
-    )
-    m = F.size(gh) - (w - 1)
-    wins = (
-        F.when(m >= 1, F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-                                   lambda i: F.array_min(F.slice(gh, i, w))))
-        .when(F.size(gh) >= 1, F.array(F.array_min(gh)))
-        .otherwise(F.expr("array()").cast("array<bigint>"))
-    )
-    return df.select(
-        F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp")
-    )
+    ws_re = _re.compile(r"\s+", _re.ASCII)
+
+    def kern(batches):
+        memo: dict[str, int] = {}
+
+        def ghash(g: str) -> int:
+            h = memo.get(g)
+            if h is None:
+                h = int(hashlib.md5(g.encode()).hexdigest()[:12], 16)
+                memo[g] = h
+            return h
+
+        for pdf in batches:
+            ids, fps = [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                toks = ws_re.split((t or "").strip(" "))
+                gh = [
+                    ghash(" ".join(toks[i : i + k]))
+                    for i in range(len(toks) - k + 1)
+                ]
+                m = len(gh) - (w - 1)
+                if m >= 1:
+                    wins = {min(gh[i : i + w]) for i in range(m)}
+                elif gh:
+                    wins = {min(gh)}
+                else:
+                    continue
+                ids.extend([did] * len(wins))
+                fps.extend(wins)
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    src = ensure_scan_parallelism(df, id_col).select(id_col, text_col)
+    id_type = dict(src.dtypes)[id_col]
+    return src.mapInPandas(kern, schema=f"{id_col} {id_type}, fp long")
 
 
 def minhash_near_duplicates(

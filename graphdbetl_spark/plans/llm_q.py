@@ -1357,9 +1357,13 @@ def text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
                     WHEN len(gh) >= 1 THEN [list_min(gh)]
                     ELSE CAST([] AS BIGINT[]) END AS wins
         FROM g
-    ), fp AS (
+    ), fp0 AS (
         SELECT DISTINCT doc_id, fp
         FROM (SELECT doc_id, unnest(wins) AS fp FROM w)
+    ), hot AS (
+        SELECT fp FROM fp0 GROUP BY fp HAVING count(*) > 10000
+    ), fp AS (
+        SELECT doc_id, fp FROM fp0 WHERE fp NOT IN (SELECT fp FROM hot)
     ), nfp AS (
         SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id
     ), shared AS (
@@ -1388,6 +1392,26 @@ def dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from graphdbetl_spark.operators.dedup import winnow_fingerprints
 
     fp = winnow_fingerprints(T(spark, sf, "documents"), "text", "doc_id", k=3, w=4)
+    # Four consumer branches (hot, both join sides, nfp) would each
+    # re-run the fingerprint kernel; materialize the small (id, fp)
+    # table once — lineage-owned localCheckpoint, freed when the
+    # caller's DataFrame goes out of scope (the dedup.py r5 idiom).
+    fp = fp.localCheckpoint(eager=False)
+    # Stop-fingerprint cap (the ngram_jaccard_pairs max_gram_df
+    # treatment): a fingerprint held by >10k documents is vocabulary,
+    # not content — and its posting list alone fans out >10k²/2 pairs
+    # into ONE reducer key. Dropping it bounds per-key pair volume;
+    # containment is then computed over the capped fingerprint
+    # universe on BOTH engines (the oracle applies the same HAVING).
+    # No fixture fingerprint reaches the cap below the 30× replica, so
+    # driver-scale results are unchanged.
+    hot = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > 10_000)
+        .select("fp")
+    )
+    fp = fp.join(F.broadcast(hot), "fp", "left_anti")
     nfp = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("__fa"))
     b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("__fb"))
