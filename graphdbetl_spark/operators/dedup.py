@@ -457,7 +457,13 @@ def ngram_jaccard_pairs(
     # window over the uniform doc-id key, not a second join
     w = Window.partitionBy(id_col, *[F.col(c) for c in (block_cols or [])])
     ex = ex.withColumn("gram_count", F.count(F.lit(1)).over(w))
-    a, b = ex.alias("a"), ex.alias("b")
+    # Both self-join sides are the corpus-sized exploded gram table,
+    # and it is stats-less after the window + anti-join — at the 100×
+    # replica the planner mis-sized one side and tried to BROADCAST 40M
+    # exploded rows (BytesToBytesMap alloc failure). Neither side is
+    # ever small by construction, so pin the sort-merge strategy (the
+    # r4 "stats-less build side" lesson, inverted).
+    a, b = ex.alias("a").hint("merge"), ex.alias("b")
     join_cond = (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols or []:
         join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
