@@ -561,24 +561,41 @@ def agg_approx(spark: SparkSession, sf: str) -> DataFrame:
         F.approx_count_distinct("o_custkey").alias("__approx"),
         F.percentile_approx("o_totalprice", 0.5).alias("__amed"),
         F.percentile_approx("o_totalprice", 0.95).alias("__ap95"),
-        F.expr("percentile(o_totalprice, 0.45)").alias("__p45"),
-        F.expr("percentile(o_totalprice, 0.55)").alias("__p55"),
-        F.expr("percentile(o_totalprice, 0.93)").alias("__p93"),
-        F.expr("percentile(o_totalprice, 0.97)").alias("__p97"),
+        F.count(F.lit(1)).alias("__n"),
     )
-    return agg.select(
+    # Bound the GK sketch values by their exact RANKS, not by exact
+    # percentile VALUES: `percentile(...)` buffers every group value
+    # (ObjectHashAggregate) and cost 272 s / 15M orders at the 100×
+    # replica just to produce a check constant, while rank counting is
+    # one extra codegen aggregation against the broadcast 3-row sketch
+    # table. GK at default accuracy guarantees rank error ≤ 1e-4·n;
+    # the asserted window (±0.05·n, with <=/< separating tie mass) is
+    # three orders of magnitude wider.
+    ranks = (
+        o.join(F.broadcast(agg.select("o_orderstatus", "__amed", "__ap95")), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum((F.col("o_totalprice") <= F.col("__amed")).cast("long")).alias("__le_med"),
+            F.sum((F.col("o_totalprice") < F.col("__amed")).cast("long")).alias("__lt_med"),
+            F.sum((F.col("o_totalprice") <= F.col("__ap95")).cast("long")).alias("__le_p95"),
+            F.sum((F.col("o_totalprice") < F.col("__ap95")).cast("long")).alias("__lt_p95"),
+        )
+    )
+    return agg.join(ranks, "o_orderstatus").select(
         "o_orderstatus",
         "exact_customers",
         (
             F.abs(F.col("__approx") - F.col("exact_customers"))
             <= 0.15 * F.col("exact_customers")  # 3·rsd at default rsd=0.05
         ).alias("approx_customers_ok"),
-        ((F.col("__amed") >= F.col("__p45")) & (F.col("__amed") <= F.col("__p55"))).alias(
-            "approx_median_ok"
-        ),
-        ((F.col("__ap95") >= F.col("__p93")) & (F.col("__ap95") <= F.col("__p97"))).alias(
-            "approx_p95_ok"
-        ),
+        (
+            (F.col("__le_med") >= 0.45 * F.col("__n"))
+            & (F.col("__lt_med") <= 0.55 * F.col("__n"))
+        ).alias("approx_median_ok"),
+        (
+            (F.col("__le_p95") >= 0.93 * F.col("__n"))
+            & (F.col("__lt_p95") <= 0.97 * F.col("__n"))
+        ).alias("approx_p95_ok"),
     )
 
 
