@@ -24,6 +24,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _session_alive(spark) -> bool:
+    try:
+        spark.sql("SELECT 1").collect()
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def main() -> int:
     sf_dir, log_path = sys.argv[1], sys.argv[2]
     skips = set()
@@ -52,6 +60,14 @@ def main() -> int:
             first = traceback.format_exception_only(type(e), e)[-1].strip()
             kind = "GATED" if "QuadraticInputError" in type(e).__name__ else "ERROR"
             line = f"{kind}\t{name}\t{time.time() - t0:.1f}s\t{first[:300]}"
+            if "ConnectionRefused" in first or not _session_alive(spark):
+                # The JVM/gateway is gone — every further entry would
+                # log a spurious error against a dead session. Stop;
+                # the campaign is resumable after a restart.
+                print(f"ABORT\tsession dead after {name}", flush=True)
+                with log.open("a") as fh:
+                    fh.write(line + "\n")
+                return 1
         with log.open("a") as fh:
             fh.write(line + "\n")
         print(line, flush=True)
