@@ -624,20 +624,32 @@ def agg_approx_bounds(spark: SparkSession, sf: str) -> DataFrame:
     agg = o.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("exact_customers"),
         F.approx_count_distinct("o_custkey", 0.05).alias("__approx"),
-        F.expr("percentile(o_totalprice, 0.45)").alias("__p45"),
-        F.expr("percentile(o_totalprice, 0.55)").alias("__p55"),
         F.percentile_approx("o_totalprice", 0.5).alias("__amed"),
+        F.count(F.lit(1)).alias("__n"),
     )
-    return agg.select(
+    # Exact-RANK check instead of exact percentile VALUES — the
+    # agg_approx treatment: percentile() buffers every group value
+    # (147 s at the 100× replica for a check constant); rank counting
+    # is one codegen aggregation against the broadcast 3-row table.
+    ranks = (
+        o.join(F.broadcast(agg.select("o_orderstatus", "__amed")), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum((F.col("o_totalprice") <= F.col("__amed")).cast("long")).alias("__le"),
+            F.sum((F.col("o_totalprice") < F.col("__amed")).cast("long")).alias("__lt"),
+        )
+    )
+    return agg.join(ranks, "o_orderstatus").select(
         "o_orderstatus",
         "exact_customers",
         (
             F.abs(F.col("__approx") - F.col("exact_customers"))
             <= 0.15 * F.col("exact_customers")
         ).alias("approx_within_bound"),
-        ((F.col("__amed") >= F.col("__p45")) & (F.col("__amed") <= F.col("__p55"))).alias(
-            "median_within_range"
-        ),
+        (
+            (F.col("__le") >= 0.45 * F.col("__n"))
+            & (F.col("__lt") <= 0.55 * F.col("__n"))
+        ).alias("median_within_range"),
     )
 
 
