@@ -159,22 +159,39 @@ def pagerank(
 
     Returns (id, rank); ranks sum to ≤ 1 (< 1 when sinks exist).
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    from pyspark.storagelevel import StorageLevel
+
+    # The two static EDGE-sized checkpoints go to DISK_ONLY: the
+    # default deserialized on-heap blocks OOM'd an 8 GB local JVM at
+    # the 100× replica (~240M co-purchase edges); per-round rank
+    # tables are vertex-sized and keep the default level.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     out_deg = e.groupBy("u").agg(F.count("*").alias("__deg"))
-    contrib_side = e.join(out_deg, "u").localCheckpoint()  # static across rounds
+    # static across rounds; both sides edge/vertex-sized + stats-less
+    contrib_side = e.join(out_deg.hint("merge"), "u").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     verts = e.select(F.col("u").alias("id")).union(e.select("v")).distinct().localCheckpoint()
     n = verts.count()
 
+    # Every per-round join side is edge- or vertex-sized, and ALL of
+    # them are stats-less after localCheckpoint — at the 100× replica
+    # the planner broadcast the 2M-row rank/contribution tables each
+    # round and the accumulated HashedRelations OOM'd even a 24 GB
+    # local JVM (the r4 "stats-less build side" lesson, inverted:
+    # neither side is ever small by construction, so pin merge).
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         contribs = (
-            contrib_side.join(ranks, contrib_side["u"] == ranks["id"])
+            contrib_side.join(ranks.hint("merge"), contrib_side["u"] == ranks["id"])
             .select(F.col("v").alias("id"), (F.col("rank") / F.col("__deg")).alias("__c"))
             .groupBy("id")
             .agg(F.sum("__c").alias("__s"))
         )
         ranks = (
-            verts.join(contribs, "id", "left")
+            verts.join(contribs.hint("merge"), "id", "left")
             .select(
                 "id",
                 (
