@@ -173,3 +173,32 @@ PORTABLE_SUBWORD_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 def portable_subword_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(PORTABLE_SUBWORD_PATTERN), F.lit(0)))
+
+
+def rolling_fingerprints(
+    df, text_col: str, id_col: str, base: int = 257, mod: int = (1 << 61) - 1
+):
+    """Corpus-scale sibling of :func:`rolling_fingerprint`: the same
+    polynomial hash as an Arrow kernel. The Column form folds
+    decimal(38,0) multiply/mod per CHARACTER in the interpreted
+    evaluator — 61 s per 500k docs at the 100× replica; Python
+    arbitrary-precision ints compute the identical residues (pure
+    integer arithmetic, code-point parity with ascii()/ord) in
+    seconds. Returns (id, fingerprint string)."""
+    import pandas as pd
+
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+
+    def kern(batches):
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col]:
+                h = 0
+                for ch in t or "":
+                    h = (h * base + ord(ch)) % mod
+                out.append(str(h))
+            yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": out})
+
+    src = ensure_scan_parallelism(df, id_col).select(id_col, text_col)
+    id_type = dict(src.dtypes)[id_col]
+    return src.mapInPandas(kern, schema=f"{id_col} {id_type}, fingerprint string")

@@ -1242,10 +1242,16 @@ def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """Polynomial rolling-hash document fingerprint (mod 2^61-1),
-    folded JVM-side over the char array (decimal(38,0) arithmetic)."""
+    """Polynomial rolling-hash document fingerprint (mod 2^61-1) —
+    the Arrow-kernel form (functions/text.py rolling_fingerprints):
+    Python ints replay the decimal(38,0) fold's residues exactly, and
+    the interpreted per-character decimal fold cost 61 s per 500k docs
+    at the 100× replica. The Column form stays for composition and is
+    pinned against this one in tests."""
+    from graphdbetl_spark.functions.text import rolling_fingerprints
+
     d = T(spark, sf, "documents")
-    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
+    return rolling_fingerprints(d, "text", "doc_id")
 
 
 @query(

@@ -649,3 +649,22 @@ def test_binaryfile_source_feeds_decode_pipeline(spark, tmp_path):
         assert (fmt, w, h) == ("ppm", 8, 6)
         i = int(r["path"].rsplit("img_", 1)[1].split(".")[0])
         assert rgb == synthetic_rgb(i, 8, 6)
+
+
+def test_rolling_fingerprints_kernel_matches_column_form(spark):
+    from graphdbetl_spark.functions.text import (
+        rolling_fingerprint,
+        rolling_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "a"), (4, "Zw1% \t x")], ["id", "s"]
+    )
+    col_form = {
+        r["id"]: r["h"]
+        for r in df.select("id", rolling_fingerprint(F.col("s")).alias("h")).collect()
+    }
+    kern_form = {
+        r["id"]: r["fingerprint"] for r in rolling_fingerprints(df, "s", "id").collect()
+    }
+    assert col_form == kern_form
