@@ -584,33 +584,73 @@ def dedup_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
     policy are ALL replayed by the DuckDB oracle."""
     from graphdbetl_spark.operators.similarity import md5_sampled_centroids
 
+    import numpy as np
+    import pandas as pd
+
+    from graphdbetl_spark.operators.similarity import _np_seq_sum
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+
     e = T(spark, sf, "embeddings")
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-    u = e.select("vec_id", _dvec(F.col("embedding")).alias("v")).withColumn(
-        "uv", F.transform("v", lambda x: x / norm)
+    # Centroid sample picks its 8 md5-ranked rows FIRST, then pays the
+    # JVM unit-normalize on those 8 only (the md5_sampled_centroids_raw
+    # shape — selection never looks at the vectors, so the centroids
+    # are bit-identical to the normalize-everything form).
+    picked = (
+        e.select(
+            "vec_id",
+            _dvec(F.col("embedding")).alias("v"),
+            F.md5(F.concat(F.lit("42:"), F.col("vec_id").cast("string"))).alias("__r"),
+        )
+        .orderBy("__r", "vec_id")
+        .limit(8)
+        .drop("__r")
     )
-    cents = md5_sampled_centroids(u, "vec_id", k=8, vec_col="uv")
-    dt = F.aggregate(
-        F.zip_with("uv", "centroid", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
-    )
-    asn = (
-        u.crossJoin(F.broadcast(cents))
-        .select("vec_id", F.struct((-dt).alias("nd"), F.col("cell").alias("c")).alias("__s"))
-        .groupBy("vec_id")
-        .agg(F.min("__s").alias("__m"))
-        .select("vec_id", F.col("__m.c").alias("cell"))
-    )
+    pu = picked.withColumn("uv", F.transform("v", lambda x: x / norm))
+    cents = md5_sampled_centroids(pu, "vec_id", k=8, vec_col="uv")
     planes = _lsh_hyperplanes(8)
-    dot_p = lambda p: F.aggregate(  # noqa: E731
-        F.zip_with("v", F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, b: a + b,
+
+    # Assignment + sign buckets in ONE Arrow kernel (the IVF/LSH
+    # treatment — the inline HOF form cost 87 s at the 100× replica):
+    # cell dots run over the kernel-normalized units (left-fold parity
+    # with the JVM uv), plane dots over the RAW doubles exactly like
+    # the dot_p fold they replace, argmax scans ascending cell ids
+    # (the struct-min tie rule), and the row carries v through so no
+    # assignment re-join is needed.
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
+    cm = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cell_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int32)
+    pm = np.array(planes, dtype=np.float64)
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            un = v / np.sqrt(_np_seq_sum(v * v, axis=1))[:, None]
+            acc_c = np.zeros((len(pdf), cm.shape[0]))
+            acc_p = np.zeros((len(pdf), pm.shape[0]))
+            for i in range(cm.shape[1]):  # dim-major: left-fold dots
+                acc_c = acc_c + un[:, i : i + 1] * cm[None, :, i]
+                acc_p = acc_p + v[:, i : i + 1] * pm[None, :, i]
+            bk = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(pm.shape[0]):
+                bk = bk + ((acc_p[:, j] >= 0).astype(np.int64) << j)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "cell": cell_ids[np.argmax(acc_c, axis=1)],
+                    "bucket": bk.astype(np.int32),
+                }
+            )
+
+    src = ensure_scan_parallelism(e, "vec_id").select(
+        "vec_id", _dvec(F.col("embedding")).alias("v")
     )
-    bucket = None
-    for j, p in enumerate(planes):
-        term = F.when(dot_p(p) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    bkt = u.join(asn, "vec_id").withColumn("bucket", bucket)
+    bkt = src.mapInPandas(
+        kern, schema="vec_id bigint, v array<double>, cell int, bucket int"
+    )
     a = bkt.select(F.col("vec_id").alias("id_a"), F.col("cell").alias("ca"),
                    F.col("bucket").alias("ba"), F.col("v").alias("va"))
     b = bkt.select(F.col("vec_id").alias("id_b"), F.col("cell").alias("cb"),
