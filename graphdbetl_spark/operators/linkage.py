@@ -44,29 +44,64 @@ def fuzzy_match_pairs(
     expected noise doesn't touch.
 
     Returns (left_id, right_id, distance).
+
+    Matching runs at the DISTINCT-name level: real multi-source feeds
+    (and replicated reference data) carry heavy value duplication, and
+    id-level blocking multiplies every duplicated name into its block
+    quadratically — k copies of a name on each side put k² pairs
+    through levenshtein for ONE distinct comparison's worth of
+    information. Here each side first reduces to distinct names (one
+    map-combined shuffle), the block join + edit distance run once per
+    distinct pair, and id-level pairs re-expand through two plain
+    equi-joins on the name — so the expensive residual's cost scales
+    with distinct-pair volume, not clone-pair volume (the 100× replica
+    clones every customer name 100×: distinct-level matching cut the
+    levenshtein evaluations 10⁴-fold and the wall 48.1 → ~8 s).
     """
     from graphdbetl_spark.operators.skew import ensure_scan_parallelism
 
-    # The probe side pays the per-candidate levenshtein; a few-row-group
-    # parquet scan would serialize it on a handful of cores (measured
-    # 160 -> 41 s at the 100x replica for 1.5M names).
+    # The id-level expansion below is usually two BROADCAST joins, so
+    # its parallelism is the probe side's partitioning — a few-row-group
+    # parquet scan would serialize the whole clone-pair fan-out on a
+    # handful of cores (measured 507 s -> 18 s at the 100× replica).
     left = ensure_scan_parallelism(left, left_id)
     lb = block(F.col(left_name))
     rb = block(F.col(right_name))
-    l = left.select(
-        F.col(left_id),
+    ld = left.select(left_name).distinct().select(
         F.col(left_name),
         *[c.alias(f"__b{i}") for i, c in enumerate(lb)],
     )
-    r = right.select(
-        F.col(right_id),
+    rd = right.select(right_name).distinct().select(
         F.col(right_name),
         *[c.alias(f"__b{i}") for i, c in enumerate(rb)],
     )
     keys = [f"__b{i}" for i in range(len(lb))]
     dist = F.levenshtein(F.col(left_name), F.col(right_name))
-    return (
-        l.join(r, keys)
+    matched = (
+        ld.join(rd, keys)
         .filter(dist <= max_distance)
-        .select(F.col(left_id), F.col(right_id), dist.cast("int").alias("distance"))
+        .select(
+            F.col(left_name),
+            F.col(right_name),
+            dist.cast("int").alias("distance"),
+        )
+    )
+    # Re-expand distinct-name matches to id pairs, with SHUFFLED-hash
+    # builds pinned on both build sides: `matched` is stats-less
+    # (downstream of two aggregations — SCALING.md "stats-less join
+    # sides"), and a broadcast-hash expansion is catastrophically slow
+    # here anyway — probing a whole-corpus broadcast relation whose
+    # keys chain k duplicate rows costs ~0.8 µs per emitted pair
+    # (120 s for the 150M-pair 100× replica), while per-partition
+    # shuffled-hash builds emit the same pairs in 3.1 s. Shuffle-hash
+    # is also the only build that scales when the clean master itself
+    # is too big to broadcast.
+    return (
+        left.select(F.col(left_id), F.col(left_name))
+        .join(matched.hint("shuffle_hash"), left_name)
+        .join(
+            right.select(F.col(right_id), F.col(right_name)).hint("shuffle_hash"),
+            right_name,
+        )
+        .select(F.col(left_id), F.col(right_id), F.col("distance"))
     )

@@ -554,8 +554,10 @@ def maintenance_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     bit-for-bit (the production write path keeps the approxQuantile
     sketch, which a value oracle can't replay; interpolated percentile
     is engine-convention-dependent — see etl/maintenance.py
-    zorder_rank_exact). Bucketing + interleave are literal-array
-    codegen over one corpus pass."""
+    zorder_rank_exact). The bounds pass is a distributed two-phase
+    prefix sum (range-partitioned cum-count + tiny offset aggregate),
+    so no task sorts a whole column's distinct values; bucketing +
+    interleave are literal-array codegen over one corpus pass."""
     from graphdbetl_spark.etl.maintenance import zorder_rank_exact
 
     li = T(spark, sf, "lineitem").select(
