@@ -219,7 +219,22 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     Any total order counts each triangle exactly once, so the count
     (and the id-oriented DuckDB oracle) is unchanged; the degree table
     is one extra bounded-key aggregation joined back onto the edge
-    list."""
+    list.
+
+    The wedge set itself is NEVER materialized through an exchange:
+    at the 100× replica it is 8.2B rows (~200 GB of shuffle — the r6
+    campaign's single-host spill death, campaign100x_r6.log). Instead
+    the count is sliced by the triangle APEX, hash(u) mod J, with J
+    sized so each slice of the closing edge set fits a broadcast:
+    per slice, a shuffled-hash wedge join (build = the apex-sliced
+    edges, stream = the full edge list) pipes its wedge stream
+    directly into a broadcast-hash probe of the same apex slice's
+    closing edges and a partial count — wedges live only as a codegen
+    stream between the two joins, so peak disk is one edge-table
+    exchange per slice regardless of wedge volume. Each triangle's
+    apex lands in exactly one slice, so the summed count is exact.
+    On a real cluster the same plan distributes: the only per-slice
+    state is an m/J-row hash map per executor."""
     items = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
     und = (
@@ -250,15 +265,34 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
             .alias("e")
         )
         .select(F.col("e.s").alias("u"), F.col("e.t").alias("v"))
-        .cache()  # reused three times in the wedge-close join
-    )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    triangles = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
-        .count()
+        .cache()  # reused 3·J times across the sliced wedge-close joins
     )
     n_edges = edges.count()
+    # J slices so the closing edge slice (~n_edges/J rows) broadcasts
+    # comfortably; J=1 below ~6M edges keeps the small-scale plan flat.
+    slice_edges = 6_000_000
+    n_slices = max(1, -(-n_edges // slice_edges))
+    apex = F.pmod(F.xxhash64("u"), F.lit(n_slices))
+    triangles = 0
+    for j in range(n_slices):
+        ej = edges.filter(apex == j)
+        e1, e2, e3 = ej.alias("e1"), edges.alias("e2"), ej.alias("e3")
+        triangles += (
+            e1.hint("shuffle_hash")
+            .join(e2, F.col("e1.v") == F.col("e2.u"))
+            .join(
+                F.broadcast(e3),
+                (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .count()
+        )
+        # Each slice's closing-edge broadcast (~300 MB hashed) would
+        # otherwise accumulate for the whole loop — on a cluster those
+        # blocks are evictable storage per executor, but a single local
+        # JVM runs out of execution memory around slice 3 of 20. A GC
+        # nudge lets the ContextCleaner destroy the dead broadcast
+        # before the next slice materializes its own.
+        spark.sparkContext._jvm.System.gc()
     return spark.createDataFrame([(n_edges, triangles)], "n_edges long, n_triangles long")
 
 

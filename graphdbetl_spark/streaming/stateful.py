@@ -60,16 +60,15 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
     )
 
 
-def stateful_running_totals_tws(stream: DataFrame) -> DataFrame:
-    """The same per-key running totals through ``transformWithState``
-    (the Spark 4.x arbitrary-stateful-processing API, successor to
-    applyInPandasWithState): state lives in named, typed handles
-    (ValueState here) managed by the state store — composable with
-    timers, TTL, and the RocksDB provider — instead of one opaque
-    tuple per key. Kept alongside the legacy form so both stateful
-    surfaces stay covered; parity between them and with a batch
-    aggregation is pinned by test.
-    """
+def make_running_totals_processor():
+    """Build the ``StatefulProcessor`` behind
+    :func:`stateful_running_totals_tws`. Module-level (not closed over
+    the query builder) so the processor's accumulation contract is
+    directly testable against a handle implementing the
+    ``getValueState``/``get``/``exists``/``update`` surface — the TWS
+    state-server transport itself is Spark's protobuf-framed protocol,
+    absent in environments without ``google.protobuf``, and the
+    contract test must not depend on it."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -96,11 +95,24 @@ def stateful_running_totals_tws(stream: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return RunningTotals()
+
+
+def stateful_running_totals_tws(stream: DataFrame) -> DataFrame:
+    """The same per-key running totals through ``transformWithState``
+    (the Spark 4.x arbitrary-stateful-processing API, successor to
+    applyInPandasWithState): state lives in named, typed handles
+    (ValueState here) managed by the state store — composable with
+    timers, TTL, and the RocksDB provider — instead of one opaque
+    tuple per key. Kept alongside the legacy form so both stateful
+    surfaces stay covered; parity between them and with a batch
+    aggregation is pinned by test.
+    """
     return (
         stream.select("user_id", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
-            statefulProcessor=RunningTotals(),
+            statefulProcessor=make_running_totals_processor(),
             outputStructType=RUNNING_TOTALS_OUTPUT,
             outputMode="Update",
             timeMode="None",
