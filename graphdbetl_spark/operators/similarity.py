@@ -18,6 +18,35 @@ from graphdbetl_spark.operators.skew import (
 )
 
 
+def md5_cap_corpus(
+    df: DataFrame,
+    id_col: str,
+    cap: int = 50_000,
+    keep: "F.Column | None" = None,
+) -> DataFrame:
+    """Deterministically downsample ``df`` to ~``cap`` rows by an md5
+    coin on the id (per-mille threshold), for QUALITY-GATE harnesses
+    whose cost must not scale with the corpus (r6 verdict #5: the
+    recall-floor harnesses ran both ANN arms over the full 100×
+    replica and dominated the walls campaign — a recall diagnostic is
+    meaningful on a bounded deterministic sample; the production ANN
+    operators keep their full-corpus walls). Below ``cap`` rows the
+    input passes through untouched, so small-scale oracle values are
+    bit-identical. Rows matching ``keep`` survive regardless (the
+    query vectors must stay in the corpus for self-exclusion parity).
+    """
+    n = df.count()
+    if n <= cap:
+        return df
+    permille = max(1, int(1000 * cap / n))
+    coin = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    ) < permille
+    return df.filter(coin if keep is None else (coin | keep))
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,8 +150,23 @@ def ivf_cosine_topk(
 
 
 def _unit_vectors(df: DataFrame, vec_col: str) -> DataFrame:
-    norm = l2_norm(F.col(vec_col))
-    return df.withColumn("__unit", F.transform(vec_col, lambda x: (x / norm).cast("double")))
+    """Unit-normalize an array column JVM-side via ml.feature.Normalizer.
+
+    NOT the obvious ``transform(x -> x / fold-norm)``: that interpreted
+    HOF re-evaluates the whole norm fold PER ELEMENT once
+    CollapseProject inlines the projection (SCALING.md "the kernel
+    ladder") — O(d²) per row, measured ~12 s per 50k×64 corpus pass,
+    and ML iterative fits re-execute the projection every iteration
+    (the r7 recall-floor profile: 38 s of k-means on 50k rows was
+    almost entirely re-interpreted normalization). Normalizer runs in
+    the JVM with the same sequential sum-of-squares norm and per-element
+    divide, so values are unchanged."""
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    v = df.withColumn("__fv", array_to_vector(F.col(vec_col).cast("array<double>")))
+    out = Normalizer(inputCol="__fv", outputCol="__nv", p=2.0).transform(v)
+    return out.withColumn("__unit", vector_to_array(F.col("__nv"))).drop("__fv", "__nv")
 
 
 def ivf_build_index(
@@ -218,9 +262,12 @@ def lsh_cosine_topk(
     from pyspark.ml.functions import array_to_vector
 
     def prep(df: DataFrame, alias: str) -> DataFrame:
-        norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
-        unit = F.transform(vec_col, lambda x: x / norm)
-        return df.select(F.col(id_col).alias(alias), array_to_vector(unit).alias("features"))
+        # JVM-side normalize (see _unit_vectors — the interpreted HOF
+        # form re-evaluates the norm fold per element, and the LSH
+        # candidate join re-executes the projection on both sides)
+        return _unit_vectors(df, vec_col).select(
+            F.col(id_col).alias(alias), array_to_vector("__unit").alias("features")
+        )
 
     c = prep(corpus, "neighbor_id")
     q = prep(queries, "query_id")

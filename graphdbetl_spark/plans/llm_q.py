@@ -2594,13 +2594,20 @@ def sim_ivf_recall_floor(spark: SparkSession, sf: str) -> DataFrame:
     recall@10 >= 0.3 as a literal boolean the oracle pins true. The
     whole pipeline is seeded and deterministic, so this is a stable
     engine property, not a statistical one — a probing or centroid
-    regression flips the boolean and breaks the hash match."""
+    regression flips the boolean and breaks the hash match. The
+    corpus is md5-capped at ~50k rows (md5_cap_corpus): a recall
+    diagnostic must stay bounded as the corpus scales — at the 100×
+    replica the dual-arm harness cost 176 s of full-corpus k-means +
+    scoring for a 5-query quality gate; the cap is a no-op at
+    sf0.01/sf0.1, so the oracle replay is unchanged there."""
     from graphdbetl_spark.operators.similarity import (
         cosine_topk_bruteforce,
         ivf_cosine_topk,
+        md5_cap_corpus,
     )
 
     e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
+    e = md5_cap_corpus(e, "vec_id", keep=F.col("vec_id") < 5)
     q = e.filter(F.col("vec_id") < 5)
     brute = cosine_topk_bruteforce(e, q, "vec_id", "embedding", k=10).select(
         "query_id", "neighbor_id"
@@ -2630,13 +2637,17 @@ def sim_lsh_recall_floor(spark: SparkSession, sf: str) -> DataFrame:
     """LSH companion to sim_ivf_recall_floor: BucketedRandomProjection
     LSH top-10 vs exact brute force in one plan, aggregate recall@10
     >= 0.15 pinned as a literal boolean (LSH on uniform-random vectors
-    is the family's worst case, hence the lower deterministic floor)."""
+    is the family's worst case, hence the lower deterministic floor).
+    Corpus md5-capped at ~50k rows like sim_ivf_recall_floor — a
+    bounded quality gate, not a scale operator."""
     from graphdbetl_spark.operators.similarity import (
         cosine_topk_bruteforce,
         lsh_cosine_topk,
+        md5_cap_corpus,
     )
 
     e = T(spark, sf, "embeddings").withColumn("embedding", _dvec(F.col("embedding")))
+    e = md5_cap_corpus(e, "vec_id", keep=F.col("vec_id") < 5)
     q = e.filter(F.col("vec_id") < 5)
     brute = cosine_topk_bruteforce(e, q, "vec_id", "embedding", k=10).select(
         "query_id", "neighbor_id"

@@ -293,6 +293,10 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         # nudge lets the ContextCleaner destroy the dead broadcast
         # before the next slice materializes its own.
         spark.sparkContext._jvm.System.gc()
+    # Both outputs are already driver-side ints; drop the edge cache so
+    # a long-lived session (the walls campaign runs the whole registry
+    # in one JVM) doesn't carry ~2 GB of dead storage into later jobs.
+    edges.unpersist()
     return spark.createDataFrame([(n_edges, triangles)], "n_edges long, n_triangles long")
 
 
