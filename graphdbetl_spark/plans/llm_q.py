@@ -437,18 +437,30 @@ def _embedding_blocked_pairs(
     10× replica: the label-only all-pairs variant went
     quadratic-per-block (fixed label count ⇒ 100× pair work for 10×
     rows) while this one stays tractable; plane count is the knob that
-    scales blocking with the corpus (b ≈ log₂ n). Hyperplanes are
+    scales blocking with the corpus (b ≈ log₂ n) — and it actually
+    TURNS with the corpus here: ``n_planes`` is a floor, raised to
+    ceil(log₂(n/800)) so blocks hold ~80 rows at ~10 labels whatever
+    the scale (a fixed 8 planes re-pinned block population to n/2560
+    and went quadratic again at the 1000× replica: 17.7 s at 100× but
+    381 s at 1000×; adaptive planes → 12 at 2M rows). The floor keeps
+    every corpus ≤ ~200k rows on exactly 8 planes, so the
+    sf0.01/sf0.1 oracle buckets are bit-identical. Hyperplanes are
     literal ±1 vectors derived from md5 bits in plain Python, so the
     oracle replays the exact buckets — candidate generation is
     oracle-checked, like the minhash md5 family."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     from graphdbetl_spark.operators.similarity import _np_seq_sum  # noqa: F401
     from graphdbetl_spark.operators.skew import ensure_scan_parallelism
 
-    planes = _lsh_hyperplanes(n_planes)
     e = T(spark, sf, "embeddings")
+    n = e.count()
+    if n > 800:
+        n_planes = max(n_planes, math.ceil(math.log2(n / 800)))
+    planes = _lsh_hyperplanes(n_planes)
     v = _dvec(F.col("embedding"))
     pm = np.array(planes, dtype=np.float64)
 
