@@ -302,3 +302,90 @@ def zorder_rank_exact(
         _quantile_bucket(F.col(col_b), bb),
         bits=bits,
     )
+
+
+def compact_plan(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Size-binned compaction PLAN: within each ``part_col`` value
+    (the table partition being compacted), pack rows in ``order_col``
+    order into bins of ~``target_bytes`` by exclusive running total —
+    the per-partition bin-packing `OPTIMIZE`-style maintenance does,
+    emitted as a manifest (one row per output file: row count, bytes,
+    key range) that a staged rewrite (compact_dataset / promote_staged)
+    executes. Deterministic and integer-exact, so fully oracle-able.
+
+    The running total is DISTRIBUTED (the zorder_rank_exact treatment,
+    without its .persist(): a range seam here would silently misplace
+    offsets, so the slice id is a pure FUNCTION OF THE DATA rather
+    than spark_partition_id over a sampled repartitionByRange —
+    ``(order - min) // block`` with block sized from one bounded
+    min/max aggregate). Phase 1 computes per-(slice, part) totals
+    (map-side combined) and turns them into exclusive offsets via a
+    window over slices×partitions rows — tiny for the low-cardinality
+    partition columns compaction keys on; phase 2 cum-sums WITHIN
+    each slice in parallel and adds the offset. No task ever windows
+    a whole partition's rows, which is what makes the planner itself
+    hold at 100 TB where a plain per-partition window would funnel
+    the largest partition through one task."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    mm = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).collect()[0]
+    if mm["lo"] is None:
+        return spark.createDataFrame(
+            [],
+            schema=f"{part_col} string, bin bigint, n_rows bigint, "
+            "bin_bytes bigint, min_key bigint, max_key bigint",
+        )
+    n_slice = max(2, spark.sparkContext.defaultParallelism)
+    block = max(1, -(-(int(mm["hi"]) - int(mm["lo"]) + 1) // n_slice))
+    sliced = df.select(
+        part_col,
+        F.col(order_col).alias("__k"),
+        F.col(size_col).alias("__sz"),
+        ((F.col(order_col) - F.lit(int(mm["lo"]))) / F.lit(block))
+        .cast("long")
+        .alias("__slice"),
+    )
+    w_off = (
+        Window.partitionBy(part_col)
+        .orderBy("__slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        sliced.groupBy("__slice", part_col)
+        .agg(F.sum("__sz").alias("__sc"))
+        .select(
+            "__slice",
+            part_col,
+            F.coalesce(F.sum("__sc").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("__slice", part_col)
+        .orderBy("__k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = (
+        sliced.join(F.broadcast(offsets), ["__slice", part_col])
+        .withColumn(
+            "__before",
+            F.coalesce(F.sum("__sz").over(w_in), F.lit(0)) + F.col("__off"),
+        )
+        .withColumn(
+            "bin", F.floor(F.col("__before") / F.lit(target_bytes)).cast("long")
+        )
+    )
+    return binned.groupBy(part_col, "bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__sz").cast("long").alias("bin_bytes"),
+        F.min("__k").alias("min_key"),
+        F.max("__k").alias("max_key"),
+    )

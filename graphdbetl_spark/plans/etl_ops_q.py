@@ -570,3 +570,38 @@ def maintenance_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     return li.select(
         "l_orderkey", "l_linenumber", z.cast("long").alias("zkey")
     )
+
+
+@query(
+    "maintenance_compact_plan",
+    oracle="""
+    WITH s AS (
+        SELECT lang, doc_id, n_chars,
+               COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS before
+        FROM documents
+    )
+    SELECT lang, CAST(before // 4096 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+           MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
+    FROM s GROUP BY lang, bin
+    """,
+)
+def maintenance_compact_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planner: per table partition (lang),
+    pack documents in key order into ~4 KB bins by exclusive running
+    byte total and emit the rewrite manifest (rows/bytes/key-range
+    per output file) — the plan side of compact_dataset's staged
+    rewrite. The running total is a distributed two-phase prefix sum
+    whose slice id is a pure function of the key (no sampled range
+    seam, no .persist pin), so the planner holds where a naive
+    per-partition window funnels the biggest partition through one
+    task — see etl/maintenance.py compact_plan."""
+    from graphdbetl_spark.etl.maintenance import compact_plan
+
+    return compact_plan(
+        T(spark, sf, "documents"), "lang", "doc_id", "n_chars", target_bytes=4096
+    )

@@ -400,3 +400,60 @@ def select_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_priority_sample(
         T(spark, sf, "documents"), "doc_id", "n_chars", k=100
     )
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center trajectory (the pagerank/BPE unroll
+    treatment): c_i picks the argmin of max-cosine-to-selected with
+    ties to the lower vec_id; m_i folds the new center in via
+    GREATEST (exact — IEEE max never rounds). AS MATERIALIZED per the
+    r4 invariant: inlined self-referencing CTEs double the plan per
+    round in DuckDB."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        "m1 AS MATERIALIZED (SELECT e.vec_id, e.v AS v,"
+        " list_cosine_similarity(e.v, c1.v) AS mc"
+        " FROM e, c1 WHERE e.vec_id <> c1.vec_id)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT vec_id, v, mc FROM m{i - 1}"
+            " ORDER BY mc ASC, vec_id ASC LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"m{i} AS MATERIALIZED (SELECT m.vec_id, m.v AS v,"
+                f" GREATEST(m.mc, list_cosine_similarity(m.v, c{i}.v)) AS mc"
+                f" FROM m{i - 1} m, c{i} WHERE m.vec_id <> c{i}.vec_id)"
+            )
+    selects = [
+        "SELECT CAST(1 AS INT) AS step, c1.vec_id AS center_id,"
+        " CAST(NULL AS DOUBLE) AS radius FROM c1"
+    ]
+    for i in range(2, k + 1):
+        selects.append(
+            f"SELECT CAST({i} AS INT) AS step, vec_id AS center_id,"
+            f" ROUND(1.0 - mc, 4) AS radius FROM c{i}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query("select_kcenter_coreset", oracle=_kcenter_oracle(8))
+def select_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversity-based coreset selection: greedy k-center
+    (farthest-point traversal) over the embedding corpus — the
+    coverage-maximizing dual of select_importance_resampling's
+    distribution matching, the standard recipe for carving a small,
+    maximally-diverse eval/fine-tune slice. Each of the 8 rounds is
+    one map-only Arrow-kernel corpus pass (centers live in the kernel
+    closure, bounded by k) with a per-batch partial cut into a
+    TakeOrdered(1) — the synchronous-trajectory cost model of
+    train_quality_classifier. Cosine math follows the
+    sim_cosine_topk bit-parity conventions; the full greedy
+    trajectory (seed = min id) unrolls into the DuckDB CTE chain."""
+    from graphdbetl_spark.operators.coreset import kcenter_select
+
+    return kcenter_select(T(spark, sf, "embeddings"), "vec_id", "embedding", k=8)

@@ -78,6 +78,9 @@ def _load() -> None:
 # never-green entries, then the r5-attested head (re-attestation is
 # free within the budget), then everything long-attested.
 _PRIORITY: tuple[str, ...] = (
+    # r7 additions (never attested): diversity coreset selection and
+    # the size-binned compaction planner
+    "select_kcenter_coreset", "maintenance_compact_plan",
     # never driver-green: oracled this round (r5 verdict #1, #4)
     "embedding_pca_project", "bpe_learn_merges", "bpe_tokenize_corpus",
     "bpe_learn_merges_batched", "dedup_minhash", "dedup_simhash",
