@@ -92,6 +92,10 @@ HEADLINE = [
     "sim_ivf_append",
     # DSIR selection: two LMs from one count shuffle + top-k cut
     "select_importance_resampling",
+    # r7 additions: diversity coreset (8 map-only trajectory rounds)
+    # and the prefix-sum compaction planner — benched cold.
+    "select_kcenter_coreset",
+    "maintenance_compact_plan",
 ]
 
 
