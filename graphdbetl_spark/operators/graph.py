@@ -150,48 +150,72 @@ def pagerank(
     form: dangling mass is not redistributed, matching the classic
     Spark/Pregel example semantics).
 
-    Each round is one join of ranks onto edges (key = src) plus one
-    contribution aggregation (key = dst) — both partial-agg shuffles on
-    vertex ids. localCheckpoint per round breaks lineage growth.
-    Vertex count and out-degrees are computed once, outside the loop.
-    At cluster scale, pre-partition edges by src so the per-round rank
-    join reuses one exchange, and cache the (static) edge/degree sides.
+    Each round joins ranks onto a PACKED ADJACENCY table (key = src;
+    both sides vertex-sized), explodes the neighbor arrays into the
+    dst partial aggregation, and rejoins onto the vertex set — the
+    edge-sized stream exists only inside one codegen stage per round.
+    localCheckpoint per round breaks lineage growth; vertex count and
+    the adjacency packing happen once, outside the loop.
 
     Returns (id, rank); ranks sum to ≤ 1 (< 1 when sinks exist).
     """
     from pyspark.storagelevel import StorageLevel
 
-    # The two static EDGE-sized checkpoints go to DISK_ONLY: the
-    # default deserialized on-heap blocks OOM'd an 8 GB local JVM at
-    # the 100× replica (~240M co-purchase edges); per-round rank
-    # tables are vertex-sized and keep the default level.
+    # The static checkpoints go to DISK_ONLY: the default deserialized
+    # on-heap blocks OOM'd an 8 GB local JVM at the 100× replica
+    # (~240M co-purchase edges); per-round rank tables are
+    # vertex-sized and keep the default level.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
         eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
-    out_deg = e.groupBy("u").agg(F.count("*").alias("__deg"))
-    # static across rounds; both sides edge/vertex-sized + stats-less
-    contrib_side = e.join(out_deg.hint("merge"), "u").localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    # Static side as a PACKED ADJACENCY table — (u, [v…]) — not an
+    # edge list: the per-round join is then vertex-sized ⋈ vertex-
+    # sized (2M ⋈ 2M at the 100× replica instead of 240M ⋈ 2M), and
+    # the checkpoint each round re-reads is ~2M packed rows instead
+    # of 240M (u, v, deg) triples. The 240M-row contribution stream
+    # still exists, but only INSIDE the explode stage, flowing
+    # straight into the dst partial aggregation — never through a
+    # checkpoint scan or a join. out-degree is size([v…]) for free,
+    # which also deletes the old degree groupBy + merge join from the
+    # static build. Replication keeps per-copy key spaces disjoint,
+    # and real co-purchase hub degrees are thousands, so no packed
+    # row approaches task memory; a graph with genuinely pathological
+    # hubs would split adjacency rows into fixed-width chunks (the
+    # salting treatment) before packing.
+    contrib_side = (
+        e.groupBy("u")
+        .agg(F.collect_list("v").alias("__vs"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     verts = e.select(F.col("u").alias("id")).union(e.select("v")).distinct().localCheckpoint()
     n = verts.count()
 
-    # Every per-round join side is edge- or vertex-sized, and ALL of
-    # them are stats-less after localCheckpoint — at the 100× replica
-    # the planner broadcast the 2M-row rank/contribution tables each
-    # round and the accumulated HashedRelations OOM'd even a 24 GB
-    # local JVM (the r4 "stats-less build side" lesson, inverted:
-    # neither side is ever small by construction, so pin merge).
+    # Every per-round join side is vertex-sized and stats-less after
+    # localCheckpoint — at the 100× replica the planner broadcast the
+    # 2M-row rank/contribution tables each round and the accumulated
+    # HashedRelations OOM'd even a 24 GB local JVM (the r4 "stats-less
+    # build side" lesson, inverted: no side is small by construction),
+    # so every per-round join pins SHUFFLED hash. Negative result for
+    # the record: with the old EDGE-LIST static side, swapping the r6
+    # merge pin for shuffle_hash measured NO change at 100× (269.1 s
+    # vs 269.5 s) — the rounds were bound on re-scanning the 240M-row
+    # checkpoint, not on the sort, which is what the packed-adjacency
+    # form above removes (see BASELINE.md for the 100× before/after).
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         contribs = (
-            contrib_side.join(ranks.hint("merge"), contrib_side["u"] == ranks["id"])
-            .select(F.col("v").alias("id"), (F.col("rank") / F.col("__deg")).alias("__c"))
+            contrib_side.join(
+                ranks.hint("shuffle_hash"), contrib_side["u"] == ranks["id"]
+            )
+            .select(
+                F.explode("__vs").alias("id"),
+                (F.col("rank") / F.size("__vs")).alias("__c"),
+            )
             .groupBy("id")
             .agg(F.sum("__c").alias("__s"))
         )
         ranks = (
-            verts.join(contribs.hint("merge"), "id", "left")
+            verts.join(contribs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 (
