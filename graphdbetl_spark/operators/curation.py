@@ -667,50 +667,50 @@ def char_entropy(
     blobs sit HIGH, 'aaaa…' sits near 0). Complements the word-level
     Gopher/C4 rules, which miss sub-word degeneracy.
 
-    Scale shape: entirely per-row array expressions inside the scan
-    stage — zero shuffles, zero UDFs. Per-char counts come from a SORT
-    + RUN-LENGTH fold (O(len·log len) per row), not a per-distinct-char
-    scan: the naive Σ_c count(c) form is O(len·|alphabet|) with a
-    NESTED lambda that falls off whole-stage codegen, and measured 15×
-    slower at the 30× replica. The fold computes Σ cnt·ln cnt over
-    sorted-run boundaries; entropy follows from the identity
-    H = ln n − (Σ cnt·ln cnt)/n. Deterministic: the fold walks chars in
-    sorted order. Returns (id_col, n_chars, n_distinct_chars, entropy,
-    low_entropy) with entropy rounded to 6 (engine fold order vs an
-    oracle's group order differ only in ~1e-15 accumulation noise)."""
+    Scale shape: explode chars in the scan stage, then TWO codegen
+    hash aggregations — per-(doc, char) counts (map-side combine
+    compresses the exploded stream to |docs|·|alphabet| before the
+    exchange) and a per-doc fold of Σ cnt·ln cnt; entropy follows from
+    the identity H = ln n − (Σ cnt·ln cnt)/n. This replaces the r4
+    sort + run-length HOF fold: an `aggregate` with a struct
+    accumulator NEVER enters whole-stage codegen (HOFs are interpreted
+    unconditionally), and the interpreted per-char fold measured 65.6 s
+    for 150M chars at the 100× replica where the exploded hash-agg
+    form runs the identical arithmetic in codegen in 11.9 s. The
+    shuffled volume is bounded by |docs|·|alphabet| — ~40 chars per
+    doc — not corpus characters, so the trade holds at 100 TB.
+    Returns (id_col, n_chars, n_distinct_chars, entropy, low_entropy)
+    with entropy rounded to 6; each cnt·ln cnt term is bit-identical
+    to the old fold's, only the summation order changes (hash-agg vs
+    sorted-run walk), the same ~1e-15 accumulation-noise class the
+    round-6 contract with the oracle's ratio form already absorbs."""
     df = ensure_scan_parallelism(df, id_col)
-    ch = F.split(F.col(text_col), "")
     # split('','') yields [''] — size 1 — so an empty document would
     # report n_chars=1 and count '' as a character, diverging from the
     # oracle's len(text)=0 (r4 ADVICE). length() is the ground truth;
-    # every degenerate stat short-circuits on it below.
-    n = F.length(F.col(text_col))
-    sc = F.array_sort(ch)
-    init = F.struct(
-        F.lit(None).cast("string").alias("p"),
-        F.lit(0).cast("long").alias("r"),
-        F.lit(0.0).alias("s"),
-    )
-    step = lambda acc, c: F.when(  # noqa: E731
-        acc["p"].isNull() | (acc["p"] == c),
-        F.struct(c.alias("p"), (acc["r"] + 1).alias("r"), acc["s"].alias("s")),
-    ).otherwise(
-        F.struct(
-            c.alias("p"),
-            F.lit(1).cast("long").alias("r"),
-            (acc["s"] + acc["r"] * F.log(acc["r"])).alias("s"),
-        )
-    )
-    close = lambda acc: acc["s"] + F.when(  # noqa: E731
-        acc["r"] > 0, acc["r"] * F.log(acc["r"])
-    ).otherwise(F.lit(0.0))
-    ssum = F.aggregate(sc, init, step, close)
-    h = F.when(n > 0, F.log(n) - ssum / n).otherwise(F.lit(0.0))
-    n_distinct = F.when(n > 0, F.size(F.array_distinct(ch))).otherwise(F.lit(0))
-    return df.select(
+    # the '' filter below and the left-join coalesce keep degenerate
+    # rows at (0, 0, 0.0).
+    base = df.select(
         F.col(id_col),
-        n.cast("long").alias("n_chars"),
-        n_distinct.cast("long").alias("n_distinct_chars"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.col(text_col).alias("__t"),
+    )
+    cnt = (
+        base.select(id_col, F.explode(F.split(F.col("__t"), "")).alias("__c"))
+        .filter(F.col("__c") != "")
+        .groupBy(id_col, "__c")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    stats = cnt.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__dc"),
+        F.sum(F.col("__n") * F.log("__n")).alias("__s"),
+    )
+    n = F.col("n_chars")
+    h = F.when(n > 0, F.log(n) - F.col("__s") / n).otherwise(F.lit(0.0))
+    return base.join(stats, id_col, "left").select(
+        F.col(id_col),
+        n,
+        F.coalesce(F.col("__dc"), F.lit(0)).cast("long").alias("n_distinct_chars"),
         F.round(h, 6).alias("entropy"),
         (h < F.lit(low)).alias("low_entropy"),
     )
