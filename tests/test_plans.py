@@ -232,13 +232,13 @@ def test_join_strategy_hints_are_honored(spark):
 
 
 def test_driver_priority_slate():
-    """Round-6 rotation contract (r5 verdict #1): the slate leads with
-    the 12 entries no driver CORRECTNESS file (r1-r5) has ever marked
-    GREEN — exactly the formerly-oracle-less operators that gained
-    oracles this round (plus the new batched-BPE entry). Nothing
-    green-attested in r1-r5 may occupy those first 12 slots, every
-    registered query has an oracle, and the slate head fits well
-    inside the driver's ~50-query budget."""
+    """Rotation contract (r5 verdict #1, generalized in r7 from a
+    hard-coded round-6 list): the slate must LEAD with every entry no
+    driver CORRECTNESS file has ever marked GREEN — the driver samples
+    ~50 queries per round in slate order, so a never-attested entry
+    parked behind attested ones may never get its first attestation.
+    Additionally every registered query is oracle-backed and the
+    priority list is registered in order, without duplicates."""
     import json
     from pathlib import Path
 
@@ -251,19 +251,18 @@ def test_driver_priority_slate():
     assert set(all_queries()) == set(all_oracles())
     root = Path(__file__).resolve().parent.parent
     green: set[str] = set()
-    for f in sorted(root.glob("CORRECTNESS_r0[1-5].json")):
+    for f in sorted(root.glob("CORRECTNESS_r0*.json")):
         for name, rec in json.loads(f.read_text()).items():
             if rec.get("rows_match") and rec.get("hash_match", True):
                 green.add(name)
-    if green:
-        assert not green & set(qs[:12]), "slate wastes slots on attested queries"
-    never_green = (
-        "embedding_pca_project", "bpe_learn_merges", "bpe_tokenize_corpus",
-        "bpe_learn_merges_batched", "dedup_minhash", "dedup_simhash",
-        "sim_ivf_topk", "sim_lsh_topk", "sim_ivfpq_topk", "text_tokens",
-        "sketch_kmv_distinct", "agg_approx",
-    )
-    assert set(qs[:12]) == set(never_green)
+    never_green = [q for q in qs if q not in green]
+    if green and never_green:
+        head = qs[: len(never_green)]
+        assert set(head) == set(never_green), (
+            "never-attested entries must lead the slate: "
+            f"{sorted(set(never_green) - set(head))} are parked behind "
+            "already-attested queries"
+        )
 
 
 def test_domain_cap_uses_window_group_limit(spark):
