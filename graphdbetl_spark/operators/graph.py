@@ -139,6 +139,33 @@ def connected_components(
     return labels
 
 
+def _adj_build_partitions(df: DataFrame) -> int:
+    """Partition count for a packed-adjacency collect_list build.
+
+    The aggregation buffers hold every group's growing array as JVM
+    objects — at the session's default 32 shuffle partitions a 240M-
+    element build puts ~7.5M boxed elements in each task's hash map,
+    which fit (barely) for bare longs but OOM'd an 8 GB heap for
+    (v, w) structs (sssp at the 100× replica). 8× the default
+    parallelism bounds the per-task buffer at ~1M elements regardless
+    of element width; on a real cluster shuffle.partitions is sized to
+    the data and this floor never binds.
+
+    Used by the CACHE-backed frontier ops (bfs, sssp) only: pagerank
+    deliberately keeps the session default for its build, because its
+    adjacency is a DISK_ONLY checkpoint re-read every one of the 6+
+    rounds and the wider partition count multiplied fixed per-round
+    overhead — measured 161-167 s at default vs 207-231 s at 8× on
+    the 100× replica — while its bare-long elements fit the default
+    buffers. If pagerank graphs outgrow that, raise
+    spark.sql.shuffle.partitions (the knob a cluster sizes anyway)
+    rather than widening only the build."""
+    try:
+        return max(256, df.sparkSession.sparkContext.defaultParallelism * 8)
+    except Exception:  # non-classic sessions
+        return 256
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -262,20 +289,30 @@ def bfs_depths(
         .withColumn("depth", F.lit(0))
         .localCheckpoint()
     )
-    # Materialize the edge table once: without this every round replays
-    # the caller's edge DERIVATION (for the co-purchase graph, a fact
-    # self-join + distinct — the most expensive plan fragment), which
-    # measured 4.1× wall for 3.33× data at the 100× replica. cache()
-    # (compressed columnar, disk-spilling) rather than localCheckpoint:
-    # checkpointing stores raw rows and OOMed the 8g local heap on the
-    # 60M-edge 30× replica, while the columnar cache of the same edges
-    # is a fraction of that and spills cleanly.
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
+    # Materialize the loop-invariant side once, PACKED as adjacency
+    # (u, [v…]) — the pagerank treatment: without materialization every
+    # round replays the caller's edge DERIVATION (for the co-purchase
+    # graph, a fact self-join + distinct — the most expensive plan
+    # fragment, measured 4.1× wall for 3.33× data at the 100× replica),
+    # and with a flat edge list every round exchanges edge-sized rows
+    # into the frontier join. Packed, the per-round join carries
+    # vertex-sized rows; only MATCHED adjacency rows explode, straight
+    # into the frontier distinct. cache() (compressed columnar,
+    # disk-spilling) rather than localCheckpoint: checkpointing stores
+    # raw rows and OOMed the 8g local heap on the 60M-edge 30× replica,
+    # while the columnar cache spills cleanly.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    adj = (
+        e.repartition(_adj_build_partitions(e), "u")
+        .groupBy("u")
+        .agg(F.collect_list("v").alias("__vs"))
+        .cache()
+    )
     frontier = dist.select("id")
     for d in range(1, max_depth + 1):
         nxt = (
-            frontier.join(e, frontier["id"] == e["u"])
-            .select(F.col("v").alias("id"))
+            adj.join(frontier.hint("shuffle_hash"), adj["u"] == frontier["id"])
+            .select(F.explode("__vs").alias("id"))
             .distinct()
             .join(dist.select("id"), "id", "left_anti")
             .localCheckpoint()
@@ -344,9 +381,19 @@ def sssp_bounded(
     Returns (id, dist): minimum path weight within ``rounds`` hops;
     unreached vertices are absent.
     """
+    # Packed weighted adjacency (u, [(v, w)…]) — see bfs_depths: the
+    # per-round relaxation join carries vertex-sized rows and only
+    # matched neighbor lists explode into the min-fold.
     e = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
-    ).cache()
+        F.col(src).alias("u"),
+        F.struct(F.col(dst).alias("v"), F.col(weight).alias("w")).alias("__e"),
+    )
+    adj = (
+        e.repartition(_adj_build_partitions(e), "u")
+        .groupBy("u")
+        .agg(F.collect_list("__e").alias("__es"))
+        .cache()
+    )
     dist = (
         seeds.select(F.col(seeds.columns[0]).alias("id"))
         .distinct()
@@ -364,8 +411,12 @@ def sssp_bounded(
     frontier = dist
     for _ in range(rounds):
         relaxed = (
-            frontier.join(e, frontier["id"] == e["u"])
-            .select(F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            adj.join(frontier.hint("shuffle_hash"), adj["u"] == frontier["id"])
+            .select(F.explode("__es").alias("__e"), "dist")
+            .select(
+                F.col("__e.v").alias("id"),
+                (F.col("dist") + F.col("__e.w")).alias("dist"),
+            )
         )
         new_dist = (
             dist.unionAll(relaxed)
