@@ -94,14 +94,17 @@ def kcenter_select(
                         }
                     )
 
-            top = (
+            rows = (
                 src.mapInPandas(
                     kern, schema=f"{id_col} bigint, __v array<double>, __mc double"
                 )
                 .orderBy(F.col("__mc").asc(), F.col(id_col).asc())
                 .limit(1)
-                .collect()[0]
+                .collect()
             )
+            if not rows:  # k exceeds the corpus — trajectory ends early
+                break
+            top = rows[0]
             centers.append((int(top[id_col]), np.array(top["__v"], dtype=np.float64)))
             trajectory.append((rnd, int(top[id_col]), float(top["__mc"])))
     finally:

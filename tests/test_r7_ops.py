@@ -76,3 +76,12 @@ def test_compact_plan_prefix_sum_spans_slices(spark):
 def test_compact_plan_empty_input(spark):
     df = spark.createDataFrame([], "part string, key long, sz long")
     assert compact_plan(df, "part", "key", "sz", target_bytes=100).count() == 0
+
+
+def test_kcenter_k_exceeding_corpus_ends_early(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    rows = kcenter_select(emb, k=5).collect()
+    assert len(rows) == 2
+    assert {r["center_id"] for r in rows} == {0, 1}
