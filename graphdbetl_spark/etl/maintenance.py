@@ -331,26 +331,42 @@ def compact_plan(
     each slice in parallel and adds the offset. No task ever windows
     a whole partition's rows, which is what makes the planner itself
     hold at 100 TB where a plain per-partition window would funnel
-    the largest partition through one task."""
+    the largest partition through one task.
+
+    Preconditions (both hold for the doc_id keys compaction runs on):
+
+    - ``order_col`` must be UNIQUE within each ``part_col`` value —
+      the running total orders by it alone, so duplicate keys would
+      make the exclusive prefix (and thus bin boundaries) tie-break
+      nondeterministically, and any value-level oracle is equally
+      ambiguous. Surrogate ids satisfy this by construction.
+    - Slices are equal-WIDTH key ranges (``(key - min) // block``),
+      not equal row counts — the pure-function-of-the-key form that
+      makes the slice id branch-safe for a lazy plan (no sampled
+      repartitionByRange seam). Keys clustered in a narrow sub-range
+      would funnel into few slices; dense surrogate ids (the
+      compaction use case) spread uniformly by construction. For
+      pathological distributions, pre-map the key through a rank.
+
+    Empty input flows through the same plan (lo/hi default to 0), so
+    the result schema is always derived from the actual column types —
+    never a hardcoded DDL that could diverge from a non-string
+    ``part_col`` or non-bigint key."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
     mm = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).collect()[0]
-    if mm["lo"] is None:
-        return spark.createDataFrame(
-            [],
-            schema=f"{part_col} string, bin bigint, n_rows bigint, "
-            "bin_bytes bigint, min_key bigint, max_key bigint",
-        )
+    lo = int(mm["lo"]) if mm["lo"] is not None else 0
+    hi = int(mm["hi"]) if mm["hi"] is not None else 0
     n_slice = max(2, spark.sparkContext.defaultParallelism)
-    block = max(1, -(-(int(mm["hi"]) - int(mm["lo"]) + 1) // n_slice))
+    block = max(1, -(-(hi - lo + 1) // n_slice))
     sliced = df.select(
         part_col,
         F.col(order_col).alias("__k"),
         F.col(size_col).alias("__sz"),
-        ((F.col(order_col) - F.lit(int(mm["lo"]))) / F.lit(block))
+        ((F.col(order_col) - F.lit(lo)) / F.lit(block))
         .cast("long")
         .alias("__slice"),
     )

@@ -26,6 +26,28 @@ Determinism / oracle parity (the sim_cosine_topk conventions):
   via a (score ASC, id ASC) total order both engines replay;
 - the seed is the minimum id, so the whole trajectory is a pure
   function of the data and unrolls into a DuckDB CTE chain.
+
+Precondition: every embedding must have a nonzero norm — cosine
+distance is undefined at the origin, and a NaN score would order
+differently across numpy lexsort (NaN last), Spark orderBy (NaN
+greatest) and DuckDB list_cosine_similarity, silently desyncing the
+trajectory from the oracle. Both the kernel and the center-matrix
+build FAIL FAST on a zero-norm vector instead.
+
+Batch mode (``batch_p``): greedy farthest-point admits provably-safe
+batch selection. One pass collects the top-``p`` candidates under the
+(score ASC, id ASC) order; the p-th score is a LOWER BOUND on every
+out-of-list point's distance-to-centers (adding centers only raises a
+point's max-similarity, never lowers it), so candidates can be
+admitted driver-side in sequence — each re-verified against the
+centers admitted earlier in the same batch with the identical
+dim-major fold — for as long as the updated argmin stays STRICTLY
+below that bound. The resulting trajectory is bit-identical to the
+sequential form (parity-tested), but the k sequential jobs collapse
+to ~k/p passes — the regime a real coreset needs (k in the
+thousands). When a pass returns fewer than p rows the candidate list
+IS the whole remaining corpus, so the rest of the trajectory finishes
+driver-side with no further passes.
 """
 
 from __future__ import annotations
@@ -37,20 +59,58 @@ from graphdbetl_spark.operators.similarity import _np_seq_sum
 from graphdbetl_spark.operators.skew import ensure_scan_parallelism
 
 
+def _norms(m):
+    """Row norms via the left-fold sum, failing fast on zero norm —
+    cosine distance is undefined there and the NaN it would produce
+    orders differently across numpy / Spark / DuckDB (silent oracle
+    desync)."""
+    import numpy as np
+
+    n = np.sqrt(_np_seq_sum(m * m, axis=1))
+    if np.any(n == 0.0):
+        raise ValueError(
+            "kcenter_select: zero-norm embedding — cosine distance is "
+            "undefined; filter such rows out before selection"
+        )
+    return n
+
+
+def _max_cos(v, vn, cm, cn):
+    """Max cosine of each row of ``v`` (norms ``vn``) against the
+    center matrix ``cm`` (norms ``cn``). Dim-major left-fold dots —
+    the SINGLE shared kernel arithmetic, so the executor pass and the
+    driver-side batch re-verify produce bit-identical scores (IEEE
+    max over a set is order-independent; each pairwise dot folds the
+    dimensions in the same sequence on both paths)."""
+    import numpy as np
+
+    dots = np.zeros((v.shape[0], cm.shape[0]))
+    for i in range(cm.shape[1]):  # dim-major: left-fold per pair
+        dots = dots + v[:, i : i + 1] * cm[None, :, i]
+    return (dots / (vn[:, None] * cn[None, :])).max(axis=1)
+
+
 def kcenter_select(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
+    batch_p: int | None = None,
 ) -> DataFrame:
     """Greedy k-center selection; returns one row per round:
     (step, center_id, radius) where radius is the selected point's
     cosine distance to the previously-selected set (NULL for the
     seed), rounded to 4 decimals JVM-side (ties-away on both engines;
-    np.round would be half-even — SCALING.md r6 invariant)."""
+    np.round would be half-even — SCALING.md r6 invariant).
+
+    ``batch_p=None`` runs the classic one-pick-per-pass loop (k
+    sequential jobs); ``batch_p=p`` admits up to p provably-exact
+    picks per pass (see module docstring) — the same trajectory in
+    ~k/p jobs. Embeddings must have nonzero norm (fail-fast)."""
     import numpy as np
     import pandas as pd
 
+    p = max(1, int(batch_p)) if batch_p else 1
     spark = emb.sparkSession
     src = (
         ensure_scan_parallelism(emb, id_col)
@@ -60,14 +120,15 @@ def kcenter_select(
     try:
         seed = src.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
         centers = [(int(seed[id_col]), np.array(seed["__v"], dtype=np.float64))]
+        _norms(centers[0][1][None, :])  # fail fast on a zero-norm seed
         trajectory: list[tuple[int, int, float | None]] = [(1, centers[0][0], None)]
 
-        for rnd in range(2, k + 1):
+        while len(trajectory) < k:
             cm = np.array([v for _, v in centers], dtype=np.float64)
-            cn = np.sqrt(_np_seq_sum(cm * cm, axis=1))
+            cn = _norms(cm)
             picked = frozenset(cid for cid, _ in centers)
 
-            def kern(batches, cm=cm, cn=cn, picked=picked):
+            def kern(batches, cm=cm, cn=cn, picked=picked, p=p):
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
@@ -76,21 +137,21 @@ def kcenter_select(
                     if len(pdf) == 0:
                         continue
                     v = np.array(pdf["__v"].tolist(), dtype=np.float64)
-                    vn = np.sqrt(_np_seq_sum(v * v, axis=1))
-                    dots = np.zeros((len(pdf), cm.shape[0]))
-                    for i in range(cm.shape[1]):  # dim-major: left-fold per pair
-                        dots = dots + v[:, i : i + 1] * cm[None, :, i]
-                    mc = (dots / (vn[:, None] * cn[None, :])).max(axis=1)
-                    # partial cut: only each batch's best candidate
-                    # (by the global (mc ASC, id ASC) order) survives
-                    # to the TakeOrdered exchange.
+                    vn = _norms(v)
+                    mc = _max_cos(v, vn, cm, cn)
+                    # partial cut: only each batch's top-p candidates
+                    # (by the global (mc ASC, id ASC) order) survive
+                    # to the TakeOrdered exchange. Safe for the batch
+                    # bound below: a suppressed row sits at or above
+                    # its batch's p-th emitted row, which sits at or
+                    # above the global p-th collected row.
                     ids = pdf[id_col].values
-                    best = np.lexsort((ids, mc))[0]
+                    top = np.lexsort((ids, mc))[:p]
                     yield pd.DataFrame(
                         {
-                            id_col: [ids[best]],
-                            "__v": [list(v[best])],
-                            "__mc": [mc[best]],
+                            id_col: ids[top],
+                            "__v": [list(x) for x in v[top]],
+                            "__mc": mc[top],
                         }
                     )
 
@@ -99,14 +160,46 @@ def kcenter_select(
                     kern, schema=f"{id_col} bigint, __v array<double>, __mc double"
                 )
                 .orderBy(F.col("__mc").asc(), F.col(id_col).asc())
-                .limit(1)
+                .limit(p)
                 .collect()
             )
             if not rows:  # k exceeds the corpus — trajectory ends early
                 break
-            top = rows[0]
-            centers.append((int(top[id_col]), np.array(top["__v"], dtype=np.float64)))
-            trajectory.append((rnd, int(top[id_col]), float(top["__mc"])))
+            # The p-th collected score lower-bounds every point NOT in
+            # the candidate list (adding centers never lowers a point's
+            # max-similarity). A short list means the list IS the whole
+            # remaining corpus — no bound needed, finish driver-side.
+            bound = float(rows[-1]["__mc"]) if len(rows) == p else float("inf")
+            cand = [
+                (int(r[id_col]), np.array(r["__v"], dtype=np.float64), float(r["__mc"]))
+                for r in rows
+            ]
+            admitted: list[np.ndarray] = []
+            while cand and len(trajectory) < k:
+                if admitted:
+                    bm = np.array(admitted, dtype=np.float64)
+                    bn = _norms(bm)
+                    cand = [
+                        (
+                            cid,
+                            cv,
+                            max(s, float(_max_cos(cv[None, :], _norms(cv[None, :]), bm, bn)[0])),
+                        )
+                        for cid, cv, s in cand
+                    ]
+                cand.sort(key=lambda t: (t[2], t[0]))
+                cid, cv, s = cand[0]
+                # First admit of a pass is the exact global argmin.
+                # Later admits stay exact only while STRICTLY below the
+                # out-of-list lower bound.
+                if admitted and not (s < bound):
+                    break
+                centers.append((cid, cv))
+                trajectory.append((len(trajectory) + 1, cid, s))
+                admitted.append(cv)
+                cand = cand[1:]
+            if len(rows) < p and not cand:
+                break  # corpus exhausted before reaching k
     finally:
         src.unpersist()
 
