@@ -98,6 +98,15 @@ HEADLINE = [
     "maintenance_compact_plan",
 ]
 
+# Host-drift control (r7 verdict #6): a query whose code has been
+# UNTOUCHED since r4, measured alongside every bench run. The driver
+# box is shared, and three rounds of verdicts have had to hand-wave
+# "uniform host band" for ±25% whole-suite drift; the control
+# formalizes that — if control_wall moved by the same factor as the
+# suite, the drift is the host, not the code. Per-query normalized
+# ratios (t / control_wall) are what to compare ACROSS rounds.
+CONTROL = "curation_c4_filter"
+
 
 def warmup(spark, qs, sf_dir: str) -> None:
     """Bring the session to steady state before the measured pass.
@@ -137,8 +146,8 @@ def main() -> None:
     # contention on a shared VM) rotate randomly between queries and
     # inflate one entry per run; three samples strip them reliably.
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
-    times: dict[str, float] = {}
-    for name in HEADLINE:
+
+    def measure(name: str) -> float:
         fn = qs[name]
         best = float("inf")
         for _ in range(iters):  # min-of-N: strips scheduler noise
@@ -146,8 +155,17 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr, flush=True)
+        print(f"# {name}: {best:.3f}s", file=sys.stderr, flush=True)
+        return round(best, 3)
+
+    # control first AND last: the mean absorbs within-run drift too
+    qs[CONTROL](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    control_head = measure(CONTROL)
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = measure(name)
+    control_tail = measure(CONTROL)
+    control_wall = round((control_head + control_tail) / 2, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -162,6 +180,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_val,
+                # host-drift control (see CONTROL above): compare
+                # queries_normalized across rounds, not raw seconds
+                "control": CONTROL,
+                "control_wall": control_wall,
+                "queries_normalized": {
+                    n: round(t / control_wall, 2) if control_wall else None
+                    for n, t in times.items()
+                },
             }
         )
     )

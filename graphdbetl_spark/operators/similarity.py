@@ -585,16 +585,44 @@ def md5_sampled_centroids(
 def md5_sampled_centroids_raw(
     corpus: DataFrame, id_col: str, vec_col: str, k: int, seed: str = "42"
 ) -> DataFrame:
-    """:func:`md5_sampled_centroids` fed from the RAW corpus: pick the
-    k md5-ranked rows first (the rank key is the id alone), THEN
-    unit-normalize the k survivors. Normalizing before the top-k pays
-    an interpreted transform over the WHOLE corpus just to keep k rows
-    — 26–29 s per 200k × 64 pass at the 100× replica once
-    CollapseProject inlines the scan projection into the lambda; this
-    shape pays it over k rows. Bit-identical centroids: the selection
-    never looks at the vectors, and the k-row normalization is the
-    same JVM expression."""
-    picked = (
+    """:func:`md5_sampled_centroids` semantics fed from the RAW corpus:
+    pick the k md5-ranked rows first (the rank key is the id alone),
+    THEN unit-normalize the k survivors. Normalizing before the top-k
+    pays an interpreted transform over the WHOLE corpus just to keep k
+    rows — 26–29 s per 200k × 64 pass at the 100× replica once
+    CollapseProject inlines the scan projection into the lambda.
+
+    The k survivors are COLLECTED (bounded by construction — the PQ
+    codebook-closure pattern) and normalized driver-side with the same
+    left-fold sum-of-squares + IEEE sqrt/divide the JVM Normalizer
+    applies, so values stay bit-identical while the per-call cost
+    drops to ONE TakeOrdered job + k rows of numpy: the previous
+    DataFrame form (ML Normalizer transform + a rank self-join on the
+    k rows) paid a fixed multi-job pipeline setup on EVERY index
+    build, the r7 sim_ivf_append bench regression (r8 ask #3). The
+    result is a LocalRelation, broadcast-free for downstream probe
+    joins. Ranking matches md5_sampled_centroids: cell = position in
+    (md5 key ASC, id ASC) order; zero-norm survivors keep their raw
+    values (Normalizer's norm!=0 contract).
+
+    Callers that only ASSIGN (no probe join) should take
+    :func:`md5_sampled_centroid_list` directly — re-collecting even an
+    8-row LocalRelation costs a ~0.4 s driver round-trip per call."""
+    return corpus.sparkSession.createDataFrame(
+        md5_sampled_centroid_list(corpus, id_col, vec_col, k, seed),
+        schema="cell int, centroid array<double>",
+    )
+
+
+def md5_sampled_centroid_list(
+    corpus: DataFrame, id_col: str, vec_col: str, k: int, seed: str = "42"
+) -> list[tuple[int, list[float]]]:
+    """Driver-side form of :func:`md5_sampled_centroids_raw`: the
+    (cell, centroid) pairs as plain Python, for kernels that embed the
+    centroid matrix in their closure."""
+    import numpy as np
+
+    rows = (
         corpus.select(
             F.col(id_col),
             F.col(vec_col),
@@ -604,11 +632,16 @@ def md5_sampled_centroids_raw(
         )
         .orderBy("__r", id_col)
         .limit(k)
-        .drop("__r")
+        .collect()
     )
-    return md5_sampled_centroids(
-        _unit_vectors(picked, vec_col), id_col, k=k, seed=seed
-    )
+    rows.sort(key=lambda r: (r["__r"], r[id_col]))
+    cents: list[tuple[int, list[float]]] = []
+    for cell, r in enumerate(rows):
+        v = np.array(r[vec_col], dtype=np.float64)
+        nrm = float(np.sqrt(_np_seq_sum(v[None, :] * v[None, :], axis=1)[0]))
+        u = v / nrm if nrm != 0.0 else v
+        cents.append((cell, [float(x) for x in u]))
+    return cents
 
 
 def lsh_hyperplanes(
@@ -640,15 +673,19 @@ def _unit_dot(a: str, b: str):
 def ivf_assign_cells_md5(
     u: DataFrame,
     id_col: str,
-    cents: DataFrame,
+    cents,  # DataFrame(cell, centroid) or list[(cell, centroid)]
     passthrough: bool = False,
     vec_col: str = "__unit",
     normalize: bool = False,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign every unit vector to its max-dot centroid (ties to the
     lowest cell id). Returns (id, cell), or (id, __unit, cell) with
     ``passthrough`` — which spares the caller a corpus-sized self-join
-    to re-attach the vectors (sim_ivf_topk's shape).
+    to re-attach the vectors (sim_ivf_topk's shape). ``keep`` carries
+    additional source columns through the kernel unchanged for the
+    same reason (ivf_append_report's batch tag: one scan, zero
+    re-attach shuffles).
 
     The scoring is a vectorized Arrow kernel, not the broadcast
     crossJoin + HOF-fold + struct-min it used to be: interpreted
@@ -678,11 +715,14 @@ def ivf_assign_cells_md5(
     import numpy as np
     import pandas as pd
 
-    cent_rows = sorted(
-        cents.select("cell", "centroid").collect(), key=lambda r: r["cell"]
-    )
-    cm = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
-    cells = np.array([r["cell"] for r in cent_rows], dtype=np.int32)
+    if isinstance(cents, DataFrame):
+        pairs = sorted(
+            ((r["cell"], r["centroid"]) for r in cents.select("cell", "centroid").collect()),
+        )
+    else:  # already-driver-side (cell, centroid) pairs — no round-trip
+        pairs = sorted(cents)
+    cm = np.array([c for _, c in pairs], dtype=np.float64)
+    cells = np.array([i for i, _ in pairs], dtype=np.int32)
 
     def assign(batches):
         for pdf in batches:
@@ -696,15 +736,19 @@ def ivf_assign_cells_md5(
             if passthrough:
                 out["__unit"] = list(v) if normalize else pdf[vec_col]
             out["cell"] = cells[np.argmax(acc, axis=1)]
+            for c in keep:
+                out[c] = pdf[c]
             yield pd.DataFrame(out)
 
-    src = u.select(id_col, vec_col)
-    id_type = dict(src.dtypes)[id_col]
+    src = u.select(id_col, vec_col, *keep)
+    types = dict(src.dtypes)
+    id_type = types[id_col]
     unit_part = ", __unit array<double>" if passthrough else ""
+    keep_part = "".join(f", {c} {types[c]}" for c in keep)
     return src.mapInPandas(
-        assign, schema=f"{id_col} {id_type}{unit_part}, cell int"
+        assign, schema=f"{id_col} {id_type}{unit_part}, cell int{keep_part}"
     ).select(
-        id_col, *(["__unit"] if passthrough else []), "cell"
+        id_col, *(["__unit"] if passthrough else []), "cell", *keep
     )
 
 
@@ -757,14 +801,18 @@ def ivf_cosine_topk_md5(
     """
     from graphdbetl_spark.operators.skew import ensure_scan_parallelism
 
-    cents = md5_sampled_centroids_raw(corpus, id_col, vec_col, k=n_cells, seed=seed)
+    cent_list = md5_sampled_centroid_list(corpus, id_col, vec_col, k=n_cells, seed=seed)
+    cents = corpus.sparkSession.createDataFrame(
+        cent_list, schema="cell int, centroid array<double>"
+    )
     # normalize=True keeps the corpus-wide unit pass inside the kernel;
     # passthrough carries __unit through the assignment, sparing a
-    # corpus-sized self-join to re-attach the vectors
+    # corpus-sized self-join to re-attach the vectors; the assign
+    # kernel takes the driver-side list (no LocalRelation re-collect)
     corpus_cells = ivf_assign_cells_md5(
         ensure_scan_parallelism(corpus, id_col),
         id_col,
-        cents,
+        cent_list,
         passthrough=True,
         vec_col=vec_col,
         normalize=True,
@@ -914,11 +962,14 @@ def ivfpq_cosine_topk_md5(
 
     _pq_check(dim, m)
     sub = dim // m
-    cents = md5_sampled_centroids_raw(corpus, id_col, vec_col, k=n_cells, seed=seed)
+    cent_list = md5_sampled_centroid_list(corpus, id_col, vec_col, k=n_cells, seed=seed)
+    cents = corpus.sparkSession.createDataFrame(
+        cent_list, schema="cell int, centroid array<double>"
+    )
     asn = ivf_assign_cells_md5(
         ensure_scan_parallelism(corpus, id_col),
         id_col,
-        cents,
+        cent_list,
         vec_col=vec_col,
         normalize=True,
     )
@@ -1614,29 +1665,39 @@ def ivf_append_report(
     """
     from graphdbetl_spark.operators.skew import ensure_scan_parallelism
 
-    cents = md5_sampled_centroids_raw(
+    cent_list = md5_sampled_centroid_list(
         corpus.filter(~new_pred), id_col, vec_col, k=n_cells, seed=seed
     )
-    asn = ivf_assign_cells_md5(
-        ensure_scan_parallelism(corpus, id_col),
+    # the batch tag rides through the assignment kernel (keep=): one
+    # corpus scan, no re-attach shuffle join; centroids stay a driver
+    # list (no LocalRelation re-collect — the r7 bench regression)
+    tagged = ivf_assign_cells_md5(
+        ensure_scan_parallelism(corpus.withColumn("__new", new_pred), id_col),
         id_col,
-        cents,
+        cent_list,
         vec_col=vec_col,
         normalize=True,
-    )
-    tagged = asn.join(
-        corpus.select(F.col(id_col), new_pred.alias("__new")), id_col
+        keep=("__new",),
     )
     c = tagged.groupBy("cell").agg(
         F.sum(F.when(~F.col("__new"), 1).otherwise(0)).alias("n_base"),
         F.sum(F.when(F.col("__new"), 1).otherwise(0)).alias("n_new"),
         F.count(F.lit(1)).alias("n_total"),
     )
-    t = c.agg(F.sum("n_total").alias("__total"))
-    return c.crossJoin(F.broadcast(t)).select(
+    # grand total over the POST-AGG report (≤ n_cells rows, bounded by
+    # construction): a global window on the tiny frame, not a
+    # crossJoin(broadcast(agg)) — the broadcast build added a whole
+    # extra job/exchange per call for a 1-row side (r8 ask #3's
+    # constant-cost hunt). One of the engine's three intentional
+    # bounded global windows (WindowExec logger scoped to ERROR in
+    # session.configure_session).
+    w_tot = Window.partitionBy()
+    return c.select(
         F.col("cell").cast("int").alias("cell"),
         "n_base",
         "n_new",
         "n_total",
-        (F.col("n_total") * n_cells > 2 * F.col("__total")).alias("rebuild_hint"),
+        (F.col("n_total") * n_cells > 2 * F.sum("n_total").over(w_tot)).alias(
+            "rebuild_hint"
+        ),
     )

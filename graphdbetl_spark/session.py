@@ -75,6 +75,24 @@ def configure_session(spark: SparkSession) -> SparkSession:
             spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 4)))
     except Exception:
         pass
+    try:
+        # The engine has exactly three INTENTIONAL unpartitioned
+        # windows, every one over a frame bounded by construction
+        # (8-row band scores, a limit(k) survivor set, an ≤n_cells
+        # cell report — see llm_q.py / operators/curation.py /
+        # ivf_append_report). WindowExec warns "serious performance
+        # degradation" on each, spamming every bench/campaign tail
+        # (r7 verdict cosmetic item); raise just that logger to ERROR
+        # — any NEW global window over unbounded data is still caught
+        # by the plan-audit tooling (tools/plan_audit.py), which scans
+        # plans, not logs.
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments: the warning is only cosmetic
     _configured_sessions.add(key)
     return spark
 
