@@ -96,6 +96,9 @@ HEADLINE = [
     # and the prefix-sum compaction planner — benched cold.
     "select_kcenter_coreset",
     "maintenance_compact_plan",
+    # r8 addition: the manifest EXECUTED (staged rewrite + read-back
+    # re-aggregation) — benched cold like every new family.
+    "maintenance_compact_execute",
 ]
 
 # Host-drift control (r7 verdict #6): a query whose code has been

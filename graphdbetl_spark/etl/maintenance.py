@@ -352,6 +352,26 @@ def compact_plan(
     the result schema is always derived from the actual column types —
     never a hardcoded DDL that could diverge from a non-string
     ``part_col`` or non-bigint key."""
+    binned = _compact_binned(df, part_col, order_col, size_col, target_bytes)
+    return binned.groupBy(part_col, "bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(size_col).cast("long").alias("bin_bytes"),
+        F.min(order_col).alias("min_key"),
+        F.max(order_col).alias("max_key"),
+    )
+
+
+def _compact_binned(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Row-level bin assignment shared by the planner
+    (:func:`compact_plan`) and the executor (:func:`compact_execute`)
+    — ONE derivation, so the manifest and the rewrite can never drift.
+    Returns every original column plus ``bin``."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -362,13 +382,9 @@ def compact_plan(
     hi = int(mm["hi"]) if mm["hi"] is not None else 0
     n_slice = max(2, spark.sparkContext.defaultParallelism)
     block = max(1, -(-(hi - lo + 1) // n_slice))
-    sliced = df.select(
-        part_col,
-        F.col(order_col).alias("__k"),
-        F.col(size_col).alias("__sz"),
-        ((F.col(order_col) - F.lit(lo)) / F.lit(block))
-        .cast("long")
-        .alias("__slice"),
+    sliced = df.withColumn(
+        "__slice",
+        ((F.col(order_col) - F.lit(lo)) / F.lit(block)).cast("long"),
     )
     w_off = (
         Window.partitionBy(part_col)
@@ -377,7 +393,7 @@ def compact_plan(
     )
     offsets = (
         sliced.groupBy("__slice", part_col)
-        .agg(F.sum("__sz").alias("__sc"))
+        .agg(F.sum(size_col).alias("__sc"))
         .select(
             "__slice",
             part_col,
@@ -386,22 +402,55 @@ def compact_plan(
     )
     w_in = (
         Window.partitionBy("__slice", part_col)
-        .orderBy("__k")
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    binned = (
+    return (
         sliced.join(F.broadcast(offsets), ["__slice", part_col])
         .withColumn(
             "__before",
-            F.coalesce(F.sum("__sz").over(w_in), F.lit(0)) + F.col("__off"),
+            F.coalesce(F.sum(size_col).over(w_in), F.lit(0)) + F.col("__off"),
         )
         .withColumn(
             "bin", F.floor(F.col("__before") / F.lit(target_bytes)).cast("long")
         )
+        .drop("__slice", "__off", "__before")
     )
-    return binned.groupBy(part_col, "bin").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("__sz").cast("long").alias("bin_bytes"),
-        F.min("__k").alias("min_key"),
-        F.max("__k").alias("max_key"),
+
+
+def compact_execute(
+    df: DataFrame,
+    path: str,
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> None:
+    """EXECUTE the compaction manifest as a staged rewrite: every
+    (part, bin) of :func:`compact_plan`'s manifest becomes exactly one
+    parquet file under ``path`` (layout
+    ``{part_col}=…/bin=…/part-….parquet``). One file per bin because
+    ``repartition(part_col, bin)`` routes every row of a bin to a
+    single task and the partitionBy write splits a task's output per
+    directory — bins sharing a task by hash collision still land in
+    their own files. Rows are bin-internally sorted by ``order_col``
+    so file min/max key stats support range skipping.
+
+    The bin assignment is literally :func:`_compact_binned` — the same
+    derivation the planner aggregates — so reading the files back and
+    re-aggregating per (part, bin) must reproduce the manifest
+    bit-for-bit; that read-back equality is the round-trip check
+    (tests/test_r8_ops.py and the ``maintenance_compact_execute``
+    registry entry). Staged via :func:`promote_staged`: ``df`` may
+    read from ``path`` itself, and a crash at any point leaves a
+    recoverable copy."""
+    binned = _compact_binned(df, part_col, order_col, size_col, target_bytes)
+    stage = path.rstrip("/") + "__stage"
+    (
+        binned.repartition(F.col(part_col), F.col("bin"))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .partitionBy(part_col, "bin")
+        .parquet(stage)
     )
+    promote_staged(stage, path)

@@ -605,3 +605,52 @@ def maintenance_compact_plan(spark: SparkSession, sf: str) -> DataFrame:
     return compact_plan(
         T(spark, sf, "documents"), "lang", "doc_id", "n_chars", target_bytes=4096
     )
+
+
+@query(
+    "maintenance_compact_execute",
+    oracle="""
+    WITH s AS (
+        SELECT lang, doc_id, n_chars,
+               COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS before
+        FROM documents
+    )
+    SELECT lang, CAST(before // 4096 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+           MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
+    FROM s GROUP BY lang, bin
+    """,
+)
+def maintenance_compact_execute(spark: SparkSession, sf: str) -> DataFrame:
+    """The compaction manifest EXECUTED, then proven by read-back
+    (r7 verdict #8): compact_execute stages a rewrite where every
+    (lang, bin) of the planner's manifest becomes exactly one parquet
+    file, and this query re-aggregates the files READ BACK FROM DISK.
+    The oracle is the planner's — matching it end-to-end shows the
+    rewrite placed every row in its planned file, not merely that the
+    plan was arithmetic-correct. Same shape as the sink_* entries:
+    the write targets a temp dir, the returned frame is the read-back.
+    """
+    import os
+    import tempfile
+
+    from graphdbetl_spark.etl.maintenance import compact_execute
+
+    docs = T(spark, sf, "documents").select("lang", "doc_id", "n_chars")
+    out = os.path.join(
+        tempfile.gettempdir(), f"graft_compactexec_{os.path.basename(sf)}"
+    )
+    compact_execute(docs, out, "lang", "doc_id", "n_chars", target_bytes=4096)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        "lang", F.col("bin").cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("bin_bytes"),
+        F.min("doc_id").alias("min_key"),
+        F.max("doc_id").alias("max_key"),
+    )

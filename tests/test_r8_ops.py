@@ -57,6 +57,47 @@ def test_kcenter_zero_norm_fails_fast(spark):
         kcenter_select(emb2, k=2)
 
 
+def test_compact_execute_round_trip(spark, tmp_path):
+    """Executing the manifest must (a) place every row in its planned
+    bin — read-back re-aggregation reproduces the manifest exactly —
+    and (b) write exactly ONE file per (part, bin)."""
+    import pyspark.sql.functions as F
+
+    from graphdbetl_spark.etl.maintenance import compact_execute, compact_plan
+
+    df = spark.createDataFrame(
+        [("a", k, 60) for k in range(1, 8)] + [("b", k, 25) for k in range(1, 5)],
+        ["part", "key", "sz"],
+    )
+    manifest = {
+        (r["part"], r["bin"]): (r["n_rows"], r["bin_bytes"], r["min_key"], r["max_key"])
+        for r in compact_plan(df, "part", "key", "sz", target_bytes=100).collect()
+    }
+    out = str(tmp_path / "compacted")
+    compact_execute(df, out, "part", "key", "sz", target_bytes=100)
+    back = spark.read.parquet(out)
+    got = {
+        (r["part"], r["bin"]): (r["n_rows"], r["bin_bytes"], r["min_key"], r["max_key"])
+        for r in back.groupBy("part", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("sz").cast("long").alias("bin_bytes"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+        .collect()
+    }
+    assert got == manifest
+    files_per_bin = (
+        back.withColumn("__f", F.input_file_name())
+        .groupBy("part", "bin")
+        .agg(F.countDistinct("__f").alias("n_files"))
+        .collect()
+    )
+    assert files_per_bin and all(r["n_files"] == 1 for r in files_per_bin)
+    assert back.count() == df.count()  # no row lost or duplicated
+
+
 def test_compact_plan_empty_schema_matches_nonempty(spark):
     """The empty-input result must carry the SAME schema as the
     non-empty path — including a non-string partition column and a
