@@ -96,9 +96,11 @@ HEADLINE = [
     # and the prefix-sum compaction planner — benched cold.
     "select_kcenter_coreset",
     "maintenance_compact_plan",
-    # r8 addition: the manifest EXECUTED (staged rewrite + read-back
-    # re-aggregation) — benched cold like every new family.
+    # r8 additions: the manifest EXECUTED (staged rewrite + read-back
+    # re-aggregation) and the batched k-center fast path — benched
+    # cold like every new family.
     "maintenance_compact_execute",
+    "select_kcenter_coreset_batched",
 ]
 
 # Host-drift control (r7 verdict #6): a query whose code has been

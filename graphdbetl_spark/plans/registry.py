@@ -78,9 +78,10 @@ def _load() -> None:
 # never-green entries, then the r5-attested head (re-attestation is
 # free within the budget), then everything long-attested.
 _PRIORITY: tuple[str, ...] = (
-    # r8 addition (never attested): the compaction manifest EXECUTED
-    # and proven by read-back
-    "maintenance_compact_execute",
+    # r8 additions (never attested): the compaction manifest EXECUTED
+    # and proven by read-back; the batched k-center fast path under
+    # the sequential trajectory's oracle
+    "maintenance_compact_execute", "select_kcenter_coreset_batched",
     # r7 additions (attested in r7): diversity coreset selection and
     # the size-binned compaction planner
     "select_kcenter_coreset", "maintenance_compact_plan",
