@@ -25,20 +25,24 @@ def main() -> None:
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
-    # a single 1000-way UNION ALL trips DuckDB's expression-depth cap;
-    # write per-copy row groups through an appending INSERT instead
+    # Two constraints shape the write: a single 1000-way UNION ALL
+    # trips DuckDB's expression-depth cap, and materializing 600M rows
+    # into an in-memory table risks OOM. So each 50-copy batch COPYs
+    # straight to its own part file under a {table}.parquet DIRECTORY
+    # — Spark reads the directory transparently, and nothing is ever
+    # held in memory beyond one batch's stream.
+    batch = 50
     for table in TABLES:
-        con.execute(f"CREATE OR REPLACE TABLE t AS {copy_select(table, 0)}")
-        batch = 50
-        for lo in range(1, copies, batch):
+        dest = os.path.join(out_dir, f"{table}.parquet")
+        os.makedirs(dest, exist_ok=True)
+        for n, lo in enumerate(range(0, copies, batch)):
             union = " UNION ALL ".join(
                 copy_select(table, i) for i in range(lo, min(lo + batch, copies))
             )
-            con.execute(f"INSERT INTO t {union}")
-        dest = os.path.join(out_dir, f"{table}.parquet")
-        con.execute(f"COPY t TO '{dest}' (FORMAT PARQUET)")
-        con.execute("DROP TABLE t")
-        rows = con.execute(f"SELECT count(*) FROM '{dest}'").fetchone()[0]
+            con.execute(
+                f"COPY ({union}) TO '{dest}/part{n:04d}.parquet' (FORMAT PARQUET)"
+            )
+        rows = con.execute(f"SELECT count(*) FROM '{dest}/*.parquet'").fetchone()[0]
         print(f"{table}: {rows} rows -> {dest}", flush=True)
 
 
