@@ -101,6 +101,10 @@ HEADLINE = [
     # cold like every new family.
     "maintenance_compact_execute",
     "select_kcenter_coreset_batched",
+    # MMR diversity re-rank (relevance-weighted k-center sibling) —
+    # benched cold like every new family; the batched form shares the
+    # oracle and is covered by the parity test.
+    "select_mmr_diverse",
 ]
 
 # Host-drift control (r7 verdict #6): a query whose code has been

@@ -309,7 +309,8 @@ def compact_plan(
     part_col: str,
     order_col: str,
     size_col: str,
-    target_bytes: int,
+    target_bytes: int | None = None,
+    target_bins: int | None = None,
 ) -> DataFrame:
     """Size-binned compaction PLAN: within each ``part_col`` value
     (the table partition being compacted), pack rows in ``order_col``
@@ -351,8 +352,14 @@ def compact_plan(
     Empty input flows through the same plan (lo/hi default to 0), so
     the result schema is always derived from the actual column types —
     never a hardcoded DDL that could diverge from a non-string
-    ``part_col`` or non-bigint key."""
-    binned = _compact_binned(df, part_col, order_col, size_col, target_bytes)
+    ``part_col`` or non-bigint key.
+
+    ``target_bins`` derives the byte target from total data volume
+    (constant output file count across scales) — see
+    :func:`_compact_binned`."""
+    binned = _compact_binned(
+        df, part_col, order_col, size_col, target_bytes, target_bins
+    )
     return binned.groupBy(part_col, "bin").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(size_col).cast("long").alias("bin_bytes"),
@@ -366,18 +373,37 @@ def _compact_binned(
     part_col: str,
     order_col: str,
     size_col: str,
-    target_bytes: int,
+    target_bytes: int | None,
+    target_bins: int | None = None,
 ) -> DataFrame:
     """Row-level bin assignment shared by the planner
     (:func:`compact_plan`) and the executor (:func:`compact_execute`)
     — ONE derivation, so the manifest and the rewrite can never drift.
-    Returns every original column plus ``bin``."""
+    Returns every original column plus ``bin``.
+
+    ``target_bins=n`` derives the byte target from the data itself —
+    ``max(4096, total_size // n)`` — so the OUTPUT FILE COUNT stays
+    ~constant as the input grows (the form the bench entries use: a
+    fixed tiny byte target makes file count, and thus single-host
+    file-creation overhead, scale linearly with data — at the 30×
+    replica the 4 KB form spent 200+ s creating ~11k files, measuring
+    the filesystem rather than the engine). Integer arithmetic only,
+    so a SQL oracle derives the identical target via
+    ``GREATEST(4096, SUM(size) // n)``. Exactly one of
+    ``target_bytes`` / ``target_bins`` must be given."""
     from pyspark.sql import Window
 
+    if (target_bytes is None) == (target_bins is None):
+        raise ValueError("exactly one of target_bytes / target_bins required")
     spark = df.sparkSession
     mm = df.agg(
-        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+        F.min(order_col).alias("lo"),
+        F.max(order_col).alias("hi"),
+        F.sum(size_col).cast("long").alias("tot"),
     ).collect()[0]
+    if target_bins is not None:
+        tot = int(mm["tot"]) if mm["tot"] is not None else 0
+        target_bytes = max(4096, tot // int(target_bins))
     lo = int(mm["lo"]) if mm["lo"] is not None else 0
     hi = int(mm["hi"]) if mm["hi"] is not None else 0
     n_slice = max(2, spark.sparkContext.defaultParallelism)
@@ -424,7 +450,8 @@ def compact_execute(
     part_col: str,
     order_col: str,
     size_col: str,
-    target_bytes: int,
+    target_bytes: int | None = None,
+    target_bins: int | None = None,
 ) -> None:
     """EXECUTE the compaction manifest as a staged rewrite: every
     (part, bin) of :func:`compact_plan`'s manifest becomes exactly one
@@ -444,7 +471,9 @@ def compact_execute(
     registry entry). Staged via :func:`promote_staged`: ``df`` may
     read from ``path`` itself, and a crash at any point leaves a
     recoverable copy."""
-    binned = _compact_binned(df, part_col, order_col, size_col, target_bytes)
+    binned = _compact_binned(
+        df, part_col, order_col, size_col, target_bytes, target_bins
+    )
     stage = path.rstrip("/") + "__stage"
     (
         binned.repartition(F.col(part_col), F.col("bin"))

@@ -212,3 +212,187 @@ def kcenter_select(
         "center_id",
         F.round(F.lit(1.0) - F.col("__mc"), 4).alias("radius"),
     )
+
+
+def mmr_select(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    batch_p: int | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick the point maximizing
+
+        mmr(d) = 0.5·cos(q, d) − 0.5·max_{s∈S} cos(d, s)
+
+    where q is the query vector (the minimum-id row, per the
+    sim_cosine_topk seed convention) and S the already-selected set —
+    the relevance-weighted sibling of k-center (λ=1 recovers pure
+    top-k retrieval, λ=0 pure farthest-point diversity). λ is pinned
+    to 0.5 because multiplying by a power of two is IEEE-exact, so
+    the combined score is bit-replayable on any engine whose cosine
+    matches (the DuckDB oracle's list_cosine_similarity does, per the
+    dim-major left-fold convention).
+
+    Scale shape (the kcenter_select cost model): the relevance term
+    is round-invariant, so it is computed ONCE in a single map-only
+    pass and persisted alongside the vectors; each of the k rounds is
+    then one map-only Arrow-kernel pass (selected-set matrix in the
+    kernel closure, bounded by k) with a per-batch partial top-p cut
+    into a TakeOrdered(p) — no shuffle ever carries more than p rows
+    per partition, and the driver receives at most p rows per round.
+
+    ``batch_p=p`` admits up to p provably-exact picks per pass:
+    adding centers only RAISES a point's max-similarity, hence only
+    LOWERS its mmr score, so the p-th collected score is an UPPER
+    bound on every out-of-list point — candidates re-verified against
+    the batch's earlier admits stay exact while STRICTLY above that
+    bound (the mirror of kcenter_select's lower-bound admission).
+
+    Returns one row per round: (step, selected_id, mmr_score) with
+    the score rounded to 4 decimals JVM-side. Embeddings must have
+    nonzero norm (fail-fast, same rationale as kcenter_select).
+    """
+    import numpy as np
+    import pandas as pd
+
+    p = max(1, int(batch_p)) if batch_p else 1
+    spark = emb.sparkSession
+    base = ensure_scan_parallelism(emb, id_col).select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("__v")
+    )
+    qrow = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    qid = int(qrow[id_col])
+    qv = np.array(qrow["__v"], dtype=np.float64)
+    qn = float(_norms(qv[None, :])[0])
+
+    def rel_kern(batches, qv=qv, qn=qn, qid=qid):
+        for pdf in batches:
+            pdf = pdf[pdf[id_col] != qid]
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            vn = _norms(v)
+            rel = _max_cos(v, vn, qv[None, :], np.array([qn]))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "__v": [list(x) for x in v],
+                    "__rel": rel,
+                }
+            )
+
+    src = base.mapInPandas(
+        rel_kern, schema=f"{id_col} bigint, __v array<double>, __rel double"
+    ).persist()
+    try:
+        selected: list[tuple[int, np.ndarray]] = []
+        trajectory: list[tuple[int, int, float]] = []
+        while len(trajectory) < k:
+            if selected:
+                cm = np.array([v for _, v in selected], dtype=np.float64)
+                cn = _norms(cm)
+            else:
+                cm = cn = None
+            picked = frozenset(cid for cid, _ in selected)
+
+            def kern(batches, cm=cm, cn=cn, picked=picked, p=p):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    pdf = pdf[~pdf[id_col].isin(picked)]
+                    if len(pdf) == 0:
+                        continue
+                    v = np.array(pdf["__v"].tolist(), dtype=np.float64)
+                    rel = pdf["__rel"].values.astype(np.float64)
+                    if cm is not None:
+                        mc = _max_cos(v, _norms(v), cm, cn)
+                        score = 0.5 * rel - 0.5 * mc
+                    else:
+                        score = 0.5 * rel
+                    ids = pdf[id_col].values
+                    # partial cut: each batch's top-p by the global
+                    # (score DESC, id ASC) order — a suppressed row
+                    # sits at or below its batch's p-th emitted row.
+                    top = np.lexsort((ids, -score))[:p]
+                    yield pd.DataFrame(
+                        {
+                            id_col: ids[top],
+                            "__v": [list(x) for x in v[top]],
+                            "__rel": rel[top],
+                            "__score": score[top],
+                        }
+                    )
+
+            rows = (
+                src.mapInPandas(
+                    kern,
+                    schema=(
+                        f"{id_col} bigint, __v array<double>,"
+                        " __rel double, __score double"
+                    ),
+                )
+                .orderBy(F.col("__score").desc(), F.col(id_col).asc())
+                .limit(p)
+                .collect()
+            )
+            if not rows:  # k exceeds the corpus — trajectory ends early
+                break
+            # The p-th collected score UPPER-bounds every out-of-list
+            # point (adding centers never raises an mmr score). A
+            # short list is the whole remaining corpus — finish
+            # driver-side with no bound.
+            bound = float(rows[-1]["__score"]) if len(rows) == p else float("-inf")
+            cand = [
+                (
+                    int(r[id_col]),
+                    np.array(r["__v"], dtype=np.float64),
+                    float(r["__rel"]),
+                    float(r["__score"]),
+                )
+                for r in rows
+            ]
+            admitted: list[np.ndarray] = []
+            while cand and len(trajectory) < k:
+                if admitted:
+                    bm = np.array(admitted, dtype=np.float64)
+                    bn = _norms(bm)
+                    cand = [
+                        (
+                            cid,
+                            cv,
+                            rl,
+                            min(
+                                s,
+                                0.5 * rl
+                                - 0.5
+                                * float(
+                                    _max_cos(cv[None, :], _norms(cv[None, :]), bm, bn)[0]
+                                ),
+                            ),
+                        )
+                        for cid, cv, rl, s in cand
+                    ]
+                cand.sort(key=lambda t: (-t[3], t[0]))
+                cid, cv, rl, s = cand[0]
+                # First admit of a pass is the exact global argmax;
+                # later admits stay exact only while STRICTLY above
+                # the out-of-list upper bound.
+                if admitted and not (s > bound):
+                    break
+                selected.append((cid, cv))
+                trajectory.append((len(trajectory) + 1, cid, s))
+                admitted.append(cv)
+                cand = cand[1:]
+            if len(rows) < p and not cand:
+                break  # corpus exhausted before reaching k
+    finally:
+        src.unpersist()
+
+    out = spark.createDataFrame(
+        trajectory, schema="step int, selected_id bigint, __score double"
+    )
+    return out.select(
+        "step", "selected_id", F.round(F.col("__score"), 4).alias("mmr_score")
+    )

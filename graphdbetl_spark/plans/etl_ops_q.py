@@ -572,10 +572,10 @@ def maintenance_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "maintenance_compact_plan",
-    oracle="""
-    WITH s AS (
+_COMPACT_ORACLE = """
+    WITH t AS (
+        SELECT GREATEST(4096, SUM(n_chars) // 36) AS target FROM documents
+    ), s AS (
         SELECT lang, doc_id, n_chars,
                COALESCE(SUM(n_chars) OVER (
                    PARTITION BY lang ORDER BY doc_id
@@ -583,13 +583,15 @@ def maintenance_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
                    AS before
         FROM documents
     )
-    SELECT lang, CAST(before // 4096 AS BIGINT) AS bin,
+    SELECT lang, CAST(before // t.target AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
            MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
-    FROM s GROUP BY lang, bin
-    """,
-)
+    FROM s, t GROUP BY lang, bin
+    """
+
+
+@query("maintenance_compact_plan", oracle=_COMPACT_ORACLE)
 def maintenance_compact_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Small-file compaction planner: per table partition (lang),
     pack documents in key order into ~4 KB bins by exclusive running
@@ -603,28 +605,11 @@ def maintenance_compact_plan(spark: SparkSession, sf: str) -> DataFrame:
     from graphdbetl_spark.etl.maintenance import compact_plan
 
     return compact_plan(
-        T(spark, sf, "documents"), "lang", "doc_id", "n_chars", target_bytes=4096
+        T(spark, sf, "documents"), "lang", "doc_id", "n_chars", target_bins=36
     )
 
 
-@query(
-    "maintenance_compact_execute",
-    oracle="""
-    WITH s AS (
-        SELECT lang, doc_id, n_chars,
-               COALESCE(SUM(n_chars) OVER (
-                   PARTITION BY lang ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS before
-        FROM documents
-    )
-    SELECT lang, CAST(before // 4096 AS BIGINT) AS bin,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
-           MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
-    FROM s GROUP BY lang, bin
-    """,
-)
+@query("maintenance_compact_execute", oracle=_COMPACT_ORACLE)
 def maintenance_compact_execute(spark: SparkSession, sf: str) -> DataFrame:
     """The compaction manifest EXECUTED, then proven by read-back
     (r7 verdict #8): compact_execute stages a rewrite where every
@@ -644,7 +629,7 @@ def maintenance_compact_execute(spark: SparkSession, sf: str) -> DataFrame:
     out = os.path.join(
         tempfile.gettempdir(), f"graft_compactexec_{os.path.basename(sf)}"
     )
-    compact_execute(docs, out, "lang", "doc_id", "n_chars", target_bytes=4096)
+    compact_execute(docs, out, "lang", "doc_id", "n_chars", target_bins=36)
     back = spark.read.parquet(out)
     return back.groupBy(
         "lang", F.col("bin").cast("bigint").alias("bin")

@@ -475,3 +475,78 @@ def select_kcenter_coreset_batched(spark: SparkSession, sf: str) -> DataFrame:
     return kcenter_select(
         T(spark, sf, "embeddings"), "vec_id", "embedding", k=8, batch_p=4
     )
+
+
+def _mmr_oracle(k: int) -> str:
+    """Unrolled MMR trajectory (the kcenter unroll treatment, argmax
+    flavor): c_i picks the argmax of 0.5·rel − 0.5·max-cosine-to-
+    selected with ties to the lower vec_id; m_i folds the new pick in
+    via GREATEST. rel (cosine to the min-id query vector) is computed
+    once — round-invariant, exactly like the engine's persisted
+    __rel column. λ=0.5 keeps every arithmetic step IEEE-exact."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        "q AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        "r AS MATERIALIZED (SELECT e.vec_id, e.v AS v,"
+        " list_cosine_similarity(e.v, q.v) AS rel"
+        " FROM e, q WHERE e.vec_id <> q.vec_id)",
+        "c1 AS MATERIALIZED (SELECT vec_id, v, rel, 0.5 * rel AS score"
+        " FROM r ORDER BY score DESC, vec_id ASC LIMIT 1)",
+        "m1 AS MATERIALIZED (SELECT r.vec_id, r.v AS v, r.rel,"
+        " list_cosine_similarity(r.v, c1.v) AS mc"
+        " FROM r, c1 WHERE r.vec_id <> c1.vec_id)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT vec_id, v, rel,"
+            " 0.5 * rel - 0.5 * mc AS score"
+            f" FROM m{i - 1} ORDER BY score DESC, vec_id ASC LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"m{i} AS MATERIALIZED (SELECT m.vec_id, m.v AS v, m.rel,"
+                f" GREATEST(m.mc, list_cosine_similarity(m.v, c{i}.v)) AS mc"
+                f" FROM m{i - 1} m, c{i} WHERE m.vec_id <> c{i}.vec_id)"
+            )
+    selects = [
+        f"SELECT CAST({i} AS INT) AS step, vec_id AS selected_id,"
+        f" ROUND(score, 4) AS mmr_score FROM c{i}"
+        for i in range(1, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query("select_mmr_diverse", oracle=_mmr_oracle(8))
+def select_mmr_diverse(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal Marginal Relevance selection: greedily pick the point
+    maximizing 0.5·cos(q, d) − 0.5·max-cosine-to-selected — the
+    relevance-weighted sibling of select_kcenter_coreset (λ=1 is pure
+    top-k retrieval, λ=0 pure farthest-point diversity), the standard
+    recipe for building a relevant-but-non-redundant context or
+    fine-tuning slice around a query. The round-invariant relevance
+    term is computed in ONE map-only pass and persisted; each of the
+    8 rounds is then one map-only Arrow-kernel pass with a per-batch
+    partial top-1 cut into a TakeOrdered(1). Cosine math follows the
+    sim_cosine_topk bit-parity conventions; the full greedy
+    trajectory unrolls into the DuckDB CTE chain."""
+    from graphdbetl_spark.operators.coreset import mmr_select
+
+    return mmr_select(T(spark, sf, "embeddings"), "vec_id", "embedding", k=8)
+
+
+@query("select_mmr_diverse_batched", oracle=_mmr_oracle(8))
+def select_mmr_diverse_batched(spark: SparkSession, sf: str) -> DataFrame:
+    """The batched MMR fast path under the SAME oracle as the
+    sequential form: adding picks only LOWERS an mmr score, so the
+    p-th collected score is an UPPER bound on every out-of-list point
+    — driver-side admission re-verifies each candidate against the
+    batch's earlier admits and stops at that bound (the exact mirror
+    of select_kcenter_coreset_batched's lower-bound rule), making the
+    trajectory bit-identical in ~k/p corpus passes."""
+    from graphdbetl_spark.operators.coreset import mmr_select
+
+    return mmr_select(
+        T(spark, sf, "embeddings"), "vec_id", "embedding", k=8, batch_p=4
+    )

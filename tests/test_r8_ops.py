@@ -110,3 +110,95 @@ def test_compact_plan_empty_schema_matches_nonempty(spark):
     assert full.count() == 1
     # and the two genuinely union (the downstream shape that broke)
     assert empty.unionByName(full).count() == 1
+
+
+def test_mmr_batch_matches_sequential(spark):
+    """MMR batch admission (upper-bound rule, the mirror of
+    k-center's) must reproduce the sequential trajectory bit-for-bit."""
+    from graphdbetl_spark.operators.coreset import mmr_select
+
+    emb = _toy_corpus(spark)
+    seq = mmr_select(emb, k=12).collect()
+    assert len(seq) == 12
+    for p in (3, 4, 8, 64):
+        bat = mmr_select(emb, k=12, batch_p=p).collect()
+        assert [tuple(r) for r in bat] == [tuple(r) for r in seq], f"p={p}"
+
+
+def test_mmr_greedy_semantics(spark):
+    """Replay the greedy argmax driver-side with plain numpy: every
+    step's pick must maximize 0.5·rel − 0.5·max-cos-to-selected over
+    the remaining corpus (ties to the lower id), and the query row
+    itself is excluded from the candidates."""
+    import numpy as np
+
+    from graphdbetl_spark.operators.coreset import mmr_select
+
+    emb = _toy_corpus(spark, n=30)
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    got = mmr_select(emb, k=6).collect()
+
+    qid = min(rows)
+    q = rows[qid]
+    cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    rel = {i: cos(v, q) for i, v in rows.items() if i != qid}
+    sel: list[int] = []
+    for step, r in enumerate(got, start=1):
+        # scores: empty selected set -> 0.5*rel only
+        def score(i):
+            mc = max((cos(rows[i], rows[s]) for s in sel), default=None)
+            return 0.5 * rel[i] - (0.5 * mc if mc is not None else 0.0)
+
+        want = min(((-score(i), i) for i in rel if i not in sel))[1]
+        assert r["step"] == step
+        assert r["selected_id"] == want
+        assert qid not in [x["selected_id"] for x in got]
+        sel.append(r["selected_id"])
+
+
+def test_mmr_zero_norm_fails_fast(spark):
+    from graphdbetl_spark.operators.coreset import mmr_select
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="zero-norm"):
+        mmr_select(emb, k=2).collect()
+
+
+def test_compact_target_bins_scales_with_volume(spark, tmp_path):
+    """target_bins derives the byte target from total volume, so the
+    output file count stays ~constant as input grows — the property
+    that keeps the bench entry measuring the engine, not file
+    creation. 2x the data with the same target_bins must produce the
+    same bin count (within one), not 2x the bins."""
+    from graphdbetl_spark.etl.maintenance import compact_plan
+
+    rows1 = [("a", i, 500) for i in range(100)]  # total 50 000 > floor
+    rows2 = [("a", i, 500) for i in range(200)]  # total 100 000
+    df1 = spark.createDataFrame(rows1, ["part", "key", "sz"])
+    df2 = spark.createDataFrame(rows2, ["part", "key", "sz"])
+    n1 = compact_plan(df1, "part", "key", "sz", target_bins=5).count()
+    n2 = compact_plan(df2, "part", "key", "sz", target_bins=5).count()
+    assert n1 == 5 and n2 == 5  # 2x data, same file count
+    # the 4096-byte floor guards degenerate tiny inputs: 100 rows of
+    # 10 bytes (total 1 000) pack into ONE bin, not 5 empty-ish ones
+    tiny = spark.createDataFrame(
+        [("a", i, 10) for i in range(100)], ["part", "key", "sz"]
+    )
+    assert compact_plan(tiny, "part", "key", "sz", target_bins=5).count() == 1
+
+
+def test_compact_exactly_one_of_target_args(spark):
+    import pytest as _pytest
+
+    from graphdbetl_spark.etl.maintenance import compact_plan
+
+    df = spark.createDataFrame([("a", 1, 10)], ["part", "key", "sz"])
+    with _pytest.raises(ValueError, match="exactly one"):
+        compact_plan(df, "part", "key", "sz").collect()
+    with _pytest.raises(ValueError, match="exactly one"):
+        compact_plan(df, "part", "key", "sz", target_bytes=10, target_bins=2).collect()
