@@ -80,8 +80,10 @@ def _load() -> None:
 _PRIORITY: tuple[str, ...] = (
     # r8 additions (never attested): the compaction manifest EXECUTED
     # and proven by read-back; the batched k-center fast path under
-    # the sequential trajectory's oracle
+    # the sequential trajectory's oracle; MMR diversity selection
+    # (sequential + batched, shared unrolled-CTE oracle)
     "maintenance_compact_execute", "select_kcenter_coreset_batched",
+    "select_mmr_diverse", "select_mmr_diverse_batched",
     # r7 additions (attested in r7): diversity coreset selection and
     # the size-binned compaction planner
     "select_kcenter_coreset", "maintenance_compact_plan",
