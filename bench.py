@@ -105,6 +105,9 @@ HEADLINE = [
     # benched cold like every new family; the batched form shares the
     # oracle and is covered by the parity test.
     "select_mmr_diverse",
+    # asymmetric n-gram containment (sub-document duplication) —
+    # shares the Jaccard candidate core, benched cold.
+    "dedup_containment",
 ]
 
 # Host-drift control (r7 verdict #6): a query whose code has been

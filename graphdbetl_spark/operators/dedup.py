@@ -438,6 +438,23 @@ def ngram_jaccard_pairs(
     (map-side) aggregation collapses duplicates before the shuffle.
     Pass ``max_gram_df=None`` for uncapped exact semantics.
     """
+    shared = _ngram_shared_counts(df, text_col, id_col, n, block_cols, max_gram_df)
+    jacc = (F.col("shared") / (F.col("count_a") + F.col("count_b") - F.col("shared"))).alias("jaccard")
+    return shared.select("id_a", "id_b", jacc).filter(F.col("jaccard") >= threshold)
+
+
+def _ngram_shared_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    block_cols: list[str] | None,
+    max_gram_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index candidate core for the exact n-gram pair
+    measures (Jaccard / containment): explode distinct n-grams, cap
+    stop-grams, self-join on the gram, count shared grams per pair.
+    Returns (id_a, id_b, count_a, count_b, shared) with id_a < id_b."""
     grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
     base_cols = [F.col(id_col), grams.alias("grams")] + [F.col(c) for c in (block_cols or [])]
     g = df.select(*base_cols)
@@ -477,8 +494,45 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    jacc = (F.col("shared") / (F.col("count_a") + F.col("count_b") - F.col("shared"))).alias("jaccard")
-    return shared.select("id_a", "id_b", jacc).filter(F.col("jaccard") >= threshold)
+    return shared
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+    max_gram_df: int | None = 10_000,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs — the asymmetric complement of
+    :func:`ngram_jaccard_pairs`: containment = shared / |smaller set|,
+    the measure that catches SUB-DOCUMENT duplication (a quote, a
+    boilerplate block, a doc embedded whole in a larger one) that
+    Jaccard misses — a 500-gram doc fully contained in a 50k-gram doc
+    scores containment 1.0 but Jaccard ~0.01.
+
+    Same inverted-index candidate generation and skew treatment as
+    the Jaccard form (shared-gram equi-join, stop-gram cap, merge-pin
+    on the stats-less self-join — one code path via the identical
+    shared-counts pipeline, so the two measures can never disagree on
+    candidates). Output orients each pair: ``contained_id`` is the
+    smaller gram set (ties to the lower id), ``container_id`` the
+    larger; ``containment`` ∈ (0, 1].
+    """
+    shared = _ngram_shared_counts(df, text_col, id_col, n, block_cols, max_gram_df)
+    # tie (equal sizes) orients to id_a, which is < id_b by the join
+    smaller_is_a = F.col("count_a") <= F.col("count_b")
+    cont = (F.col("shared") / F.least("count_a", "count_b")).alias("containment")
+    return (
+        shared.select(
+            F.when(smaller_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias("contained_id"),
+            F.when(smaller_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias("container_id"),
+            cont,
+        )
+        .filter(F.col("containment") >= threshold)
+    )
 
 
 MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime: products stay < 2^62

@@ -360,6 +360,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, lang,
+            list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+          FROM t),
+    e0 AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+    gdf AS (SELECT gram FROM e0 GROUP BY gram HAVING COUNT(*) > 10000),
+    e AS (SELECT doc_id, lang, gram, COUNT(*) OVER (PARTITION BY doc_id) AS gc
+          FROM e0 WHERE gram NOT IN (SELECT gram FROM gdf)),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gc AS ca, b.gc AS cb,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang
+                         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+    SELECT CASE WHEN ca <= cb THEN id_a ELSE id_b END AS contained_id,
+           CASE WHEN ca <= cb THEN id_b ELSE id_a END AS container_id,
+           ROUND(shared::DOUBLE / LEAST(ca, cb), 6) AS containment
+    FROM shared WHERE shared::DOUBLE / LEAST(ca, cb) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram CONTAINMENT pairs ≥ 0.5 — the asymmetric measure
+    that catches sub-document duplication (a doc embedded whole in a
+    larger one scores ~1.0 where Jaccard reads ~|A|/|B|). Same
+    inverted-index candidate core as dedup_ngram_jaccard (one shared
+    derivation, operators/dedup.py _ngram_shared_counts), oriented
+    (contained = smaller gram set, ties to the lower id)."""
+    from graphdbetl_spark.operators.dedup import ngram_containment_pairs
+
+    out = ngram_containment_pairs(
+        T(spark, sf, "documents"), "text", "doc_id", n=3, threshold=0.5,
+        block_cols=["lang"],
+    )
+    return out.select(
+        "contained_id", "container_id",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
 # canonical home is operators/similarity.py (shared by the md5 ANN
 # operators); re-exported here for the blocked-dedup plan builders.
 from graphdbetl_spark.operators.similarity import (  # noqa: E402

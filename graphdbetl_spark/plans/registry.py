@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     # (sequential + batched, shared unrolled-CTE oracle)
     "maintenance_compact_execute", "select_kcenter_coreset_batched",
     "select_mmr_diverse", "select_mmr_diverse_batched",
+    "dedup_containment",
     # r7 additions (attested in r7): diversity coreset selection and
     # the size-binned compaction planner
     "select_kcenter_coreset", "maintenance_compact_plan",

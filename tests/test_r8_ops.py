@@ -202,3 +202,38 @@ def test_compact_exactly_one_of_target_args(spark):
         compact_plan(df, "part", "key", "sz").collect()
     with _pytest.raises(ValueError, match="exactly one"):
         compact_plan(df, "part", "key", "sz", target_bytes=10, target_bins=2).collect()
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """A short doc embedded whole in a much longer one must score
+    containment 1.0 (oriented contained -> container) while its
+    Jaccard stays far below any dedup threshold — the asymmetric
+    measure's whole reason to exist."""
+    from graphdbetl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.upper())],
+        ["doc_id", "text"],
+    )
+    cont = ngram_containment_pairs(df, "text", "doc_id", n=3, threshold=0.8).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["contained_id"], r["container_id"]) == (1, 2)
+    assert r["containment"] == 1.0
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard never sees it
+
+
+def test_containment_tie_orients_to_lower_id(spark):
+    from graphdbetl_spark.operators.dedup import ngram_containment_pairs
+
+    text = "a b c d e f"
+    df = spark.createDataFrame([(7, text), (3, text)], ["doc_id", "text"])
+    r = ngram_containment_pairs(df, "text", "doc_id", n=3, threshold=0.9).collect()
+    assert len(r) == 1
+    assert (r[0]["contained_id"], r[0]["container_id"]) == (3, 7)
