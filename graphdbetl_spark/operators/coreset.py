@@ -69,8 +69,8 @@ def _norms(m):
     n = np.sqrt(_np_seq_sum(m * m, axis=1))
     if np.any(n == 0.0):
         raise ValueError(
-            "kcenter_select: zero-norm embedding — cosine distance is "
-            "undefined; filter such rows out before selection"
+            "zero-norm embedding — cosine distance is undefined; "
+            "filter such rows out before selection"
         )
     return n
 

@@ -572,6 +572,82 @@ def decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_semantic_ivf",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+                   AS is_eval
+        FROM embeddings
+    ), u AS (
+        SELECT vec_id, is_eval,
+               list_transform(v, x -> x / sqrt(
+                   list_reduce(list_transform(v, y -> y * y),
+                               (acc, b) -> acc + b))) AS uv
+        FROM s
+    ), d AS (
+        SELECT uv AS cuv,
+               row_number() OVER (
+                   ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cell
+        FROM u WHERE is_eval
+        ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ), dots AS (
+        SELECT u.vec_id, u.is_eval, d.cell,
+               list_reduce(list_transform(range(1, 65),
+                           i -> u.uv[i] * d.cuv[i]), (acc, b) -> acc + b) AS dt
+        FROM u CROSS JOIN d
+    ), easn AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dt DESC, cell) AS rn
+            FROM dots WHERE is_eval) WHERE rn = 1
+    ), probed AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dt DESC, cell) AS rn
+            FROM dots WHERE NOT is_eval) WHERE rn <= 2
+    ), m AS (
+        SELECT p.vec_id,
+               max(list_reduce(list_transform(range(1, 65),
+                               i -> t.uv[i] * e.uv[i]),
+                               (acc, b) -> acc + b)) AS mx
+        FROM probed p
+        JOIN easn a ON a.cell = p.cell
+        JOIN u t ON t.vec_id = p.vec_id
+        JOIN u e ON e.vec_id = a.vec_id
+        GROUP BY 1
+    )
+    SELECT vec_id, ROUND(mx, 6) AS max_eval_cosine, mx >= 0.35 AS contaminated
+    FROM m
+    """,
+)
+def decontaminate_semantic_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-cell-restricted semantic decontamination — the scale path
+    for eval suites that GROW with the corpus (r8 verdict #3): eval
+    vectors bucket into 8 md5-sampled eval-side coarse cells, each
+    training vector scores only the eval members of its 2 max-dot
+    cells (~1/4 of the exact form's pair work, shrinking further as
+    cells scale with the eval set). The whole restriction — centroid
+    sampling, eval assignment, train probing, candidate max — replays
+    in the oracle (the sim_ivf_topk discipline), so the approximation
+    itself is attested, with `decontaminate_semantic` kept as the
+    exact recall floor. See operators/curation.py
+    semantic_decontaminate_ivf."""
+    from graphdbetl_spark.operators.curation import semantic_decontaminate_ivf
+
+    e = T(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    b = hash_bucket(F.col("vec_id"))
+    return semantic_decontaminate_ivf(
+        e.filter(b >= 10), e.filter(b < 10), "vec_id", "embedding", threshold=0.35
+    )
+
+
+@query(
     "select_importance_resampling",
     oracle="""
     WITH tok AS (
@@ -614,4 +690,49 @@ def select_importance_resampling(spark: SparkSession, sf: str) -> DataFrame:
 
     return importance_resample(
         T(spark, sf, "documents"), "text", "doc_id", F.col("lang") == "en", k=100
+    )
+
+
+def _ccnet_oracle() -> str:
+    """Composed from the already-green text_bigram_logprob oracle (the
+    _hygiene_oracle pattern: fetched from the registry at import so a
+    component fix propagates automatically; llm_q registers before
+    this module in _FAMILY_MODULES)."""
+    from graphdbetl_spark.plans import llm_q  # noqa: F401  (register)
+    from graphdbetl_spark.plans.registry import REGISTRY
+
+    bigram = REGISTRY["text_bigram_logprob"].oracle
+    return f"""
+    WITH bl AS ({bigram}),
+    j AS (
+        SELECT bl.doc_id, d.lang, bl.mean_logprob
+        FROM bl JOIN documents d USING (doc_id)
+    ), t AS (
+        SELECT doc_id, lang,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY mean_logprob DESC, doc_id) AS b
+        FROM j
+    )
+    SELECT doc_id, lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+    FROM t
+    """
+
+
+@query("curation_ccnet_buckets", oracle=_ccnet_oracle())
+def curation_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per-language head / middle /
+    tail terciles by corpus-trained bigram-LM score (Wenzek et al.
+    2020's curation signal — train on head+middle, keep tail for
+    ablation, instead of a hard drop). The tercile orders on the
+    ROUNDED emitted score with id tiebreak, so bucket edges replay
+    exactly; only the (id, score) pair enters the per-language sort —
+    corpus text never reaches the window. See operators/curation.py
+    ccnet_perplexity_buckets (docstring covers the approx-cutpoint
+    form for beyond-single-sort scale)."""
+    from graphdbetl_spark.operators.curation import ccnet_perplexity_buckets
+
+    return ccnet_perplexity_buckets(
+        T(spark, sf, "documents"), "text", "doc_id", "lang"
     )

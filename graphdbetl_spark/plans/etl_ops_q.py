@@ -594,8 +594,10 @@ _COMPACT_ORACLE = """
 @query("maintenance_compact_plan", oracle=_COMPACT_ORACLE)
 def maintenance_compact_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Small-file compaction planner: per table partition (lang),
-    pack documents in key order into ~4 KB bins by exclusive running
-    byte total and emit the rewrite manifest (rows/bytes/key-range
+    pack documents in key order into volume-derived bins — target
+    size max(4096, total_bytes // 36), so the output file count stays
+    ~constant as data grows instead of file size — by exclusive
+    running byte total, and emit the rewrite manifest (rows/bytes/key-range
     per output file) — the plan side of compact_dataset's staged
     rewrite. The running total is a distributed two-phase prefix sum
     whose slice id is a pure function of the key (no sampled range

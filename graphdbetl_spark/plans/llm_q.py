@@ -2978,8 +2978,10 @@ def dedup_normalized_exact(spark: SparkSession, sf: str) -> DataFrame:
     (uppercased, double-spaced, punctuation appended) — byte-exact
     dedup sees 2N distinct digests, this tier collapses every clone
     onto its original. Same scale posture as dedup_exact: digest in the
-    scan projection, ONE hash aggregation on a 16-byte key; the
-    normalization chain is three JVM regexp_replaces, no UDF. See
+    scan projection, ONE hash aggregation on a 16-byte key; the digest
+    projection is a fused single-pass Arrow kernel (translate + split
+    — the r9 fix for the char-volume-bound 4.0× rung; the three-regex
+    JVM chain it replaced re-walked every document per pass). See
     operators/dedup.py normalize_text / dedup_normalized_exact_groups.
     Reference ground: graph_db_builder.py:493-497 declares merge-on-id
     only; content-level normalization is north-star surface."""

@@ -332,19 +332,35 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
 def graph_two_hop(spark: SparkSession, sf: str) -> DataFrame:
     """Two-hop traversal (customer -[PLACED]-> order -[CONTAINS]-> part)
     aggregated per segment: the relational form of a graph pattern
-    match — each hop is an equi-join on the edge key."""
+    match — each hop is an equi-join on the edge key.
+
+    Plan shape (r9, the 1000×-rung fix): the two count-distincts run
+    as SEPARATE single-distinct aggregations joined on the 5-row
+    segment key, NOT one agg with both. Two distincts in one agg make
+    Spark EXPAND every joined row ×2 (600M → 1.2B at 1000×) and
+    external-sort the doubled stream — the single-host spill cliff
+    that cost 830 s (48 g heap) at the 1000× rung. Per branch, the
+    partial aggregate dedups its own narrow (segment, key) pairs
+    map-side BEFORE the shuffle, so each branch shuffles far less
+    than the join emits; the join is computed per branch (scan +
+    joins are cheap next to the spilled expand-sort: measured 133 s
+    vs 399 s at the 300× rung, 326 s vs 830 s at 1000×, 48 g heap). A
+    triple-distinct + checkpoint variant was also measured (483 s at
+    300× — the materialized distinct is itself shuffle-bound) before
+    settling here."""
     c = T(spark, sf, "customer")
     o = T(spark, sf, "orders")
     l = T(spark, sf, "lineitem")
-    return (
-        c.join(o, o.o_custkey == c.c_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.countDistinct("l_partkey").alias("reachable_parts"),
-            F.countDistinct("c_custkey").alias("n_customers"),
-        )
+    joined = c.join(o, o.o_custkey == c.c_custkey).join(
+        l, l.l_orderkey == o.o_orderkey
     )
+    parts = joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("l_partkey").alias("reachable_parts")
+    )
+    custs = joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_customers")
+    )
+    return parts.join(custs, "c_mktsegment")
 
 
 def _hygiene_oracle() -> str:

@@ -78,6 +78,14 @@ def _load() -> None:
 # never-green entries, then the r5-attested head (re-attestation is
 # free within the budget), then everything long-attested.
 _PRIORITY: tuple[str, ...] = (
+    # r9 additions (never attested): IVF-cell-restricted semantic
+    # decontamination (the eval-grows-with-corpus scale path, the
+    # restriction itself oracle-replayed) and CCNet perplexity
+    # terciles; then the r9 kernel/plan rewrites whose oracles are
+    # unchanged but whose engines are new (tiered-precision exact
+    # kernels, fused normalize digest, decomposed two_hop, AQE-less
+    # GD loop) — cheap re-attestations that pin the rewrites.
+    "decontaminate_semantic_ivf", "curation_ccnet_buckets",
     # r8 additions (never attested): the compaction manifest EXECUTED
     # and proven by read-back; the batched k-center fast path under
     # the sequential trajectory's oracle; MMR diversity selection

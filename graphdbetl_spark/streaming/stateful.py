@@ -22,6 +22,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from graphdbetl_spark.streaming.protobuf_bridge import install_protobuf_bridge
+
+# At import time so the Python WORKER is bridged too: unpickling a
+# StatefulProcessor imports this module before the TWS state client
+# makes its first (method-local) StateMessage_pb2 import. No-op where
+# a real google.protobuf exists; see protobuf_bridge docstring.
+HAS_PROTOBUF = install_protobuf_bridge()
+
 RUNNING_TOTALS_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),
@@ -75,6 +83,20 @@ def make_running_totals_processor():
     )
 
     class RunningTotals(StatefulProcessor):
+        # Cloudpickle serializes this locally-defined class BY VALUE,
+        # so unpickling it in a Spark python worker does NOT import
+        # this module — but the TWS driver worker's very first
+        # protocol step (set_handle_state(PRE_INIT)) imports
+        # StateMessage_pb2 before any processor method runs. The
+        # unpickle-time hook below is therefore the one place early
+        # enough to bridge google.protobuf in that process; the
+        # install function itself is a module global, pickled by
+        # reference, which is what pulls this package (and the
+        # import-time bridge) into ordinary workers too.
+        def __setstate__(self, state):
+            install_protobuf_bridge()
+            self.__dict__.update(state)
+
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState("totals", _STATE)
 

@@ -289,14 +289,14 @@ def test_transform_with_state_parity(spark, tmp_path):
         legacy_latest[r.user_id] = (r.n_events, r.total_value)
     assert legacy_latest == contract_latest == expected
 
-    # --- full-protocol arm, wherever the protobuf runtime exists
-    import importlib.util
+    # --- full-protocol arm: the protobuf_bridge makes the runtime
+    # available in this sandbox (cloud-sdk pure-python runtime aliased
+    # under google.protobuf — see streaming/protobuf_bridge.py), so
+    # this arm RUNS here rather than silently short-circuiting
+    # (r8 verdict #8); it degrades only where no runtime exists at all.
+    from graphdbetl_spark.streaming.stateful import HAS_PROTOBUF
 
-    try:
-        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:  # no 'google' namespace package at all
-        has_protobuf = False
-    if has_protobuf:
+    if HAS_PROTOBUF:
         from graphdbetl_spark.streaming.stateful import stateful_running_totals_tws
 
         old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
