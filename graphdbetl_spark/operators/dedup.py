@@ -474,12 +474,18 @@ def _ngram_shared_counts(
     # window over the uniform doc-id key, not a second join
     w = Window.partitionBy(id_col, *[F.col(c) for c in (block_cols or [])])
     ex = ex.withColumn("gram_count", F.count(F.lit(1)).over(w))
-    # Both self-join sides are the corpus-sized exploded gram table,
-    # and it is stats-less after the window + anti-join — at the 100×
-    # replica the planner mis-sized one side and tried to BROADCAST 40M
-    # exploded rows (BytesToBytesMap alloc failure). Neither side is
-    # ever small by construction, so pin the sort-merge strategy (the
-    # r4 "stats-less build side" lesson, inverted).
+    # MATERIALIZE the exploded gram table before the self-join
+    # (localCheckpoint: lineage cut, storage reclaimed by the context
+    # cleaner — the bigram_logprob treatment): both join sides
+    # otherwise RECOMPUTE the whole upstream (tokenize, explode,
+    # stop-gram anti-join, per-doc window) — measured 63 s at the 30×
+    # replica with the duplicated upstream the biggest block. The cut
+    # also gives the join real stats; the merge pin stays because
+    # neither side is ever small by construction (at the 100× replica
+    # the stats-less planner tried to BROADCAST 40M exploded rows —
+    # BytesToBytesMap alloc failure; the r4 "stats-less build side"
+    # lesson, inverted).
+    ex = ex.localCheckpoint(eager=False)
     a, b = ex.alias("a").hint("merge"), ex.alias("b")
     join_cond = (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols or []:
