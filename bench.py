@@ -109,10 +109,11 @@ HEADLINE = [
     # shares the Jaccard candidate core, benched cold.
     "dedup_containment",
     # r9 additions: IVF-cell-restricted semantic decontamination (the
-    # eval-grows-with-corpus scale path) and CCNet perplexity
-    # terciles — benched cold.
+    # eval-grows-with-corpus scale path), CCNet perplexity terciles,
+    # and bottom-k-screened containment — benched cold.
     "decontaminate_semantic_ivf",
     "curation_ccnet_buckets",
+    "dedup_containment_screened",
 ]
 
 # Host-drift control (r7 verdict #6): a query whose code has been

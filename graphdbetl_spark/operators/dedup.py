@@ -443,6 +443,76 @@ def ngram_jaccard_pairs(
     return shared.select("id_a", "id_b", jacc).filter(F.col("jaccard") >= threshold)
 
 
+def _capped_gram_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    block_cols: list[str] | None,
+    max_gram_df: int | None,
+) -> DataFrame:
+    """The post-cap exploded gram index shared by every exact n-gram
+    pair measure: (id, [blocks], gh, gram_count) — distinct n-grams
+    per doc FINGERPRINTED to a 60-bit md5 integer in the scan stage
+    (engine-portable: the oracle computes the identical
+    ``('0x' || substr(md5(gram), 1, 15))::BIGINT``), stop-grams
+    (document frequency > cap) removed, per-doc post-cap set size
+    attached. Gram STRINGS never leave the scan: carrying them
+    through the materialized index and the self-join GC-thrashed the
+    8 g heap at the 30× replica (stage-level GCLocker stalls — ~70 s
+    where the hashed index runs the same plan in a fraction; strings
+    were also the sort keys). Fingerprint equality stands in for gram
+    equality on BOTH engines identically, so results replay bit-for-
+    bit; collisions are the usual ~|grams|²/2⁶¹ and shared by the
+    oracle. The slim (id, gh) explode is MATERIALIZED once, EAGERLY
+    (localCheckpoint in its own job, body comment): with lazy
+    materialization the checkpoint builds INSIDE the first consuming
+    job, where a self-join's two sides race to compute-and-persist
+    the same partitions concurrently (measured ~70 s at the 30×
+    replica vs ~16 s materialized-first — GCLocker stalls from the
+    duplicated in-flight state). The cap anti-join + per-doc window
+    re-derive lazily from that checkpoint per consumer (fixed-width
+    longs — seconds); a second resident copy of the full index
+    doubled heap pressure under the 8 g default."""
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+
+    grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
+    base_cols = [F.col(id_col), grams.alias("grams")] + [F.col(c) for c in (block_cols or [])]
+    # tokenize+explode is the CPU of the whole family and small test
+    # files scan as a handful of tasks (5 at the 30× replica — ~40 s
+    # per pass at 5-way vs ~6 s at full width); it is also consumed
+    # TWICE (the stop-gram broadcast build and the index itself), so
+    # checkpoint the slim hashed explode BEFORE the cap aggregation —
+    # one wide tokenize pass, every downstream reads fixed-width rows.
+    g = ensure_scan_parallelism(df, id_col).select(*base_cols)
+    gh = F.conv(F.substring(F.md5(F.col("__gram")), 1, 15), 16, 10).cast("long")
+    ex = (
+        g.select(id_col, *(block_cols or []), F.explode("grams").alias("__gram"))
+        .select(id_col, *(block_cols or []), gh.alias("gh"))
+        .localCheckpoint(eager=True)
+    )
+    if max_gram_df is not None:
+        # grams are distinct per doc, so count(*) per fingerprint ==
+        # document frequency; the >cap survivor set is small by
+        # construction, so the anti-join broadcasts.
+        common = (
+            ex.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("__gram_df"))
+            .filter(F.col("__gram_df") > max_gram_df)
+            .select("gh")
+        )
+        ex = ex.join(F.broadcast(common), "gh", "left_anti")
+    # post-cap set size per doc (== size(grams) when nothing is capped);
+    # window over the uniform doc-id key, not a second join. NOT
+    # checkpointed again: the anti-join + window re-derive from the
+    # slim checkpoint per consumer side in seconds (fixed-width longs),
+    # and a second resident copy of the index doubled heap pressure
+    # under the 8 g default (RowBasedKeyValueBatch allocation failures
+    # in the cap aggregation).
+    w = Window.partitionBy(id_col, *[F.col(c) for c in (block_cols or [])])
+    return ex.withColumn("gram_count", F.count(F.lit(1)).over(w))
+
+
 def _ngram_shared_counts(
     df: DataFrame,
     text_col: str,
@@ -455,39 +525,15 @@ def _ngram_shared_counts(
     measures (Jaccard / containment): explode distinct n-grams, cap
     stop-grams, self-join on the gram, count shared grams per pair.
     Returns (id_a, id_b, count_a, count_b, shared) with id_a < id_b."""
-    grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
-    base_cols = [F.col(id_col), grams.alias("grams")] + [F.col(c) for c in (block_cols or [])]
-    g = df.select(*base_cols)
-    ex = g.select(id_col, *(block_cols or []), F.explode("grams").alias("gram"))
-    if max_gram_df is not None:
-        # grams are distinct per doc, so count(*) per gram == document
-        # frequency; the >cap survivor set is small by construction, so
-        # the anti-join broadcasts.
-        common = (
-            ex.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("__gram_df"))
-            .filter(F.col("__gram_df") > max_gram_df)
-            .select("gram")
-        )
-        ex = ex.join(F.broadcast(common), "gram", "left_anti")
-    # post-cap set size per doc (== size(grams) when nothing is capped);
-    # window over the uniform doc-id key, not a second join
-    w = Window.partitionBy(id_col, *[F.col(c) for c in (block_cols or [])])
-    ex = ex.withColumn("gram_count", F.count(F.lit(1)).over(w))
-    # MATERIALIZE the exploded gram table before the self-join
-    # (localCheckpoint: lineage cut, storage reclaimed by the context
-    # cleaner — the bigram_logprob treatment): both join sides
-    # otherwise RECOMPUTE the whole upstream (tokenize, explode,
-    # stop-gram anti-join, per-doc window) — measured 63 s at the 30×
-    # replica with the duplicated upstream the biggest block. The cut
-    # also gives the join real stats; the merge pin stays because
-    # neither side is ever small by construction (at the 100× replica
-    # the stats-less planner tried to BROADCAST 40M exploded rows —
+    ex = _capped_gram_index(df, text_col, id_col, n, block_cols, max_gram_df)
+    # Both self-join sides are the (materialized) corpus-sized
+    # exploded gram table; neither is ever small by construction, so
+    # pin the sort-merge strategy (at the 100× replica the stats-less
+    # planner once tried to BROADCAST 40M exploded rows —
     # BytesToBytesMap alloc failure; the r4 "stats-less build side"
     # lesson, inverted).
-    ex = ex.localCheckpoint(eager=False)
     a, b = ex.alias("a").hint("merge"), ex.alias("b")
-    join_cond = (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    join_cond = (F.col("a.gh") == F.col("b.gh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols or []:
         join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     shared = (
@@ -529,6 +575,109 @@ def ngram_containment_pairs(
     """
     shared = _ngram_shared_counts(df, text_col, id_col, n, block_cols, max_gram_df)
     # tie (equal sizes) orients to id_a, which is < id_b by the join
+    smaller_is_a = F.col("count_a") <= F.col("count_b")
+    cont = (F.col("shared") / F.least("count_a", "count_b")).alias("containment")
+    return (
+        shared.select(
+            F.when(smaller_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias("contained_id"),
+            F.when(smaller_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias("container_id"),
+            cont,
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def containment_screened_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    sample_k: int = 16,
+    block_cols: list[str] | None = None,
+    max_gram_df: int | None = 10_000,
+) -> DataFrame:
+    """Containment pairs via a BOTTOM-K GRAM-SAMPLE screen — the scale
+    path for :func:`ngram_containment_pairs`, whose exact inverted
+    index emits Σ_gram df² candidate rows (quadratic in clone count
+    until the stop-gram cap bites; the biggest absolute wall in the r9
+    multi-scale table). MinHash-LSH is the WRONG screen here: banded
+    minhash recalls by JACCARD, and the sub-document pairs containment
+    exists to catch (500 grams inside 50k) sit at Jaccard ~0.01 —
+    exactly what LSH is tuned to drop.
+
+    Screen: each document contributes only its ``sample_k``
+    smallest-by-md5 post-cap grams to the probe side of the index
+    join (a deterministic bottom-k sample — uniform over the doc's
+    grams, identical in any md5-capable engine); the build side is
+    the full index. A pair is a candidate iff some sampled gram of
+    one side appears in the other. For a true containment pair at
+    threshold c, each sampled gram of the contained doc lies in the
+    container with probability ≥ c, so the miss probability is
+    ≤ (1−c)^k — at c=0.5, k=16 that is ~1.5e-5, and the screen is
+    DETERMINISTIC, so the oracle replays the exact candidate set and
+    the driver hash still matches bit-for-bit (approximation without
+    attestation loss, the sim_ivf_topk discipline).
+
+    Verify: candidates (distinct, id_a < id_b) join the full index on
+    both sides for exact shared-gram counts; output is oriented and
+    thresholded exactly like the exact form — pair volume drops from
+    Σ df² to ~(k / avg-grams-per-doc) of it, with the verify bounded
+    by the candidate count.
+    """
+    blocks = [F.col(c) for c in (block_cols or [])]
+    # FOUR consumers read the index here (sample side, probe build
+    # side, both verify sides) — materialize the post-window form once
+    # rather than re-deriving cap+window per consumer (the exact form
+    # has two consumers and re-derivation wins there; at four, the
+    # extra resident copy pays for itself)
+    ex = _capped_gram_index(
+        df, text_col, id_col, n, block_cols, max_gram_df
+    ).localCheckpoint(eager=True)
+    wk = Window.partitionBy(id_col, *blocks).orderBy(
+        F.md5(F.concat(F.lit("cs:"), F.col("gh").cast("string"))), "gh"
+    )
+    sampled = (
+        ex.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= sample_k)
+        .select(id_col, *(block_cols or []), "gh")
+    )
+    s, b = sampled.alias("s").hint("merge"), ex.alias("b")
+    cond = (F.col("s.gh") == F.col("b.gh")) & (
+        F.col(f"s.{id_col}") != F.col(f"b.{id_col}")
+    )
+    for c in block_cols or []:
+        cond = cond & (F.col(f"s.{c}") == F.col(f"b.{c}"))
+    cand = (
+        s.join(b, cond)
+        .select(
+            F.least(F.col(f"s.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"s.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify joins need no block predicates: a doc's index rows carry
+    # its single block value, so matching on the doc id pins the block.
+    # merge-pinned: cand is stats-less after dropDuplicates and neither
+    # side is small by construction (AQE promoted a 1 GB broadcast of
+    # the 100× candidate set and OOM'd the driver without the pin)
+    ga, gb = ex.alias("ga"), ex.alias("gb")
+    shared = (
+        cand.hint("merge").join(ga, F.col(f"ga.{id_col}") == F.col("id_a"))
+        .hint("merge")
+        .join(
+            gb,
+            (F.col(f"gb.{id_col}") == F.col("id_b"))
+            & (F.col("gb.gh") == F.col("ga.gh")),
+        )
+        .groupBy(
+            "id_a",
+            "id_b",
+            F.col("ga.gram_count").alias("count_a"),
+            F.col("gb.gram_count").alias("count_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
     smaller_is_a = F.col("count_a") <= F.col("count_b")
     cont = (F.col("shared") / F.least("count_a", "count_b")).alias("containment")
     return (

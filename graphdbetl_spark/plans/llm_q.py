@@ -337,13 +337,15 @@ def dedup_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
           FROM t),
     e0 AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
-    gdf AS (SELECT gram FROM e0 GROUP BY gram HAVING COUNT(*) > 10000),
-    e AS (SELECT doc_id, lang, gram, COUNT(*) OVER (PARTITION BY doc_id) AS gc
-          FROM e0 WHERE gram NOT IN (SELECT gram FROM gdf)),
+    eh AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM e0),
+    gdf AS (SELECT gh FROM eh GROUP BY gh HAVING COUNT(*) > 10000),
+    e AS (SELECT doc_id, lang, gh, COUNT(*) OVER (PARTITION BY doc_id) AS gc
+          FROM eh WHERE gh NOT IN (SELECT gh FROM gdf)),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gc AS ca, b.gc AS cb,
                CAST(COUNT(*) AS BIGINT) AS shared
-        FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang
+        FROM e a JOIN e b ON a.gh = b.gh AND a.lang = b.lang
                          AND a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4)
     SELECT id_a, id_b, ROUND(shared::DOUBLE / (ca + cb - shared), 6) AS jaccard
@@ -370,13 +372,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
           FROM t),
     e0 AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
-    gdf AS (SELECT gram FROM e0 GROUP BY gram HAVING COUNT(*) > 10000),
-    e AS (SELECT doc_id, lang, gram, COUNT(*) OVER (PARTITION BY doc_id) AS gc
-          FROM e0 WHERE gram NOT IN (SELECT gram FROM gdf)),
+    eh AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM e0),
+    gdf AS (SELECT gh FROM eh GROUP BY gh HAVING COUNT(*) > 10000),
+    e AS (SELECT doc_id, lang, gh, COUNT(*) OVER (PARTITION BY doc_id) AS gc
+          FROM eh WHERE gh NOT IN (SELECT gh FROM gdf)),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gc AS ca, b.gc AS cb,
                CAST(COUNT(*) AS BIGINT) AS shared
-        FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang
+        FROM e a JOIN e b ON a.gh = b.gh AND a.lang = b.lang
                          AND a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4)
     SELECT CASE WHEN ca <= cb THEN id_a ELSE id_b END AS contained_id,
@@ -397,6 +401,67 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     out = ngram_containment_pairs(
         T(spark, sf, "documents"), "text", "doc_id", n=3, threshold=0.5,
         block_cols=["lang"],
+    )
+    return out.select(
+        "contained_id", "container_id",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
+@query(
+    "dedup_containment_screened",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, lang,
+            list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+          FROM t),
+    e0 AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+    eh AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM e0),
+    gdf AS (SELECT gh FROM eh GROUP BY gh HAVING COUNT(*) > 10000),
+    e AS (SELECT doc_id, lang, gh, COUNT(*) OVER (PARTITION BY doc_id) AS gc
+          FROM eh WHERE gh NOT IN (SELECT gh FROM gdf)),
+    sm AS (SELECT doc_id, lang, gh,
+                  row_number() OVER (PARTITION BY doc_id, lang
+                                     ORDER BY md5('cs:' || CAST(gh AS VARCHAR)), gh) AS rk
+           FROM e),
+    sampled AS (SELECT doc_id, lang, gh FROM sm WHERE rk <= 16),
+    cand AS (SELECT DISTINCT LEAST(s.doc_id, b.doc_id) AS id_a,
+                    GREATEST(s.doc_id, b.doc_id) AS id_b
+             FROM sampled s JOIN e b ON s.gh = b.gh AND s.lang = b.lang
+                                    AND s.doc_id <> b.doc_id),
+    shared AS (
+        SELECT c.id_a, c.id_b, ga.gc AS ca, gb.gc AS cb,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM cand c
+        JOIN e ga ON ga.doc_id = c.id_a
+        JOIN e gb ON gb.doc_id = c.id_b AND gb.gh = ga.gh
+        GROUP BY 1, 2, 3, 4)
+    SELECT CASE WHEN ca <= cb THEN id_a ELSE id_b END AS contained_id,
+           CASE WHEN ca <= cb THEN id_b ELSE id_a END AS container_id,
+           ROUND(shared::DOUBLE / LEAST(ca, cb), 6) AS containment
+    FROM shared WHERE shared::DOUBLE / LEAST(ca, cb) >= 0.5
+    """,
+)
+def dedup_containment_screened(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment via the bottom-k gram-sample screen — the scale
+    path for dedup_containment, whose exact inverted index emits
+    Σ df² candidate rows (the biggest absolute in the r9 multi-scale
+    table). Each doc probes the index with only its 16
+    smallest-by-md5 grams; a threshold-0.5 pair's miss probability is
+    ≤ 0.5^16 ≈ 1.5e-5 per pair AND the sample is deterministic, so
+    the oracle replays the exact candidate set (screen + verify both
+    attested — the sim_ivf_topk discipline). MinHash-LSH is NOT the
+    screen here: it recalls by Jaccard, and sub-document containment
+    pairs sit at Jaccard ~0.01 by construction. See
+    operators/dedup.py containment_screened_pairs."""
+    from graphdbetl_spark.operators.dedup import containment_screened_pairs
+
+    out = containment_screened_pairs(
+        T(spark, sf, "documents"), "text", "doc_id", n=3, threshold=0.5,
+        sample_k=16, block_cols=["lang"],
     )
     return out.select(
         "contained_id", "container_id",
@@ -787,13 +852,15 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf: str) -> DataFrame:
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
           FROM t),
     e0 AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
-    gdf AS (SELECT gram FROM e0 GROUP BY gram HAVING COUNT(*) > 10000),
-    e AS (SELECT doc_id, lang, gram, COUNT(*) OVER (PARTITION BY doc_id) AS gc
-          FROM e0 WHERE gram NOT IN (SELECT gram FROM gdf)),
+    eh AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM e0),
+    gdf AS (SELECT gh FROM eh GROUP BY gh HAVING COUNT(*) > 10000),
+    e AS (SELECT doc_id, lang, gh, COUNT(*) OVER (PARTITION BY doc_id) AS gc
+          FROM eh WHERE gh NOT IN (SELECT gh FROM gdf)),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gc AS ca, b.gc AS cb,
                COUNT(*) AS shared
-        FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang
+        FROM e a JOIN e b ON a.gh = b.gh AND a.lang = b.lang
                          AND a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4
         HAVING COUNT(*)::DOUBLE / (a.gc + b.gc - COUNT(*)) >= 0.5
@@ -829,11 +896,13 @@ def dedup_keep_list_q(spark: SparkSession, sf: str) -> DataFrame:
                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
               FROM t),
         e0 AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
-        gdf AS (SELECT gram FROM e0 GROUP BY gram HAVING COUNT(*) > 10000),
-        e AS (SELECT doc_id, lang, gram, COUNT(*) OVER (PARTITION BY doc_id) AS gc
-              FROM e0 WHERE gram NOT IN (SELECT gram FROM gdf))
+        eh AS (SELECT doc_id, lang,
+                      ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM e0),
+        gdf AS (SELECT gh FROM eh GROUP BY gh HAVING COUNT(*) > 10000),
+        e AS (SELECT doc_id, lang, gh, COUNT(*) OVER (PARTITION BY doc_id) AS gc
+              FROM eh WHERE gh NOT IN (SELECT gh FROM gdf))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang
+        FROM e a JOIN e b ON a.gh = b.gh AND a.lang = b.lang
                          AND a.doc_id < b.doc_id
         GROUP BY 1, 2, a.gc, b.gc
         HAVING COUNT(*)::DOUBLE / (a.gc + b.gc - COUNT(*)) >= 0.1
@@ -2487,11 +2556,13 @@ def dedup_video_signature(spark: SparkSession, sf: str) -> DataFrame:
                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
               FROM t),
         e0 AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
-        gdf AS (SELECT gram FROM e0 GROUP BY gram HAVING COUNT(*) > 10000),
-        e AS (SELECT doc_id, lang, gram, COUNT(*) OVER (PARTITION BY doc_id) AS gc
-              FROM e0 WHERE gram NOT IN (SELECT gram FROM gdf))
+        eh AS (SELECT doc_id, lang,
+                      ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM e0),
+        gdf AS (SELECT gh FROM eh GROUP BY gh HAVING COUNT(*) > 10000),
+        e AS (SELECT doc_id, lang, gh, COUNT(*) OVER (PARTITION BY doc_id) AS gc
+              FROM eh WHERE gh NOT IN (SELECT gh FROM gdf))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang
+        FROM e a JOIN e b ON a.gh = b.gh AND a.lang = b.lang
                          AND a.doc_id < b.doc_id
         GROUP BY 1, 2, a.gc, b.gc
         HAVING COUNT(*)::DOUBLE / (a.gc + b.gc - COUNT(*)) >= 0.1

@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     # kernels, fused normalize digest, decomposed two_hop, AQE-less
     # GD loop) — cheap re-attestations that pin the rewrites.
     "decontaminate_semantic_ivf", "curation_ccnet_buckets",
+    "dedup_containment_screened",
     # r8 additions (never attested): the compaction manifest EXECUTED
     # and proven by read-back; the batched k-center fast path under
     # the sequential trajectory's oracle; MMR diversity selection
