@@ -1001,6 +1001,30 @@ def normalize_text(text_col: Column) -> Column:
     return F.trim(out)
 
 
+_DELETE_TABLE: dict | None = None
+
+
+def _normalize_delete_table() -> dict:
+    """Delete-table for :func:`_normalized_digest_kernel`, covering the
+    FULL Unicode range (``sys.maxunicode + 1`` = 0x110000) so astral
+    codepoints (emoji, supplementary-plane CJK, Deseret, ...) are
+    deleted exactly as the oracle's ``[^a-z0-9 \\t\\n]`` regex deletes
+    them. Built lazily and cached per process — a module-level function
+    pickles by reference, so the ~1.1M-key dict is constructed once per
+    executor instead of being shipped in every task closure."""
+    global _DELETE_TABLE
+    if _DELETE_TABLE is None:
+        import sys
+
+        keep = set("abcdefghijklmnopqrstuvwxyz0123456789 \t\n")
+        _DELETE_TABLE = {
+            cp: None
+            for cp in range(sys.maxunicode + 1)
+            if chr(cp) not in keep
+        }
+    return _DELETE_TABLE
+
+
 def _normalized_digest_kernel(text_col: str, id_col: str):
     """Single-pass Arrow kernel computing md5(normalize(text)):
     ``str.translate`` with a delete-table (one C pass over the chars)
@@ -1020,10 +1044,8 @@ def _normalized_digest_kernel(text_col: str, id_col: str):
 
     import pandas as pd
 
-    keep = set("abcdefghijklmnopqrstuvwxyz0123456789 \t\n")
-    table = {cp: None for cp in range(0x11000) if chr(cp) not in keep}
-
     def kern(batches):
+        table = _normalize_delete_table()
         for pdf in batches:
             digests = [
                 hashlib.md5(

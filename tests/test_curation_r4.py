@@ -32,6 +32,44 @@ def test_normalized_exact_collapses_reformatted_copies(spark):
     assert by_keep == {1: 3, 4: 1}
 
 
+def test_normalized_digest_kernel_astral_parity(spark):
+    """The fused Arrow digest kernel must agree with the oracle's
+    regex normalization on ASTRAL-plane text (r9 ADVICE: the delete
+    table was built over range(0x11000), silently keeping emoji and
+    every supplementary-plane codepoint the `[^a-z0-9 \\t\\n]` regex
+    deletes). Parity is checked digest-for-digest per document."""
+    import pyspark.sql.functions as F
+
+    from graphdbetl_spark.operators.dedup import (
+        _normalized_digest_kernel,
+        normalize_text,
+    )
+
+    docs = [
+        (1, "hello \U0001f600 x"),           # emoji (U+1F600)
+        (2, "hello  x"),                      # its normalized twin
+        (3, "a\U00011000b\U0010ffffc"),       # U+11000 and max codepoint
+        (4, "abc"),
+        (5, "\U00010400deseret\U00010428"),   # Deseret caps+lower
+        (6, "KKelvin"),                  # KELVIN SIGN lowers to k
+        (7, "\U0001f600\U0001f680\U0001f4a9"),  # emoji-only -> empty
+        (8, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kern_rows = df.mapInPandas(
+        _normalized_digest_kernel("text", "doc_id"),
+        schema="doc_id bigint, norm_digest string",
+    ).collect()
+    oracle_rows = df.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("d")
+    ).collect()
+    kern = {r["doc_id"]: r["norm_digest"] for r in kern_rows}
+    oracle = {r["doc_id"]: r["d"] for r in oracle_rows}
+    assert kern == oracle
+    # emoji doc collapses onto its stripped twin
+    assert kern[1] == kern[2]
+
+
 def test_canonicalize_url_cases(spark):
     cases = [
         # (raw, canonical)
