@@ -176,21 +176,31 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s", file=sys.stderr, flush=True)
         return round(best, 3)
 
-    # control first AND last: the mean absorbs within-run drift too
+    # Control at head, MIDDLE, and tail (each min-of-N), control_wall =
+    # the MEDIAN of the three spaced probes. r9 showed a single
+    # scan-shaped probe is too noisy as a CROSS-RUN denominator: the
+    # campaign leg's control read 2.85 s vs the driver bench's 1.39 s
+    # while the query walls themselves agreed within ~7%, so normalized
+    # cross-run ratios read as a spurious 2×. Three spaced probes +
+    # median make one bad window survivable; the written comparison
+    # rule (BASELINE.md "Cross-run comparison rule") falls back to raw
+    # sums whenever two runs' controls still disagree by >1.5×.
     qs[CONTROL](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    control_head = measure(CONTROL)
+    probes: list[float] = [measure(CONTROL)]
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         times[name] = measure(name)
-    control_tail = measure(CONTROL)
-    control_wall = round((control_head + control_tail) / 2, 3)
+        if i == len(HEADLINE) // 2:
+            probes.append(measure(CONTROL))
+    probes.append(measure(CONTROL))
+    control_wall = sorted(probes)[len(probes) // 2]
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
     except ValueError:  # non-sf-named dir (e.g. a replicated scale set)
         sf_val = sf_dir
-    print(emit_lines(times, sf_val, control_wall))
+    print(emit_lines(times, sf_val, control_wall, control_probes=probes))
     spark.stop()
 
 
@@ -199,6 +209,7 @@ def emit_lines(
     sf_val: float | str,
     control_wall: float,
     full_path: str | None = "bench_full.json",
+    control_probes: list[float] | None = None,
 ) -> str:
     """Build the single stdout JSON line; write the full payload to a file.
 
@@ -218,13 +229,18 @@ def emit_lines(
         "unit": "sec",
         "queries": {n: round(t, 2) for n, t in times.items()},
         "sf": sf_val,
-        # host-drift control (see CONTROL above): compare normalized
-        # ratios (bench_full.json) across rounds, not raw seconds
+        # host-drift control (see CONTROL above): median of three
+        # spaced min-of-N probes (head/middle/tail). Compare normalized
+        # ratios (bench_full.json) across rounds, not raw seconds —
+        # and raw SUMS when two runs' controls disagree >1.5×
+        # (BASELINE.md "Cross-run comparison rule").
         "control": CONTROL,
         "control_wall": round(control_wall, 2),
     }
     full = dict(compact)
     full["queries"] = times  # 3-decimal raw walls
+    if control_probes is not None:
+        full["control_probes"] = [round(p, 3) for p in control_probes]
     full["queries_normalized"] = {
         n: round(t / control_wall, 2) if control_wall else None
         for n, t in times.items()

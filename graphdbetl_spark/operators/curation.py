@@ -856,11 +856,10 @@ def ccnet_perplexity_buckets(
     Scale shape: one (id, score) pair per document enters the window
     — the corpus TEXT never reaches the sort, so the per-language
     sort is over ~16 bytes/doc. Beyond single-sort comfort, the
-    production form replaces ntile with two cutpoints from
-    approx_percentile(score, [1/3, 2/3]) per language and buckets in
-    the scan stage (no global sort) — kept out of the oracle entry
-    because approx cutpoints don't replay; the exact tercile is the
-    attested semantics."""
+    production form is :func:`ccnet_perplexity_buckets_approx`
+    (approx-percentile cutpoints, no per-language sort task) — kept
+    out of the oracle entry because approx cutpoints don't replay;
+    the exact tercile here is the attested semantics."""
     scored = bigram_logprob(df, text_col, id_col)
     langs = df.select(F.col(id_col), F.col(lang_col))
     w = Window.partitionBy(lang_col).orderBy(
@@ -877,6 +876,52 @@ def ccnet_perplexity_buckets(
             .otherwise(F.lit("tail"))
             .alias("bucket"),
         )
+    )
+
+
+def ccnet_perplexity_buckets_approx(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Production form of :func:`ccnet_perplexity_buckets` (r9 verdict
+    #4): per-language tercile CUTPOINTS from
+    ``approx_percentile(score, [1/3, 2/3], accuracy)`` — one hash
+    aggregation with map-side partials — then bucket assignment as a
+    broadcast join + scan-stage comparison. NO per-language sort task:
+    the exact form's ``ntile(3)`` window makes each language one sort
+    task, and at 100 TB with a skewed language mix the English
+    partition is a single-task sort (of 16-byte rows, but one task).
+    Here nothing sorts; the cutpoint sketch (Greenwald-Khanna, rank
+    error ≤ n/accuracy) is a few KB per language and broadcasts.
+
+    Approximate BY CONSTRUCTION at the bucket EDGES only: a document
+    whose exact rank sits within n/accuracy of a tercile boundary (or
+    that ties the boundary score — ntile splits score-ties by id,
+    cutpoints cannot) may land one bucket over. Everything else agrees
+    with the exact form, which stays the registered oracle entry
+    (pytest: tests/test_curation_extras.py pins ≥95% agreement and
+    off-by-one-bucket-only disagreements on the fixture)."""
+    scored = bigram_logprob(df, text_col, id_col)
+    langs = df.select(F.col(id_col), F.col(lang_col))
+    j = scored.join(langs, id_col)
+    cuts = j.groupBy(lang_col).agg(
+        F.percentile_approx(
+            "mean_logprob", [1.0 / 3.0, 2.0 / 3.0], accuracy
+        ).alias("__cuts")
+    )
+    # head = top third by score (highest mean log-prob = lowest
+    # perplexity), so the upper cutpoint (2/3 percentile ascending)
+    # bounds head from below.
+    return j.join(F.broadcast(cuts), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.when(F.col("mean_logprob") >= F.col("__cuts")[1], F.lit("head"))
+        .when(F.col("mean_logprob") >= F.col("__cuts")[0], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 
@@ -987,35 +1032,39 @@ def _logreg_fit(
     # re-planning can never improve it and costs ~45 ms/round in
     # scheduler latency — ~0.5 s over 10 rounds, the difference
     # between this entry sitting at or 1.3× over its bench baseline.
-    # Save/restore: bench and the driver run queries sequentially.
-    conf = df.sparkSession.conf
-    aqe_old = conf.get("spark.sql.adaptive.enabled")
-    conf.set("spark.sql.adaptive.enabled", "false")
+    # The override is scoped through session.conf_override, which
+    # ENFORCES the sequential-execution-per-session invariant it
+    # depends on (a concurrent override raises instead of silently
+    # running another query without AQE — r9 ADVICE).
+    from graphdbetl_spark.session import conf_override
+
     try:
-        w = [0.0] * 5
-        for _ in range(iters):
-            z = F.lit(w[0])
-            for j in range(4):
-                z = z + F.lit(w[j + 1]) * F.col(f"x{j + 1}")
-            e = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")).alias("e")
-            # N rides along in the gradient aggregation (one job per
-            # round, total iters jobs — no separate count() job; the
-            # first round's agg also materializes the feature cache)
-            row = (
-                feats.select(e, "x1", "x2", "x3", "x4")
-                .agg(
-                    F.sum("e").alias("g0"),
-                    F.sum(F.col("e") * F.col("x1")).alias("g1"),
-                    F.sum(F.col("e") * F.col("x2")).alias("g2"),
-                    F.sum(F.col("e") * F.col("x3")).alias("g3"),
-                    F.sum(F.col("e") * F.col("x4")).alias("g4"),
-                    F.count(F.lit(1)).alias("n"),
+        with conf_override(
+            df.sparkSession, "spark.sql.adaptive.enabled", "false"
+        ):
+            w = [0.0] * 5
+            for _ in range(iters):
+                z = F.lit(w[0])
+                for j in range(4):
+                    z = z + F.lit(w[j + 1]) * F.col(f"x{j + 1}")
+                e = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")).alias("e")
+                # N rides along in the gradient aggregation (one job per
+                # round, total iters jobs — no separate count() job; the
+                # first round's agg also materializes the feature cache)
+                row = (
+                    feats.select(e, "x1", "x2", "x3", "x4")
+                    .agg(
+                        F.sum("e").alias("g0"),
+                        F.sum(F.col("e") * F.col("x1")).alias("g1"),
+                        F.sum(F.col("e") * F.col("x2")).alias("g2"),
+                        F.sum(F.col("e") * F.col("x3")).alias("g3"),
+                        F.sum(F.col("e") * F.col("x4")).alias("g4"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .first()
                 )
-                .first()
-            )
-            w = [w[k] - lr * row[k] / row["n"] for k in range(5)]
+                w = [w[k] - lr * row[k] / row["n"] for k in range(5)]
     finally:
-        conf.set("spark.sql.adaptive.enabled", aqe_old)
         feats.unpersist()
     return w
 
@@ -1293,7 +1342,10 @@ def semantic_decontaminate(
         # bit-identical to the former full-matrix fold at ~1/30 the
         # memory traffic (the r8 verdict's most expensive rung entry,
         # 138 s at 100×).
-        from graphdbetl_spark.operators.similarity import _SCREEN_MARGIN
+        from graphdbetl_spark.operators.similarity import (
+            _SCREEN_MARGIN,
+            _fold_pairs_fp64,
+        )
 
         for pdf in batches:
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
@@ -1307,10 +1359,7 @@ def semantic_decontaminate(
                 ci, ei = np.nonzero(
                     a32 >= (rowmax32 - np.float32(_SCREEN_MARGIN))[:, None]
                 )
-                V, E = cu[ci], eu[lo + ei]
-                acc = np.zeros(len(ci), dtype=np.float64)
-                for i in range(cu.shape[1]):  # dim-major: left-fold per pair
-                    acc = acc + V[:, i] * E[:, i]
+                acc = _fold_pairs_fp64(cu, ci, eu, lo + ei)
                 np.maximum.at(mx, ci, acc)
             yield pd.DataFrame({id_col: pdf[id_col], "__mx": mx})
 
@@ -1372,6 +1421,7 @@ def semantic_decontaminate_ivf(
 
     from graphdbetl_spark.operators.similarity import (
         _SCREEN_MARGIN,
+        _fold_pairs_fp64,
         _np_seq_sum,
         md5_sampled_centroid_list,
     )
@@ -1411,10 +1461,7 @@ def semantic_decontaminate_ivf(
                 ci, ei = np.nonzero(
                     a32 >= (rowmax32 - np.float32(_SCREEN_MARGIN))[:, None]
                 )
-                V, E = cu[rows[ci]], eu_by_cell[c][ei]
-                ex = np.zeros(len(ci), dtype=np.float64)
-                for i in range(cu.shape[1]):  # dim-major: left-fold per pair
-                    ex = ex + V[:, i] * E[:, i]
+                ex = _fold_pairs_fp64(cu, rows[ci], eu_by_cell[c], ei)
                 np.maximum.at(mx, rows[ci], ex)
             hit = mx > -np.inf
             yield pd.DataFrame({id_col: pdf[id_col][hit], "__mx": mx[hit]})

@@ -516,6 +516,31 @@ def _np_seq_sum(a, axis: int):
 # cosine in [τ−1e-3, τ)) are a sliver of a smooth score distribution.
 _SCREEN_MARGIN = 1e-3
 
+# Bound on pairs gathered per fp64 fold block: 256k pairs × 64 dims ×
+# 8 B × 2 sides ≈ 256 MB of gathered copies, regardless of how wide
+# the fp32 screen band gets (on duplicate-heavy corpora — the dedup
+# domain — the band can approach the FULL pair set, r9 ADVICE).
+_FOLD_BLOCK_PAIRS = 1 << 18
+
+
+def _fold_pairs_fp64(left, li, right, ri):
+    """Dim-major fp64 left-fold of ``left[li[p]] · right[ri[p]]`` per
+    candidate pair p, gathered in blocks of ``_FOLD_BLOCK_PAIRS`` so
+    kernel memory stays bounded no matter the score distribution.
+    Pairs are independent and the per-pair fold order is unchanged, so
+    results are bit-identical to an unblocked gather."""
+    import numpy as np
+
+    out = np.zeros(len(li), dtype=np.float64)
+    for lo in range(0, len(li), _FOLD_BLOCK_PAIRS):
+        sl = slice(lo, lo + _FOLD_BLOCK_PAIRS)
+        V, Q = left[li[sl]], right[ri[sl]]
+        acc = np.zeros(V.shape[0], dtype=np.float64)
+        for i in range(left.shape[1]):  # dim-major: left-fold per pair
+            acc = acc + V[:, i] * Q[:, i]
+        out[sl] = acc
+    return out
+
 
 def _screened_pair_fold(v, cn, qm, qn, threshold):
     """Tiered-precision EXACT cosine pair scan: an fp32 BLAS matmul of
@@ -545,11 +570,7 @@ def _screened_pair_fold(v, cn, qm, qn, threshold):
     ci, qi = np.nonzero(a32 >= np.float32(threshold - _SCREEN_MARGIN))
     if len(ci) == 0:
         return ci, qi, np.zeros(0, dtype=np.float64)
-    V, Q = v[ci], qm[qi]
-    acc = np.zeros(len(ci), dtype=np.float64)
-    for i in range(v.shape[1]):  # dim-major: left-fold per pair
-        acc = acc + V[:, i] * Q[:, i]
-    scores = acc / (cn[ci] * qn[qi])
+    scores = _fold_pairs_fp64(v, ci, qm, qi) / (cn[ci] * qn[qi])
     keep = scores >= threshold
     return ci[keep], qi[keep], scores[keep]
 

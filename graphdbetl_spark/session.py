@@ -50,6 +50,46 @@ RUNTIME_CONFS: dict[str, str] = {
 
 _configured_sessions: "set[int]" = set()
 
+# ENGINE INVARIANT — sequential query execution per session. bench.py,
+# the correctness driver, and the pytest suite all run queries one at a
+# time on a shared session; a handful of operators rely on that to
+# scope a temporary session-conf override around an iterative job (the
+# only such site today is the AQE toggle in curation._logreg_fit). The
+# lock below makes the invariant ENFORCED rather than assumed: a second
+# concurrent override raises instead of silently running some other
+# query under the wrong conf (r9 ADVICE).
+_CONF_OVERRIDE_LOCK = __import__("threading").Lock()
+
+
+class conf_override:
+    """Context manager scoping a session-conf mutation to one query.
+
+    Non-blocking: concurrent overrides violate the sequential-execution
+    invariant above, so the second one raises ``RuntimeError`` loudly
+    rather than letting two queries cross-contaminate each other's
+    conf. Restores the previous value on exit (try/finally-safe)."""
+
+    def __init__(self, spark: SparkSession, key: str, value: str):
+        self.conf, self.key, self.value = spark.conf, key, value
+
+    def __enter__(self):
+        if not _CONF_OVERRIDE_LOCK.acquire(blocking=False):
+            raise RuntimeError(
+                "concurrent session-conf override: the engine assumes "
+                "sequential query execution per session (see "
+                "graphdbetl_spark/session.py)"
+            )
+        self._old = self.conf.get(self.key)
+        self.conf.set(self.key, self.value)
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            self.conf.set(self.key, self._old)
+        finally:
+            _CONF_OVERRIDE_LOCK.release()
+        return False
+
 
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an existing session.

@@ -126,8 +126,25 @@ def install_protobuf_bridge() -> bool:
         google.__path__ = []  # type: ignore[attr-defined]
         sys.modules["google"] = google
     pb = _Facade("google.protobuf", _TARGET)
+    # Libraries commonly feature-detect via google.protobuf.__version__;
+    # the facade's __getattr__ rejects dunders (the normal missing-attr
+    # protocol), so pin the vendored runtime's version as a real
+    # attribute (r9 ADVICE). 4.23.2 is the cloud-sdk runtime's version.
+    pb.__version__ = "4.23.2"
     google.protobuf = pb  # type: ignore[attr-defined]
     sys.modules["google.protobuf"] = pb
     # real submodule import in the gencode — must pre-exist
     sys.modules["google.protobuf.internal"] = pb.internal
+    # The bridge mutates GLOBAL import state (sys.modules, sys.path);
+    # log the install so the aliasing is visible in driver/worker logs
+    # rather than a silent side effect of importing streaming.stateful.
+    import logging
+
+    logging.getLogger(__name__).info(
+        "protobuf bridge installed: google.protobuf -> %s (runtime %s, "
+        "sys.path += %s)",
+        _TARGET,
+        pb.__version__,
+        root,
+    )
     return True

@@ -51,3 +51,48 @@ def test_guarded_query_refuses_oversized_corpus(spark, tmp_path):
 
     with pytest.raises(QuadraticInputError):
         dedup_embedding_keep(spark, str(tmp_path))
+
+
+def test_conf_override_enforces_sequential_invariant(spark):
+    """conf_override scopes a session-conf mutation and REJECTS a
+    concurrent second override (the engine's sequential-execution-per-
+    session invariant, r9 ADVICE) instead of silently running another
+    query under the wrong conf."""
+    import threading
+
+    from graphdbetl_spark.session import conf_override
+
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+    with conf_override(spark, key, "false"):
+        assert spark.conf.get(key) == "false"
+        errs = []
+
+        def inner():
+            try:
+                with conf_override(spark, key, "true"):
+                    pass
+            except RuntimeError as e:
+                errs.append(str(e))
+
+        t = threading.Thread(target=inner)
+        t.start()
+        t.join()
+        assert errs and "sequential" in errs[0]
+    assert spark.conf.get(key) == before
+
+
+def test_protobuf_facade_exposes_version():
+    """Feature-detection via google.protobuf.__version__ (a common
+    probe) must not crash when the sandbox bridge is the runtime."""
+    from graphdbetl_spark.streaming.protobuf_bridge import (
+        install_protobuf_bridge,
+    )
+
+    if not install_protobuf_bridge():
+        import pytest as _pytest
+
+        _pytest.skip("no protobuf runtime in this environment")
+    import google.protobuf as gp
+
+    assert isinstance(getattr(gp, "__version__", None), str)
