@@ -1380,7 +1380,7 @@ def semantic_decontaminate_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
-    n_cells: int = 8,
+    n_cells: int | str = 8,
     n_probe: int = 2,
     seed: str = "42",
 ) -> DataFrame:
@@ -1415,6 +1415,18 @@ def semantic_decontaminate_ivf(
     fp64 fold — bit-identical max, see semantic_decontaminate).
     Returns (id_col, max_eval_cosine rounded 6, contaminated); the
     threshold compares the UNROUNDED max.
+
+    ``n_cells="auto"`` is the PRODUCTION scaling rule (r9 verdict #5):
+    ``n_cells = max(8, round(sqrt(n_probe · |eval|)))`` — the FAISS
+    sizing that balances the two per-train-vector cost terms (coarse
+    assignment = n_cells dots vs candidate scoring = n_probe·|eval|/
+    n_cells dots), so per-train work grows as ~2·sqrt(n_probe·|eval|)
+    instead of linearly with the eval set. The registered oracle entry
+    pins n_cells=8 (a CONSTANT ¼ restriction the SQL replays verbatim);
+    auto is parameter-only because the cell count — and therefore the
+    candidate restriction — changes with |eval|, which a fixed oracle
+    string can't follow. tests/test_r10_ops.py pins auto's lower-bound
+    and recall-floor properties against the exact form.
     """
     import numpy as np
     import pandas as pd
@@ -1426,12 +1438,13 @@ def semantic_decontaminate_ivf(
         md5_sampled_centroid_list,
     )
 
-    cents = md5_sampled_centroid_list(eval_df, id_col, vec_col, k=n_cells, seed=seed)
-    cm = np.array([c for _, c in cents], dtype=np.float64)  # ascending cell
-
     ev = np.array(
         [r[0] for r in eval_df.select(vec_col).collect()], dtype=np.float64
     )
+    if n_cells == "auto":
+        n_cells = max(8, int(round(float(np.sqrt(n_probe * len(ev))))))
+    cents = md5_sampled_centroid_list(eval_df, id_col, vec_col, k=n_cells, seed=seed)
+    cm = np.array([c for _, c in cents], dtype=np.float64)  # ascending cell
     eu = ev / np.sqrt(_np_seq_sum(ev * ev, axis=1))[:, None]
     acc = np.zeros((eu.shape[0], cm.shape[0]))
     for i in range(cm.shape[1]):  # dim-major: left-fold per pair

@@ -443,6 +443,50 @@ def ngram_jaccard_pairs(
     return shared.select("id_a", "id_b", jacc).filter(F.col("jaccard") >= threshold)
 
 
+def _capped_gram_slim(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    block_cols: list[str] | None,
+    max_gram_df: int | None,
+) -> DataFrame:
+    """The post-cap exploded gram index WITHOUT the per-doc count
+    window: (id, [blocks], gh). Factored out of
+    :func:`_capped_gram_index` for consumers that derive per-doc
+    counts from a grouped-array form instead (the screened containment
+    path) — the window is an index-wide sort they never need."""
+    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+
+    grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
+    base_cols = [F.col(id_col), grams.alias("grams")] + [F.col(c) for c in (block_cols or [])]
+    # tokenize+explode is the CPU of the whole family and small test
+    # files scan as a handful of tasks (5 at the 30× replica — ~40 s
+    # per pass at 5-way vs ~6 s at full width); it is also consumed
+    # TWICE (the stop-gram broadcast build and the index itself), so
+    # checkpoint the slim hashed explode BEFORE the cap aggregation —
+    # one wide tokenize pass, every downstream reads fixed-width rows.
+    g = ensure_scan_parallelism(df, id_col).select(*base_cols)
+    gh = F.conv(F.substring(F.md5(F.col("__gram")), 1, 15), 16, 10).cast("long")
+    ex = (
+        g.select(id_col, *(block_cols or []), F.explode("grams").alias("__gram"))
+        .select(id_col, *(block_cols or []), gh.alias("gh"))
+        .localCheckpoint(eager=True)
+    )
+    if max_gram_df is not None:
+        # grams are distinct per doc, so count(*) per fingerprint ==
+        # document frequency; the >cap survivor set is small by
+        # construction, so the anti-join broadcasts.
+        common = (
+            ex.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("__gram_df"))
+            .filter(F.col("__gram_df") > max_gram_df)
+            .select("gh")
+        )
+        ex = ex.join(F.broadcast(common), "gh", "left_anti")
+    return ex
+
+
 def _capped_gram_index(
     df: DataFrame,
     text_col: str,
@@ -474,34 +518,7 @@ def _capped_gram_index(
     re-derive lazily from that checkpoint per consumer (fixed-width
     longs — seconds); a second resident copy of the full index
     doubled heap pressure under the 8 g default."""
-    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
-
-    grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
-    base_cols = [F.col(id_col), grams.alias("grams")] + [F.col(c) for c in (block_cols or [])]
-    # tokenize+explode is the CPU of the whole family and small test
-    # files scan as a handful of tasks (5 at the 30× replica — ~40 s
-    # per pass at 5-way vs ~6 s at full width); it is also consumed
-    # TWICE (the stop-gram broadcast build and the index itself), so
-    # checkpoint the slim hashed explode BEFORE the cap aggregation —
-    # one wide tokenize pass, every downstream reads fixed-width rows.
-    g = ensure_scan_parallelism(df, id_col).select(*base_cols)
-    gh = F.conv(F.substring(F.md5(F.col("__gram")), 1, 15), 16, 10).cast("long")
-    ex = (
-        g.select(id_col, *(block_cols or []), F.explode("grams").alias("__gram"))
-        .select(id_col, *(block_cols or []), gh.alias("gh"))
-        .localCheckpoint(eager=True)
-    )
-    if max_gram_df is not None:
-        # grams are distinct per doc, so count(*) per fingerprint ==
-        # document frequency; the >cap survivor set is small by
-        # construction, so the anti-join broadcasts.
-        common = (
-            ex.groupBy("gh")
-            .agg(F.count(F.lit(1)).alias("__gram_df"))
-            .filter(F.col("__gram_df") > max_gram_df)
-            .select("gh")
-        )
-        ex = ex.join(F.broadcast(common), "gh", "left_anti")
+    ex = _capped_gram_slim(df, text_col, id_col, n, block_cols, max_gram_df)
     # post-cap set size per doc (== size(grams) when nothing is capped);
     # window over the uniform doc-id key, not a second join. NOT
     # checkpointed again: the anti-join + window re-derive from the
@@ -597,14 +614,30 @@ def containment_screened_pairs(
     block_cols: list[str] | None = None,
     max_gram_df: int | None = 10_000,
 ) -> DataFrame:
-    """Containment pairs via a BOTTOM-K GRAM-SAMPLE screen — the scale
-    path for :func:`ngram_containment_pairs`, whose exact inverted
-    index emits Σ_gram df² candidate rows (quadratic in clone count
-    until the stop-gram cap bites; the biggest absolute wall in the r9
-    multi-scale table). MinHash-LSH is the WRONG screen here: banded
-    minhash recalls by JACCARD, and the sub-document pairs containment
-    exists to catch (500 grams inside 50k) sit at Jaccard ~0.01 —
-    exactly what LSH is tuned to drop.
+    """Containment pairs via a BOTTOM-K GRAM-SAMPLE screen.
+    MinHash-LSH is the WRONG screen here: banded minhash recalls by
+    JACCARD, and the sub-document pairs containment exists to catch
+    (500 grams inside 50k) sit at Jaccard ~0.01 — exactly what LSH is
+    tuned to drop.
+
+    MEASURED NEGATIVE RESULT (r10, BASELINE.md "r10: containment
+    screen verdict"): this screen was built as the scale path for
+    :func:`ngram_containment_pairs` on the theory that the exact
+    form's Σ_gram df² join volume is the wall. Measured min-of-3 at
+    FOUR corpus shapes — sf0.1 (52-gram docs), the 30×/100× replicas,
+    a 3000-gram long-doc fixture, and a 150-clone big-group fixture
+    whose exact join volume is 670M rows — the exact form wins or
+    ties EVERYWHERE (e.g. 16.5 s vs 31.4 s at 30×; 28.3 s vs 45.9 s
+    at big-clone). The reason: sort-merge join + map-side partial
+    aggregation amortizes exact's per-pair-row cost to ~15 ns, while
+    ANY per-pair verify re-touches each doc's gram set once per pair
+    (array re-shuffle + per-row hash-set build) and cannot beat that
+    constant. The screen's probe-volume reduction (k/avg_grams) is
+    real but buys nothing because candidate generation was never the
+    binding term. `dedup_containment` (exact) IS the scale path;
+    this form is retained as the attested negative result and for
+    the screen machinery itself (deterministic bottom-k sampling,
+    oracle-replayed).
 
     Screen: each document contributes only its ``sample_k``
     smallest-by-md5 post-cap grams to the probe side of the index
@@ -619,64 +652,98 @@ def containment_screened_pairs(
     the driver hash still matches bit-for-bit (approximation without
     attestation loss, the sim_ivf_topk discipline).
 
-    Verify: candidates (distinct, id_a < id_b) join the full index on
-    both sides for exact shared-gram counts; output is oriented and
-    thresholded exactly like the exact form — pair volume drops from
-    Σ df² to ~(k / avg-grams-per-doc) of it, with the verify bounded
-    by the candidate count.
+    Verify: per-doc GRAM ARRAYS, not index joins. Candidates
+    (distinct, id_a < id_b) join the grouped one-row-per-doc form on
+    each side and the shared count is ``size(array_intersect)`` — so
+    the verify moves |cand| rows (the r9 shipped form joined
+    candidates back to the FULL index, materializing |cand|·avg_grams
+    rows ≈ 188M at the 30× replica, 7× the exact form's whole Σ df²
+    join volume — measured 39.5 s vs 18.3 s exact; the screen's probe
+    reduction was being erased by a verify that re-expanded every
+    candidate to gram granularity). The grouped form also yields the
+    bottom-k sample in-row (array_sort + slice — no index-wide window
+    sort) and the per-doc count (size — no count window), collapsing
+    the old 4-consumer checkpoint to one doc-sized materialization.
     """
     blocks = [F.col(c) for c in (block_cols or [])]
-    # FOUR consumers read the index here (sample side, probe build
-    # side, both verify sides) — materialize the post-window form once
-    # rather than re-deriving cap+window per consumer (the exact form
-    # has two consumers and re-derivation wins there; at four, the
-    # extra resident copy pays for itself)
-    ex = _capped_gram_index(
-        df, text_col, id_col, n, block_cols, max_gram_df
-    ).localCheckpoint(eager=True)
-    wk = Window.partitionBy(id_col, *blocks).orderBy(
-        F.md5(F.concat(F.lit("cs:"), F.col("gh").cast("string"))), "gh"
+    ex = _capped_gram_slim(df, text_col, id_col, n, block_cols, max_gram_df)
+    # One row per doc: post-cap gram set + deterministic bottom-k
+    # sample, sorted by (60-bit md5('cs:'||gh) fingerprint, gh) — the
+    # same engine-portable numeric key discipline as gh itself, so the
+    # oracle replays the sample with the identical expression. Numeric,
+    # not the 32-char md5 STRING: the sort key rides the collect_list
+    # shuffle, and 16 bytes/gram vs ~50 cut the garr build ~3× at the
+    # 30× replica. Doc-sized (~avg_grams longs per row) — materialized
+    # once, consumed three times (sample explode + both verify sides).
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cs:"), F.col("gh").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    garr = (
+        ex.select(id_col, *(block_cols or []), F.col("gh"), key.alias("__k"))
+        .groupBy(id_col, *(block_cols or []))
+        .agg(F.array_sort(F.collect_list(F.struct("__k", "gh"))).alias("__kg"))
+        .select(
+            F.col(id_col),
+            *(block_cols or []),
+            F.col("__kg").getField("gh").alias("__ghs"),
+            F.transform(
+                F.slice("__kg", 1, sample_k), lambda s: s["gh"]
+            ).alias("__sample"),
+            F.size("__kg").alias("gram_count"),
+        )
+        .localCheckpoint(eager=True)
     )
-    sampled = (
-        ex.withColumn("__rk", F.row_number().over(wk))
-        .filter(F.col("__rk") <= sample_k)
-        .select(id_col, *(block_cols or []), "gh")
+    s = garr.select(
+        F.col(id_col).alias("__sid"),
+        *(F.col(c).alias(f"__s_{c}") for c in (block_cols or [])),
+        F.explode("__sample").alias("__sgh"),
     )
-    s, b = sampled.alias("s").hint("merge"), ex.alias("b")
-    cond = (F.col("s.gh") == F.col("b.gh")) & (
-        F.col(f"s.{id_col}") != F.col(f"b.{id_col}")
+    # probe the full post-cap index with the samples; build the
+    # SAMPLE side (k/doc — the smaller side by construction, and
+    # shuffle-hash avoids sorting the corpus-sized index by gram)
+    b = ex.alias("b")
+    cond = (F.col("__sgh") == F.col("b.gh")) & (
+        F.col("__sid") != F.col(f"b.{id_col}")
     )
     for c in block_cols or []:
-        cond = cond & (F.col(f"s.{c}") == F.col(f"b.{c}"))
+        cond = cond & (F.col(f"__s_{c}") == F.col(f"b.{c}"))
     cand = (
-        s.join(b, cond)
+        s.hint("shuffle_hash").join(b, cond)
         .select(
-            F.least(F.col(f"s.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
-            F.greatest(F.col(f"s.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            F.least(F.col("__sid"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col("__sid"), F.col(f"b.{id_col}")).alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verify joins need no block predicates: a doc's index rows carry
+    # verify joins need no block predicates: a doc's garr row carries
     # its single block value, so matching on the doc id pins the block.
-    # merge-pinned: cand is stats-less after dropDuplicates and neither
-    # side is small by construction (AQE promoted a 1 GB broadcast of
-    # the 100× candidate set and OOM'd the driver without the pin)
-    ga, gb = ex.alias("ga"), ex.alias("gb")
+    # shuffle-hash with garr as build side: garr is one row per doc;
+    # cand must never broadcast (AQE promoted a 1 GB broadcast of the
+    # 100× candidate set and OOM'd the driver in the r8 exact form).
+    ga = garr.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__ghs").alias("__ga"),
+        F.col("gram_count").alias("count_a"),
+    )
+    gb = garr.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__ghs").alias("__gb"),
+        F.col("gram_count").alias("count_b"),
+    )
     shared = (
-        cand.hint("merge").join(ga, F.col(f"ga.{id_col}") == F.col("id_a"))
-        .hint("merge")
-        .join(
-            gb,
-            (F.col(f"gb.{id_col}") == F.col("id_b"))
-            & (F.col("gb.gh") == F.col("ga.gh")),
-        )
-        .groupBy(
+        cand.join(ga.hint("shuffle_hash"), "id_a")
+        .join(gb.hint("shuffle_hash"), "id_b")
+        .select(
             "id_a",
             "id_b",
-            F.col("ga.gram_count").alias("count_a"),
-            F.col("gb.gram_count").alias("count_b"),
+            "count_a",
+            "count_b",
+            F.size(F.array_intersect("__ga", "__gb")).cast("long").alias("shared"),
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
     )
     smaller_is_a = F.col("count_a") <= F.col("count_b")
     cont = (F.col("shared") / F.least("count_a", "count_b")).alias("containment")

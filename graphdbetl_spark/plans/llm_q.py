@@ -425,7 +425,7 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
           FROM eh WHERE gh NOT IN (SELECT gh FROM gdf)),
     sm AS (SELECT doc_id, lang, gh,
                   row_number() OVER (PARTITION BY doc_id, lang
-                                     ORDER BY md5('cs:' || CAST(gh AS VARCHAR)), gh) AS rk
+                                     ORDER BY ('0x' || substr(md5('cs:' || CAST(gh AS VARCHAR)), 1, 15))::BIGINT, gh) AS rk
            FROM e),
     sampled AS (SELECT doc_id, lang, gh FROM sm WHERE rk <= 16),
     cand AS (SELECT DISTINCT LEAST(s.doc_id, b.doc_id) AS id_a,
@@ -446,16 +446,17 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_containment_screened(spark: SparkSession, sf: str) -> DataFrame:
-    """Containment via the bottom-k gram-sample screen — the scale
-    path for dedup_containment, whose exact inverted index emits
-    Σ df² candidate rows (the biggest absolute in the r9 multi-scale
-    table). Each doc probes the index with only its 16
-    smallest-by-md5 grams; a threshold-0.5 pair's miss probability is
-    ≤ 0.5^16 ≈ 1.5e-5 per pair AND the sample is deterministic, so
-    the oracle replays the exact candidate set (screen + verify both
-    attested — the sim_ivf_topk discipline). MinHash-LSH is NOT the
-    screen here: it recalls by Jaccard, and sub-document containment
-    pairs sit at Jaccard ~0.01 by construction. See
+    """Containment via the bottom-k gram-sample screen. Each doc
+    probes the index with only its 16 smallest-by-md5-key grams; a
+    threshold-0.5 pair's miss probability is ≤ 0.5^16 ≈ 1.5e-5 per
+    pair AND the sample is deterministic, so the oracle replays the
+    exact candidate set (screen + verify both attested — the
+    sim_ivf_topk discipline). MinHash-LSH is NOT the screen here: it
+    recalls by Jaccard, and sub-document containment pairs sit at
+    Jaccard ~0.01 by construction. MEASURED at four corpus shapes in
+    r10 the exact `dedup_containment` wins everywhere — that exact
+    form is the scale path; this entry stays as the attested negative
+    result (BASELINE.md "r10: containment screen verdict"). See
     operators/dedup.py containment_screened_pairs."""
     from graphdbetl_spark.operators.dedup import containment_screened_pairs
 

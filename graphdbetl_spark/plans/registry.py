@@ -78,66 +78,43 @@ def _load() -> None:
 # never-green entries, then the r5-attested head (re-attestation is
 # free within the budget), then everything long-attested.
 _PRIORITY: tuple[str, ...] = (
-    # r9 additions (never attested): IVF-cell-restricted semantic
-    # decontamination (the eval-grows-with-corpus scale path, the
-    # restriction itself oracle-replayed) and CCNet perplexity
-    # terciles; then the r9 kernel/plan rewrites whose oracles are
-    # unchanged but whose engines are new (tiered-precision exact
-    # kernels, fused normalize digest, decomposed two_hop, AQE-less
-    # GD loop) — cheap re-attestations that pin the rewrites.
-    "decontaminate_semantic_ivf", "curation_ccnet_buckets",
-    "dedup_containment_screened",
-    # r8 additions (never attested): the compaction manifest EXECUTED
-    # and proven by read-back; the batched k-center fast path under
-    # the sequential trajectory's oracle; MMR diversity selection
-    # (sequential + batched, shared unrolled-CTE oracle)
-    "maintenance_compact_execute", "select_kcenter_coreset_batched",
-    "select_mmr_diverse", "select_mmr_diverse_batched",
-    "dedup_containment",
-    # r7 additions (attested in r7): diversity coreset selection and
-    # the size-binned compaction planner
-    "select_kcenter_coreset", "maintenance_compact_plan",
-    # never driver-green: oracled this round (r5 verdict #1, #4)
-    "embedding_pca_project", "bpe_learn_merges", "bpe_tokenize_corpus",
-    "bpe_learn_merges_batched", "dedup_minhash", "dedup_simhash",
-    "sim_ivf_topk", "sim_lsh_topk", "sim_ivfpq_topk", "text_tokens",
-    "sketch_kmv_distinct", "agg_approx",
-    # new operators this round (never attested): semantic-tier
-    # decontamination, per-dimension whitening, key-skew diagnostic,
-    # Z-order layout attestation
-    "decontaminate_semantic", "embedding_whiten", "skew_report",
-    "maintenance_zorder_key", "sim_ivf_append",
-    "select_importance_resampling",
-    # r6 continuation additions (never attested): PPS corpus sampling
-    # and the KMV cross-corpus overlap estimate
-    "select_weighted_sample", "sketch_kmv_jaccard",
-    # r5-attested slate (green in CORRECTNESS_r05)
-    "graph_degree_stats", "graph_triangle_count", "graph_two_hop",
-    "graph_pagerank", "stream_interval_join",
-    "dedup_normalized_exact", "dedup_url_canonical", "text_entropy_gate",
-    "curation_gopher_filter", "text_bigram_logprob", "mixture_epochs",
-    "train_quality_classifier", "pipeline_quality_report",
-    "score_quality_trained", "sim_range_search",
-    "agg_decimal",
-    # r4-and-earlier attested tail, most recent rotations first
-    # previously attested (r1-r4 green), most recent rotations first
-    "text_unigram_logprob", "text_winnow_fingerprints",
-    "text_quality_classifier", "shard_manifest", "dedup_semantic_clusters",
-    "mine_hard_negatives", "embedding_outliers", "curation_c4_filter",
-    "dedup_winnow_pairs", "dedup_segments", "decontaminate_bloom",
-    "sample_temperature", "dedup_minhash_incremental", "sketch_countmin_md5",
-    "graph_bfs_depth", "dedup_image_ahash", "dedup_audio_fingerprint",
-    "dedup_video_signature", "dedup_image_hamming", "pipeline_hygiene_report",
-    "graph_kcore", "graph_sssp_bounded", "pipeline_multimodal_report",
-    "agg_mode", "pipeline_training_order", "dedup_embedding_cosine_exact",
-    "udtf_explode_outer", "agg_stats", "agg_percentile_exact",
-    "str_funcs2", "date_funcs2", "regex_extract",
-    "sink_parquet", "sink_csv", "sink_json", "scan_orc", "scan_text",
-    "multimodal_audio_decode", "multimodal_video_frames",
-    "sim_ivf_recall_floor", "sim_lsh_recall_floor", "sim_pq_recall_floor",
-    "embedding_quantize_int8", "text_feature_hashing", "doc_repetition",
-    "doc_repeated_ngrams", "curation_domain_cap", "embedding_centroids",
-    "pipeline_chunk_pack",
+    # r10 changed-code entries FIRST (re-attestation pins the round's
+    # rewrites): the screened containment rebuilt around the per-doc
+    # gram-array verify (+ the exact form whose index core was
+    # refactored and the Jaccard sibling sharing it); the normalized-
+    # exact digest kernel's full-Unicode delete table (the r9 ADVICE
+    # astral-plane fix); the tiered-precision kernels' bounded fp64
+    # fold (decontaminate semantic family, cosine range search); the
+    # GD loop's conf_override scoping.
+    "dedup_containment_screened", "dedup_containment",
+    "dedup_ngram_jaccard", "dedup_normalized_exact",
+    "decontaminate_semantic", "decontaminate_semantic_ivf",
+    "sim_range_search", "train_quality_classifier",
+    "score_quality_trained", "curation_ccnet_buckets",
+    # r9 additions re-visited (r9 verdict #8: keep the newest entries
+    # in rotation alongside the stalest).
+    # THEN the r01-vintage tail (45 entries whose latest driver check
+    # is round 1 — the relational/expression core, attested green in
+    # every local verify since): bounded-staleness rotation so every
+    # entry's driver evidence stays recent. The remaining r02-vintage
+    # block rotates in next round.
+    "agg_collect", "agg_distinct", "agg_grouping_sets", "agg_hash",
+    "agg_string", "array_funcs", "cast_columns", "cast_try",
+    "cond_funcs", "date_funcs", "dedup_first_wins", "filter_pred",
+    "from_json_struct", "join_anti", "join_asof", "join_bridge",
+    "join_cross", "join_fk_inner", "join_full", "join_left",
+    "join_null_safe", "join_range", "join_semi", "join_theta",
+    "json_funcs", "map_struct_funcs", "math_funcs", "nfkd_fold",
+    "null_fill", "project_remap", "scan_csv", "scan_json",
+    "scan_parquet", "schema_peek", "set_except", "set_intersect",
+    "sort_limit", "str_funcs", "topk_per_group", "union_all",
+    "union_by_name", "union_distinct", "win_analytic", "win_frame",
+    "win_rank",
+    # r02-vintage block (next rotation's head if the budget reaches it)
+    "agg_approx_bounds", "budget_select", "chunk_documents",
+    "decontaminate_ngrams", "dedup_cluster_components",
+    "dedup_cluster_keep_best", "dedup_embedding_cosine",
+    "dedup_embedding_keep", "dedup_exact", "dedup_keep_list",
 )
 
 

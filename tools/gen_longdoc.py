@@ -1,0 +1,63 @@
+"""Generate the LONG-DOCUMENT containment fixture (r10).
+
+The sf replicas have ~52-gram documents, where the exact inverted-index
+containment join is cheap per pair and the bottom-k screen cannot pay
+for itself (measured: screened 31 s vs exact 16 s at the 30× replica).
+The screen's regime is LONG documents — per-pair exact join volume is
+~grams/doc rows, the screen probes with a fixed 16 — so this fixture
+holds that variable at ~3000 grams/doc with replica-style clone groups:
+
+  100 original docs × 3000 unique-ish words, each cloned 30× with a
+  per-copy marker token (the gen_scaled.py recipe), plus 10% of each
+  doc drawn from a shared boilerplate pool so incidental cross-original
+  overlaps exist. ~3000 docs, ~9M index rows — the same index size as
+  the 30× replica, with the opposite doc-length shape.
+
+Usage: python tools/gen_longdoc.py [OUT_DIR]   (default testdata_longdoc)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def main() -> None:
+    out = Path(sys.argv[1] if len(sys.argv) > 1 else "testdata_longdoc")
+    out.mkdir(parents=True, exist_ok=True)
+    n_orig = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    n_clones = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    n_words = int(sys.argv[4]) if len(sys.argv) > 4 else 3000
+    boiler = [f"common{i:04d}" for i in range(400)]
+    ids, langs, texts = [], [], []
+    doc_id = 0
+    for o in range(n_orig):
+        words = []
+        for w in range(n_words):
+            if (w * 31 + o) % 10 == 0:  # ~10% shared boilerplate
+                words.append(boiler[(o * 131 + w * 17) % len(boiler)])
+            else:
+                words.append(f"o{o:03d}w{(w * 2654435761) % 99991:05d}")
+        base = " ".join(words)
+        for c in range(n_clones):
+            ids.append(doc_id)
+            langs.append(["en", "fr", "de"][o % 3])
+            # per-copy marker so clones are near- but not byte-identical
+            texts.append(f"copy{c:02d}tag {base}")
+            doc_id += 1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, out / "documents.parquet")
+    print(f"{out}/documents.parquet: {len(ids)} docs, ~{n_words} grams/doc")
+
+
+if __name__ == "__main__":
+    main()

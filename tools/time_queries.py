@@ -26,9 +26,12 @@ def main() -> None:
             qs[n](spark, sf).write.format("noop").mode("overwrite").save()
         except Exception as exc:
             print(f"{n}: WARMUP FAIL {exc}", flush=True)
+    import os
+
+    iters = int(os.environ.get("SPARK_GRAFT_TIME_ITERS", "2"))
     for n in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(iters):
             t0 = time.perf_counter()
             qs[n](spark, sf).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
