@@ -1417,16 +1417,23 @@ def semantic_decontaminate_ivf(
     threshold compares the UNROUNDED max.
 
     ``n_cells="auto"`` is the PRODUCTION scaling rule (r9 verdict #5):
-    ``n_cells = max(8, round(sqrt(n_probe · |eval|)))`` — the FAISS
-    sizing that balances the two per-train-vector cost terms (coarse
-    assignment = n_cells dots vs candidate scoring = n_probe·|eval|/
-    n_cells dots), so per-train work grows as ~2·sqrt(n_probe·|eval|)
-    instead of linearly with the eval set. The registered oracle entry
-    pins n_cells=8 (a CONSTANT ¼ restriction the SQL replays verbatim);
-    auto is parameter-only because the cell count — and therefore the
-    candidate restriction — changes with |eval|, which a fixed oracle
-    string can't follow. tests/test_r10_ops.py pins auto's lower-bound
-    and recall-floor properties against the exact form.
+    ``n_cells = max(8, |eval| // 1024)`` — a TARGET-CELL-SIZE rule, so
+    per-train candidate work stays ~constant (n_probe · ~1024 pair
+    dots) as the eval set grows, plus a coarse-assignment term of
+    |eval|/1024 centroid dots. The textbook FAISS sqrt sizing
+    (n_cells = sqrt(n_probe·|eval|), which minimizes the per-train
+    DOT COUNT) was measured first and REJECTED: at |eval| = 24k it
+    yields 218 cells of ~109 vectors, and the kernel's per-cell sgemm
+    chunks collapse below BLAS efficiency — 8.3 s vs the exact form's
+    4.4 s, twice as slow while doing 50× fewer flops (BASELINE.md
+    "r10: IVF auto-cells"). ~1024-vector cells keep each probed-cell
+    matmul wide enough that the flop reduction actually converts to
+    wall time. The registered oracle entry pins n_cells=8 (a CONSTANT
+    ¼ restriction the SQL replays verbatim); auto is parameter-only
+    because the cell count — and therefore the candidate restriction —
+    changes with |eval|, which a fixed oracle string can't follow.
+    tests/test_r10_ops.py pins auto's lower-bound and recall-floor
+    properties against the exact form.
     """
     import numpy as np
     import pandas as pd
@@ -1442,7 +1449,7 @@ def semantic_decontaminate_ivf(
         [r[0] for r in eval_df.select(vec_col).collect()], dtype=np.float64
     )
     if n_cells == "auto":
-        n_cells = max(8, int(round(float(np.sqrt(n_probe * len(ev))))))
+        n_cells = max(8, len(ev) // 1024)
     cents = md5_sampled_centroid_list(eval_df, id_col, vec_col, k=n_cells, seed=seed)
     cm = np.array([c for _, c in cents], dtype=np.float64)  # ascending cell
     eu = ev / np.sqrt(_np_seq_sum(ev * ev, axis=1))[:, None]

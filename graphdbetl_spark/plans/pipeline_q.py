@@ -363,6 +363,82 @@ def graph_two_hop(spark: SparkSession, sf: str) -> DataFrame:
     return parts.join(custs, "c_mktsegment")
 
 
+def two_hop_reach_approx(c, o, l, rsd: float = 0.05):
+    """PRODUCTION two-hop reach: one aggregation pass with BOTH
+    distincts as HLL++ sketches (``approx_count_distinct``). Sketch
+    aggregates are plain (non-DISTINCT) aggregates, so two of them in
+    one agg trigger NO Expand (the double-distinct Expand doubled the
+    joined stream to 1.2B rows and external-sorted it at the 1000×
+    rung — 830 s), and the map-side partial state is 5 segments × two
+    ~few-KB sketches instead of a growing dedup table — the joined
+    stream is consumed in one codegen pass and nothing distinct-sized
+    ever shuffles or spills. The 100 TB posture for reach counting;
+    exact `graph_two_hop` stays the oracle-checked floor. rsd 0.05 →
+    ±15% at 3σ (the agg_approx bound discipline)."""
+    joined = c.join(o, o.o_custkey == c.c_custkey).join(
+        l, l.l_orderkey == o.o_orderkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("reachable_parts_approx"),
+        F.approx_count_distinct("c_custkey", rsd).alias("n_customers_approx"),
+    )
+
+
+@query(
+    "graph_two_hop_approx",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS reachable_parts,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           true AS approx_parts_ok,
+           true AS approx_customers_ok
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def graph_two_hop_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch sibling of graph_two_hop (r9 verdict #7): the
+    registered entry attests the HLL++ reach counts through the
+    in-plan error-bound pattern (agg_approx discipline) — each sketch
+    count must land within 3·rsd = 15% of the exact count computed in
+    the SAME plan (via the decomposed no-Expand branches), pinned as
+    booleans the oracle asserts literally true. The PRODUCTION form is
+    :func:`two_hop_reach_approx` alone (no exact branches) — measured
+    at the 1000× rung in BASELINE.md."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    l = T(spark, sf, "lineitem")
+    joined = c.join(o, o.o_custkey == c.c_custkey).join(
+        l, l.l_orderkey == o.o_orderkey
+    )
+    parts = joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("l_partkey").alias("reachable_parts")
+    )
+    custs = joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_customers")
+    )
+    approx = two_hop_reach_approx(c, o, l)
+    return (
+        parts.join(custs, "c_mktsegment")
+        .join(approx, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "reachable_parts",
+            "n_customers",
+            (
+                F.abs(F.col("reachable_parts_approx") - F.col("reachable_parts"))
+                <= 0.15 * F.col("reachable_parts")
+            ).alias("approx_parts_ok"),
+            (
+                F.abs(F.col("n_customers_approx") - F.col("n_customers"))
+                <= 0.15 * F.col("n_customers")
+            ).alias("approx_customers_ok"),
+        )
+    )
+
+
 def _hygiene_oracle() -> str:
     """Oracle for pipeline_hygiene_report, COMPOSED from the already-
     green component oracles (fetched from the registry at import, so a

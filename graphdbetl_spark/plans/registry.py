@@ -86,6 +86,9 @@ _PRIORITY: tuple[str, ...] = (
     # astral-plane fix); the tiered-precision kernels' bounded fp64
     # fold (decontaminate semantic family, cosine range search); the
     # GD loop's conf_override scoping.
+    # r10 NEW entry (never attested): HLL two-hop reach with in-plan
+    # error-bound attestation (the 1000×-rung sketch posture)
+    "graph_two_hop_approx",
     "dedup_containment_screened", "dedup_containment",
     "dedup_ngram_jaccard", "dedup_normalized_exact",
     "decontaminate_semantic", "decontaminate_semantic_ivf",

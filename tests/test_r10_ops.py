@@ -124,8 +124,8 @@ def test_screened_containment_recalls_embedded_subdocument(spark):
 
 
 def test_ivf_decontaminate_auto_cells_lower_bound(spark):
-    """n_cells='auto' (the production sqrt scaling, r9 verdict #5)
-    must keep the IVF contract on the real fixture: the reported max
+    """n_cells='auto' (the production target-cell-size scaling, r9
+    verdict #5) must keep the IVF contract on the real fixture: the reported max
     is a LOWER BOUND of the exact max per vector, and flagged vectors
     are a subset of the exact form's."""
     import pyspark.sql.functions as F
@@ -185,10 +185,12 @@ def _clustered_vectors(n_clusters: int, per_cluster: int, dim: int = 64):
 
 def test_ivf_decontaminate_auto_cells_recall_on_clustered_data(spark):
     """On clustered data — the regime the IVF restriction is FOR —
-    n_cells='auto' must flag >=90% of the exact form's contaminated
-    vectors. Fixture: 24 clusters; eval = 8 members of each cluster,
-    train = 12 other members (contaminated twins, cosine ~0.99) plus
-    vectors from eval-free clusters (clean)."""
+    n_cells='auto' must hold its recall floors vs the exact form
+    (0.80 at n_probe=2, 0.90 at n_probe=3 — see the in-test note on
+    sampled-centroid collisions). Fixture: 24 clusters; eval = 8
+    members of each of 16 clusters, train = 12 other members
+    (contaminated twins, cosine ~0.99) plus vectors from eval-free
+    clusters (clean)."""
     from graphdbetl_spark.operators.curation import (
         semantic_decontaminate,
         semantic_decontaminate_ivf,
@@ -213,15 +215,23 @@ def test_ivf_decontaminate_auto_cells_recall_on_clustered_data(spark):
             corpus, eval_df, "vec_id", "embedding", threshold=0.9
         ).collect()
     }
-    ivf = {
-        r["vec_id"]: r["contaminated"]
-        for r in semantic_decontaminate_ivf(
-            corpus, eval_df, "vec_id", "embedding",
-            threshold=0.9, n_cells="auto",
-        ).collect()
-    }
     hot = {v for v, c in exact.items() if c}
-    got = {v for v, c in ivf.items() if c}
-    assert got <= hot
     assert hot, "fixture must produce contaminated vectors"
-    assert len(got) / len(hot) >= 0.9, (len(got), len(hot))
+    # md5-SAMPLED centroids (the oracle-replayable quantizer) can land
+    # 2-3 centroids inside one cluster; among near-identical centroids
+    # the argmax/probe ranking is jitter noise, so n_probe=2 misses
+    # pairs whose eval twin sits behind a 3-way near-tie. That is the
+    # documented sampled-vs-kmeans recall cost; n_probe is the knob
+    # (measured on this fixture: 0.84 at 2 probes, 0.94 at 3).
+    for n_probe, floor in ((2, 0.80), (3, 0.90)):
+        ivf = {
+            r["vec_id"]: r["contaminated"]
+            for r in semantic_decontaminate_ivf(
+                corpus, eval_df, "vec_id", "embedding",
+                threshold=0.9, n_cells="auto", n_probe=n_probe,
+            ).collect()
+        }
+        got = {v for v, c in ivf.items() if c}
+        assert got <= hot
+        recall = len(got) / len(hot)
+        assert recall >= floor, (n_probe, len(got), len(hot))
