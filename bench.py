@@ -114,6 +114,9 @@ HEADLINE = [
     "decontaminate_semantic_ivf",
     "curation_ccnet_buckets",
     "dedup_containment_screened",
+    # r10 addition: HLL two-hop reach with in-plan error-bound
+    # attestation — benched cold like every new family.
+    "graph_two_hop_approx",
 ]
 
 # Host-drift control (r7 verdict #6): a query whose code has been

@@ -44,3 +44,21 @@ def test_line_carries_contract_fields(tmp_path):
     payload = json.loads(full.read_text())
     assert set(payload["queries_normalized"]) == set(bench.HEADLINE)
     assert payload["queries"][bench.HEADLINE[0]] == 1.234  # 3-decimal raw
+
+
+def test_control_wall_is_median_of_probes():
+    """bench's control is the MEDIAN of three spaced probes (r9 verdict
+    #3): one bad window (e.g. a 2× outlier like the r9 campaign leg)
+    must not poison the cross-run denominator."""
+    probes = [1.1, 2.9, 1.2]  # middle probe hit a bad window
+    assert sorted(probes)[len(probes) // 2] == 1.2
+
+
+def test_full_payload_carries_control_probes(tmp_path):
+    times = {n: 1.0 for n in bench.HEADLINE}
+    full = tmp_path / "bench_full.json"
+    bench.emit_lines(
+        times, 0.1, 1.2, full_path=str(full), control_probes=[1.1, 2.9, 1.2]
+    )
+    payload = json.loads(full.read_text())
+    assert payload["control_probes"] == [1.1, 2.9, 1.2]
