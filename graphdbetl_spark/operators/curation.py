@@ -900,10 +900,17 @@ def ccnet_perplexity_buckets_approx(
     Approximate BY CONSTRUCTION at the bucket EDGES only: a document
     whose exact rank sits within n/accuracy of a tercile boundary (or
     that ties the boundary score — ntile splits score-ties by id,
-    cutpoints cannot) may land one bucket over. Everything else agrees
-    with the exact form, which stays the registered oracle entry
-    (pytest: tests/test_curation_extras.py pins ≥95% agreement and
-    off-by-one-bucket-only disagreements on the fixture)."""
+    cutpoints cannot) may land one bucket over. Degenerate caveat: if
+    a language's scores tie HEAVILY (e.g. all equal), both cutpoints
+    collapse to the same value, every doc lands in 'head', and the
+    disagreement vs exact ntile (which splits ties by id across all
+    three buckets) can be two buckets, not one — score ties carry no
+    rank information, so any tie-split is arbitrary there. On
+    continuous (non-degenerate) score distributions disagreements stay
+    off-by-one. Everything else agrees with the exact form, which
+    stays the tercile oracle (pytest: tests/test_r10_ops.py pins ≥95%
+    agreement and off-by-one-bucket-only disagreements on the
+    continuous fixture)."""
     scored = bigram_logprob(df, text_col, id_col)
     langs = df.select(F.col(id_col), F.col(lang_col))
     # (id, lang, score) is doc-count-sized (~24 B/doc); materialize it

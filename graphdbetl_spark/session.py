@@ -79,8 +79,14 @@ class conf_override:
                 "sequential query execution per session (see "
                 "graphdbetl_spark/session.py)"
             )
-        self._old = self.conf.get(self.key)
-        self.conf.set(self.key, self.value)
+        try:
+            self._old = self.conf.get(self.key)
+            self.conf.set(self.key, self.value)
+        except BaseException:
+            # conf.get on a defaultless key (or a JVM hiccup) must not
+            # leak the lock — that would poison every later override.
+            _CONF_OVERRIDE_LOCK.release()
+            raise
         return self
 
     def __exit__(self, *exc):

@@ -128,9 +128,16 @@ def install_protobuf_bridge() -> bool:
     pb = _Facade("google.protobuf", _TARGET)
     # Libraries commonly feature-detect via google.protobuf.__version__;
     # the facade's __getattr__ rejects dunders (the normal missing-attr
-    # protocol), so pin the vendored runtime's version as a real
-    # attribute (r9 ADVICE). 4.23.2 is the cloud-sdk runtime's version.
-    pb.__version__ = "4.23.2"
+    # protocol), so expose the version as a real attribute (r9 ADVICE).
+    # Read it from the vendored runtime itself so an upgraded vendor
+    # reports its true version (r10 ADVICE); 4.23.2 — the cloud-sdk
+    # runtime's known version — only as the fallback when the vendored
+    # module doesn't carry one.
+    try:
+        _target_mod = importlib.import_module(_TARGET)
+        pb.__version__ = getattr(_target_mod, "__version__", "4.23.2")
+    except Exception:
+        pb.__version__ = "4.23.2"
     google.protobuf = pb  # type: ignore[attr-defined]
     sys.modules["google.protobuf"] = pb
     # real submodule import in the gencode — must pre-exist

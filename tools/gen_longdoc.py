@@ -13,7 +13,20 @@ holds that variable at ~3000 grams/doc with replica-style clone groups:
   overlaps exist. ~3000 docs, ~9M index rows — the same index size as
   the 30× replica, with the opposite doc-length shape.
 
-Usage: python tools/gen_longdoc.py [OUT_DIR]   (default testdata_longdoc)
+Usage: python tools/gen_longdoc.py [OUT_DIR] [N_ORIG] [N_CLONES] [N_WORDS]
+
+The two committed fixtures are EXACTLY these invocations (r10 ADVICE —
+deterministic, no RNG, so a rebuild is byte-stable on the same
+pyarrow; both are re-generatable rather than sacred binaries):
+
+  python tools/gen_longdoc.py testdata_longdoc                # defaults
+    -> 100 orig x 30 clones x 3000 grams/doc = 3,000 docs (long-doc
+       shape: per-pair exact join volume ~3000 rows, screen probes 16)
+  python tools/gen_longdoc.py testdata_bigclone 30 150 2000
+    -> 30 orig x 150 clones x 2000 grams/doc = 4,500 docs (big-clone
+       shape: 150-deep clone groups blow up the containment
+       self-join's Sigma df^2 term to ~670M pair rows — the fixture
+       built to favor a candidate screen; see BASELINE.md r10 table)
 """
 
 from __future__ import annotations
