@@ -757,6 +757,80 @@ def containment_screened_pairs(
     )
 
 
+def ngram_containment_collapsed_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+    max_gram_df: int | None = 10_000,
+) -> DataFrame:
+    """Containment pairs with UPSTREAM CLONE COLLAPSE — the measured
+    form of the 100 TB mitigation documented beside
+    :func:`ngram_containment_pairs` (r10 verdict #1): the exact
+    containment self-join's cost law is Σ_gram df², quadratic in
+    normalized-exact clone-group size until the df>cap stop-gram cap
+    saturates; a corpus with c-deep reformat-clone groups pays ~c²/2
+    pair rows per gram for pairs that carry no containment
+    information (clones of one doc trivially contain each other).
+    Collapsing those groups FIRST with the linear-cost
+    :func:`dedup_normalized_exact_groups` tier (one Arrow digest pass
+    + one 16-byte-key hash agg) removes the c² term before any pair
+    math: containment runs on one survivor per normalized group, and
+    each output pair carries both endpoints' ``dup_count`` so
+    downstream expansion to clone members stays exact (every member
+    of the contained group is contained in every member of the
+    container group — normalized-identical docs have identical
+    post-normalization gram sets, and the measure is computed on the
+    raw survivors, the group's min-id representatives).
+
+    Cost composition: digest pass (linear in chars) + survivor
+    restriction (one equi-join on the id key — the text column
+    shuffles once, far cheaper than the Σ df² rows it removes when
+    clones exist; when the corpus has NO normalized clones the whole
+    composition is pure overhead, measured at ~1.1× of bare exact on
+    the marker-token big-clone fixture, BASELINE.md "r11: containment
+    upstream collapse") + the unchanged exact containment core on
+    survivors + two pair-sized dup-count joins.
+
+    Returns (contained_id, container_id, containment, contained_dups,
+    container_dups); ids are normalized-group survivors (min id)."""
+    groups = dedup_normalized_exact_groups(df, text_col, id_col)
+    counts = groups.select(
+        F.col("keep_id"), F.col("dup_count").cast("long").alias("dup_count")
+    )
+    survivors = df.join(
+        counts.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    )
+    pairs = ngram_containment_pairs(
+        survivors, text_col, id_col, n, threshold, block_cols, max_gram_df
+    )
+    # dup-count annotation: pairs is the small side by construction
+    # (threshold-filtered survivor pairs), counts is doc-count-sized —
+    # shuffle-hash equi-joins on the pair ids, never a broadcast of
+    # the corpus-sized counts.
+    ca = counts.select(
+        F.col("keep_id").alias("contained_id"),
+        F.col("dup_count").alias("contained_dups"),
+    )
+    cb = counts.select(
+        F.col("keep_id").alias("container_id"),
+        F.col("dup_count").alias("container_dups"),
+    )
+    return (
+        pairs.join(ca.hint("shuffle_hash"), "contained_id")
+        .join(cb.hint("shuffle_hash"), "container_id")
+        .select(
+            "contained_id",
+            "container_id",
+            "containment",
+            "contained_dups",
+            "container_dups",
+        )
+    )
+
+
 MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime: products stay < 2^62
 
 

@@ -648,6 +648,117 @@ def decontaminate_semantic_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_semantic_ivf_auto",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id FROM embeddings
+        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_twins,
+           CAST(COUNT(*) AS BIGINT) AS exact_flagged,
+           true AS lower_bound_ok, true AS subset_ok,
+           true AS flagged_subset_ok, true AS recall_ok
+    FROM ev
+    """,
+)
+def decontaminate_semantic_ivf_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver attestation for IVF `n_cells="auto"` — the production
+    target-cell-size scaling rule (r10 verdict #3): the r10 pytest
+    properties lifted into the plan, oracle-asserted literally true.
+
+    Fixture construction, in-plan and deterministic: eval = the 10%
+    md5-bucket slice of embeddings; corpus = the other 90% (clean —
+    isotropic vectors, cosine far below 0.9) UNION one CONTAMINATED
+    TWIN per eval vector (±1% per-coordinate deterministic
+    perturbation, cosine ≈ 0.9999 to its eval source). This is the
+    clustered regime the IVF restriction exists for — on isotropic
+    data ANY cell restriction loses recall by construction
+    (docs/SCALING.md's 0%-pruning measurement; the real-fixture
+    recall at threshold 0.35 is ~0.5 and is NOT a defect, which is
+    why the attested recall floor lives on the twin shape, exactly
+    like tests/test_r10_ops.py's clustered fixture).
+
+    Attested booleans (exact form computed in the same plan):
+      lower_bound_ok    — IVF max_eval_cosine ≤ exact max per vector
+      subset_ok         — IVF output vectors ⊆ exact output vectors
+      flagged_subset_ok — IVF contaminated ⊆ exact contaminated
+      recall_ok         — IVF recalls ≥ 75% of exact's flagged set at
+                          n_probe=2 (pytest floor 0.80 at the same
+                          probe count on 24-cluster data; 0.75 leaves
+                          margin for md5-sampled-centroid near-ties)
+    plus exact_flagged as a VALUE the oracle predicts independently:
+    every twin must be flagged and no clean vector can reach 0.9, so
+    exact_flagged = |eval| — a broken cosine kernel, perturbation, or
+    threshold comparison breaks the count match, not just a boolean."""
+    from graphdbetl_spark.operators.curation import (
+        semantic_decontaminate,
+        semantic_decontaminate_ivf,
+    )
+
+    e = T(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    b = hash_bucket(F.col("vec_id"))
+    ev = e.filter(b < 10).select("vec_id", "embedding")
+    clean = e.filter(b >= 10).select("vec_id", "embedding")
+    twins = ev.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (1.0 + 0.01 * (((F.col("vec_id") + i) % 3).cast("double") - 1.0)),
+        ).alias("embedding"),
+    )
+    corpus = clean.unionByName(twins)
+    exact = semantic_decontaminate(
+        corpus, ev, "vec_id", "embedding", threshold=0.9
+    )
+    ivf = semantic_decontaminate_ivf(
+        corpus, ev, "vec_id", "embedding", threshold=0.9, n_cells="auto"
+    )
+    ex = exact.select(
+        "vec_id",
+        F.col("max_eval_cosine").alias("__emx"),
+        F.col("contaminated").alias("__ec"),
+    )
+    iv = ivf.select(
+        "vec_id",
+        F.col("max_eval_cosine").alias("__imx"),
+        F.col("contaminated").alias("__ic"),
+    )
+    j = iv.join(ex, "vec_id", "left")
+    ivf_stats = j.agg(
+        F.sum(F.col("__emx").isNull().cast("long")).alias("__orphans"),
+        F.max(
+            F.coalesce(F.col("__imx") - F.col("__emx"), F.lit(1.0))
+        ).alias("__maxgap"),
+        F.sum(
+            (F.col("__ic") & ~F.coalesce(F.col("__ec"), F.lit(False)))
+            .cast("long")
+        ).alias("__false_flags"),
+        F.sum(F.col("__ic").cast("long")).alias("__ivf_flagged"),
+    )
+    exact_stats = exact.agg(
+        F.sum(F.col("contaminated").cast("long")).alias("exact_flagged")
+    )
+    n_twins = ev.agg(F.count(F.lit(1)).cast("long").alias("n_twins"))
+    return (
+        n_twins.crossJoin(exact_stats)
+        .crossJoin(ivf_stats)
+        .select(
+            "n_twins",
+            F.col("exact_flagged").cast("long").alias("exact_flagged"),
+            (F.col("__maxgap") <= 1e-9).alias("lower_bound_ok"),
+            (F.col("__orphans") == 0).alias("subset_ok"),
+            (F.col("__false_flags") == 0).alias("flagged_subset_ok"),
+            (F.col("__ivf_flagged") >= 0.75 * F.col("exact_flagged")).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+@query(
     "select_importance_resampling",
     oracle="""
     WITH tok AS (
@@ -735,4 +846,72 @@ def curation_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
     return ccnet_perplexity_buckets(
         T(spark, sf, "documents"), "text", "doc_id", "lang"
+    )
+
+
+@query(
+    "curation_ccnet_buckets_approx",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           true AS agreement_ok, true AS off_by_one_ok
+    FROM documents GROUP BY lang
+    """,
+)
+def curation_ccnet_buckets_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver attestation for the PRODUCTION ccnet bucketing form
+    (r10 verdict #2, the agg_approx_bounds discipline): run the
+    approx-cutpoint form (`ccnet_perplexity_buckets_approx` — GK
+    sketch cutpoints, NO per-language sort task, the shape that holds
+    when one language is 60% of 100 TB) next to the exact ntile
+    terciles IN THE SAME PLAN, and emit per-language booleans the
+    oracle asserts literally true:
+
+      agreement_ok  — ≥95% of documents land in the same bucket
+      off_by_one_ok — every disagreement is between ADJACENT buckets
+                      (head↔middle or middle↔tail, never head↔tail)
+
+    Both properties follow from the GK rank bound (rank error ≤
+    n/accuracy at accuracy=10k) plus score-tie splitting on a
+    non-degenerate score distribution; a sketch drifting out of its
+    bound, a broken cutpoint comparison, or a bucket-orientation bug
+    flips a boolean and breaks the driver hash. The LM scoring subtree
+    is computed once per form here (attestation entry, sf0.01); the
+    production pipeline runs only the approx form. Exact form stays
+    the value-level tercile oracle (`curation_ccnet_buckets`)."""
+    from graphdbetl_spark.operators.curation import (
+        ccnet_perplexity_buckets,
+        ccnet_perplexity_buckets_approx,
+    )
+
+    d = T(spark, sf, "documents")
+    exact = ccnet_perplexity_buckets(d, "text", "doc_id", "lang")
+    approx = ccnet_perplexity_buckets_approx(
+        d, "text", "doc_id", "lang"
+    ).withColumnRenamed("bucket", "bucket_approx")
+
+    def _idx(col: str):  # bucket -> ordinal, for the adjacency check
+        return (
+            F.when(F.col(col) == "head", F.lit(1))
+            .when(F.col(col) == "middle", F.lit(2))
+            .otherwise(F.lit(3))
+        )
+
+    j = exact.join(approx.select("doc_id", "bucket_approx"), "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("bucket") == F.col("bucket_approx")).cast("long")
+            ).alias("__agree"),
+            F.max(F.abs(_idx("bucket") - _idx("bucket_approx"))).alias(
+                "__maxgap"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("__agree") >= 0.95 * F.col("n_docs")).alias("agreement_ok"),
+            (F.col("__maxgap") <= 1).alias("off_by_one_ok"),
+        )
     )

@@ -470,6 +470,99 @@ def dedup_containment_screened(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment_collapsed",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lang,
+               replace(upper(text), ' ', '  ') || ' !!' FROM documents
+    ), nrm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 \t\n]', '', 'g'), '\s+', ' ', 'g')))
+                   AS norm_digest
+        FROM corpus
+    ), grp AS (
+        SELECT norm_digest, MIN(doc_id) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS dup_count
+        FROM nrm GROUP BY norm_digest
+    ), surv AS (
+        SELECT c.doc_id, c.lang, c.text
+        FROM corpus c JOIN grp ON grp.keep_id = c.doc_id
+    ), t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+             FROM surv),
+    g AS (SELECT doc_id, lang,
+            list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+          FROM t),
+    e0 AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+    eh AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM e0),
+    gdf AS (SELECT gh FROM eh GROUP BY gh HAVING COUNT(*) > 10000),
+    e AS (SELECT doc_id, lang, gh, COUNT(*) OVER (PARTITION BY doc_id) AS gc
+          FROM eh WHERE gh NOT IN (SELECT gh FROM gdf)),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gc AS ca, b.gc AS cb,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM e a JOIN e b ON a.gh = b.gh AND a.lang = b.lang
+                         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+    pairs AS (
+        SELECT CASE WHEN ca <= cb THEN id_a ELSE id_b END AS contained_id,
+               CASE WHEN ca <= cb THEN id_b ELSE id_a END AS container_id,
+               ROUND(shared::DOUBLE / LEAST(ca, cb), 6) AS containment
+        FROM shared WHERE shared::DOUBLE / LEAST(ca, cb) >= 0.5)
+    SELECT p.contained_id, p.container_id, p.containment,
+           ga.dup_count AS contained_dups, gb.dup_count AS container_dups
+    FROM pairs p
+    JOIN grp ga ON ga.keep_id = p.contained_id
+    JOIN grp gb ON gb.keep_id = p.container_id
+    """,
+)
+def dedup_containment_collapsed(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment with UPSTREAM CLONE COLLAPSE — the 100 TB
+    composition the r10 verdict asked to convert from prose to a
+    measured, attested artifact: normalized-exact dedup first (linear:
+    one Arrow digest pass + one 16-byte-key hash agg), then the exact
+    containment core on one survivor per normalized group, with each
+    pair carrying both groups' dup_count for exact downstream
+    expansion. The corpus here is documents UNION a reformatted clone
+    of every document (uppercased, double-spaced, punctuation
+    appended — the dedup_normalized_exact recipe), so the collapse is
+    exercised: byte-exact dedup sees 2N distinct docs, the collapse
+    tier folds every clone onto its original BEFORE the Σ_gram df²
+    pair join, and every output pair reads dups=2 on both ends. Scale
+    evidence: BASELINE.md "r11: containment upstream collapse"
+    measures the composition vs bare exact containment on a 150-deep
+    reformat-clone fixture (Σ df² quadratic in clone depth) and on
+    the marker-token fixtures where the collapse is a no-op (pure
+    overhead bound). See operators/dedup.py
+    ngram_containment_collapsed_pairs."""
+    from graphdbetl_spark.operators.dedup import (
+        ngram_containment_collapsed_pairs,
+    )
+
+    d = T(spark, sf, "documents").select("doc_id", "lang", "text")
+    clone = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("lang"),
+        F.concat(
+            F.regexp_replace(F.upper(F.col("text")), " ", "  "), F.lit(" !!")
+        ).alias("text"),
+    )
+    out = ngram_containment_collapsed_pairs(
+        d.unionByName(clone), "text", "doc_id", n=3, threshold=0.5,
+        block_cols=["lang"],
+    )
+    return out.select(
+        "contained_id", "container_id",
+        F.round("containment", 6).alias("containment"),
+        "contained_dups", "container_dups",
+    )
+
+
 # canonical home is operators/similarity.py (shared by the md5 ANN
 # operators); re-exported here for the blocked-dedup plan builders.
 from graphdbetl_spark.operators.similarity import (  # noqa: E402

@@ -78,46 +78,44 @@ def _load() -> None:
 # never-green entries, then the r5-attested head (re-attestation is
 # free within the budget), then everything long-attested.
 _PRIORITY: tuple[str, ...] = (
-    # r10 changed-code entries FIRST (re-attestation pins the round's
-    # rewrites): the screened containment rebuilt around the per-doc
-    # gram-array verify (+ the exact form whose index core was
-    # refactored and the Jaccard sibling sharing it); the normalized-
-    # exact digest kernel's full-Unicode delete table (the r9 ADVICE
-    # astral-plane fix); the tiered-precision kernels' bounded fp64
-    # fold (decontaminate semantic family, cosine range search); the
-    # GD loop's conf_override scoping.
-    # r10 NEW entry (never attested): HLL two-hop reach with in-plan
-    # error-bound attestation (the 1000×-rung sketch posture)
-    "graph_two_hop_approx",
-    "dedup_containment_screened", "dedup_containment",
-    "dedup_ngram_jaccard", "dedup_normalized_exact",
-    "decontaminate_semantic", "decontaminate_semantic_ivf",
-    "sim_range_search", "train_quality_classifier",
-    "score_quality_trained", "curation_ccnet_buckets",
-    # r9 additions re-visited (r9 verdict #8: keep the newest entries
-    # in rotation alongside the stalest).
-    # THEN the r01-vintage tail (45 entries whose latest driver check
-    # is round 1 — the relational/expression core, attested green in
-    # every local verify since): bounded-staleness rotation so every
-    # entry's driver evidence stays recent. The remaining r02-vintage
-    # block rotates in next round.
-    "agg_collect", "agg_distinct", "agg_grouping_sets", "agg_hash",
-    "agg_string", "array_funcs", "cast_columns", "cast_try",
-    "cond_funcs", "date_funcs", "dedup_first_wins", "filter_pred",
-    "from_json_struct", "join_anti", "join_asof", "join_bridge",
-    "join_cross", "join_fk_inner", "join_full", "join_left",
-    "join_null_safe", "join_range", "join_semi", "join_theta",
-    "json_funcs", "map_struct_funcs", "math_funcs", "nfkd_fold",
-    "null_fill", "project_remap", "scan_csv", "scan_json",
-    "scan_parquet", "schema_peek", "set_except", "set_intersect",
-    "sort_limit", "str_funcs", "topk_per_group", "union_all",
-    "union_by_name", "union_distinct", "win_analytic", "win_frame",
-    "win_rank",
-    # r02-vintage block (next rotation's head if the budget reaches it)
-    "agg_approx_bounds", "budget_select", "chunk_documents",
-    "decontaminate_ngrams", "dedup_cluster_components",
-    "dedup_cluster_keep_best", "dedup_embedding_cosine",
-    "dedup_embedding_keep", "dedup_exact", "dedup_keep_list",
+    # r11 NEW entries FIRST (never driver-attested): the containment
+    # upstream-collapse composition (r10 verdict #1), the ccnet
+    # approx-cutpoint production form (#2), and IVF n_cells="auto"
+    # with in-plan lower-bound/recall-floor booleans (#3).
+    "dedup_containment_collapsed",
+    "curation_ccnet_buckets_approx",
+    "decontaminate_semantic_ivf_auto",
+    # THEN the six entries r10's 50-query budget didn't reach — the
+    # only rows whose latest driver check is still round 1.
+    "union_all", "union_by_name", "union_distinct",
+    "win_analytic", "win_frame", "win_rank",
+    # THEN the r03-vintage families the r10 verdict named (#7): the
+    # SQL-frontend q4–q22 shapes and the SCD2/CDC/upsert family.
+    "sql_frontend_q4", "sql_frontend_q6", "sql_frontend_q7_style",
+    "sql_frontend_q8_style", "sql_frontend_q9_style",
+    "sql_frontend_q10_style", "sql_frontend_q11_style",
+    "sql_frontend_q12_style", "sql_frontend_q13_style",
+    "sql_frontend_q14", "sql_frontend_q15_style",
+    "sql_frontend_q16_style", "sql_frontend_q17",
+    "sql_frontend_q19_style", "sql_frontend_q20_style",
+    "sql_frontend_q21_style", "sql_frontend_q22_style",
+    "scd2_history", "cdc_apply", "node_upsert",
+    # FILL the budget with the r02-vintage head (stalest remaining):
+    # the graph-ETL identity, dedup/similarity core, text analysis.
+    "node_build_party", "rel_foreign_key", "rel_join_table",
+    "dedup_merge_by_id", "dedup_exact", "dedup_minhash_md5",
+    "dedup_simhash_md5", "dedup_embedding_cosine", "dedup_keep_list",
+    "dedup_cluster_components", "dedup_cluster_keep_best",
+    "dedup_embedding_keep", "sim_cosine_topk", "sim_pq_topk_md5",
+    "dedup_repeated_ngram_scrub", "text_stats", "text_quality",
+    "text_lang_id", "text_fingerprint", "text_tokens_portable",
+    "text_tfidf_top_term",
+    # r02-vintage continuation (next rotation's head if the budget
+    # reaches past 50)
+    "split_train_test", "sample_stratified", "pack_sequences",
+    "multimodal_features", "multimodal_decode", "stream_tumbling",
+    "stream_sliding", "stream_session", "rollup_hourly",
+    "sketch_kmv_md5",
 )
 
 

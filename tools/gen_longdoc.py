@@ -27,6 +27,16 @@ pyarrow; both are re-generatable rather than sacred binaries):
        shape: 150-deep clone groups blow up the containment
        self-join's Sigma df^2 term to ~670M pair rows — the fixture
        built to favor a candidate screen; see BASELINE.md r10 table)
+  python tools/gen_longdoc.py testdata_exactclone 30 150 2000 punct
+    -> same shape, but the per-copy marker is PUNCTUATION-ONLY
+       ('!' * (c+1)) so clones are byte-distinct yet NORMALIZED-EXACT
+       duplicates of their original: the r11 upstream-collapse
+       measurement fixture (BASELINE.md "r11: containment upstream
+       collapse"). All non-marker tokens are identical across a clone
+       group, so bare containment still pays the full Sigma df^2 pair
+       volume while the collapse tier folds each group to one
+       survivor. NOT committed — regenerate with this exact command
+       (deterministic, no RNG).
 """
 
 from __future__ import annotations
@@ -44,6 +54,11 @@ def main() -> None:
     n_orig = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     n_clones = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     n_words = int(sys.argv[4]) if len(sys.argv) > 4 else 3000
+    # marker style: 'token' (default; alphanumeric marker survives
+    # normalization — clones are near-dups) vs 'punct' (punctuation-only
+    # marker is deleted by normalization — clones are normalized-exact
+    # duplicates; the upstream-collapse measurement shape)
+    marker_style = sys.argv[5] if len(sys.argv) > 5 else "token"
     boiler = [f"common{i:04d}" for i in range(400)]
     ids, langs, texts = [], [], []
     doc_id = 0
@@ -58,8 +73,13 @@ def main() -> None:
         for c in range(n_clones):
             ids.append(doc_id)
             langs.append(["en", "fr", "de"][o % 3])
-            # per-copy marker so clones are near- but not byte-identical
-            texts.append(f"copy{c:02d}tag {base}")
+            # per-copy marker so clones are never byte-identical
+            if marker_style == "punct":
+                # punctuation-only: normalize_text deletes it, so the
+                # clone group is one normalized-exact group
+                texts.append("!" * (c + 1) + f" {base}")
+            else:
+                texts.append(f"copy{c:02d}tag {base}")
             doc_id += 1
     tbl = pa.table(
         {
