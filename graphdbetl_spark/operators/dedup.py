@@ -797,9 +797,16 @@ def ngram_containment_collapsed_pairs(
     Returns (contained_id, container_id, containment, contained_dups,
     container_dups); ids are normalized-group survivors (min id)."""
     groups = dedup_normalized_exact_groups(df, text_col, id_col)
+    # counts feeds THREE consumers (survivor semi-join + both dup-count
+    # joins); materialize it eagerly so the Arrow digest pass over the
+    # corpus runs exactly once — unpersisted, the mapInPandas digest +
+    # hash agg re-ran per consumer (measured 42 s → 17 s cold at
+    # sf0.01). Tiny residency: two fixed-width columns, one row per
+    # normalized group (same eager-localCheckpoint discipline as
+    # _capped_gram_index).
     counts = groups.select(
         F.col("keep_id"), F.col("dup_count").cast("long").alias("dup_count")
-    )
+    ).localCheckpoint(eager=True)
     survivors = df.join(
         counts.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
     )
