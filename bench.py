@@ -167,16 +167,27 @@ def main() -> None:
     # contention on a shared VM) rotate randomly between queries and
     # inflate one entry per run; three samples strip them reliably.
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    # Scheduler-wave guard (r10 verdict #5): at the 30×/100× campaign
+    # legs, entries whose true wall is under ~7 s sit inside the
+    # scheduler-wave noise band — one unlucky task-launch wave adds
+    # seconds, and with min-of-3 a band member showed a 5.8× phantom
+    # rung ratio on an unchanged plan (agg_hash, r10). Campaign legs
+    # set SPARK_GRAFT_BENCH_MIN5_UNDER=7: any query whose min-of-3
+    # lands under the threshold gets topped up to min-of-5. Off by
+    # default so the driver's sf0.1 run keeps its 3-iteration budget.
+    min5_under = float(os.environ.get("SPARK_GRAFT_BENCH_MIN5_UNDER", "0"))
 
     def measure(name: str) -> float:
         fn = qs[name]
         best = float("inf")
-        for _ in range(iters):  # min-of-N: strips scheduler noise
+        done = 0
+        while done < iters or (best < min5_under and done < max(iters, 5)):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        print(f"# {name}: {best:.3f}s", file=sys.stderr, flush=True)
+            done += 1
+        print(f"# {name}: {best:.3f}s (n={done})", file=sys.stderr, flush=True)
         return round(best, 3)
 
     # Control at head, MIDDLE, and tail (each min-of-N), control_wall =

@@ -25,3 +25,38 @@ def test_bucketed_join_has_no_exchange(spark):
 
     spark.sql("DROP TABLE IF EXISTS c_bkt")
     spark.sql("DROP TABLE IF EXISTS o_bkt")
+
+
+def test_two_hop_bucketed_layout_elides_lineitem_exchange_and_sort(spark):
+    """The r11 li1000 layout rung's plan contract at test scale
+    (tools/two_hop_bucketed_li1000.py): with lineitem's (l_orderkey,
+    l_partkey) projection and orders' (o_orderkey, o_custkey)
+    projection written bucketed+sorted on the orderkey (one file per
+    bucket via repartition-to-bucket-count), the bucket-aligned
+    o ⋈ l join plans with NO exchange and NO sort on either side, and
+    the broadcast-segment two-hop aggregation over it matches the
+    plain-parquet two_hop result exactly."""
+    from tools.two_hop_bucketed_li1000 import (
+        BUCKETS,
+        build_tables,
+        two_hop_bkt_v2,
+        two_hop_plain,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    build_tables(spark, sf)
+    try:
+        o = spark.table("li1000_o_bkt")
+        l = spark.table("li1000_li_bkt")
+        core = o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = core._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Sort [" not in plan, plan  # sortBy metadata trusted: no SMJ sort
+        assert BUCKETS == 64  # the rung's layout constant, pinned
+
+        got = sorted(two_hop_bkt_v2(spark, sf).collect())
+        want = sorted(two_hop_plain(spark, sf).collect())
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li1000_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS li1000_o_bkt")
