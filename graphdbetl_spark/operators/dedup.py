@@ -807,16 +807,33 @@ def ngram_containment_collapsed_pairs(
     counts = groups.select(
         F.col("keep_id"), F.col("dup_count").cast("long").alias("dup_count")
     ).localCheckpoint(eager=True)
+    # Adaptive survivor restriction (r11 measurement): the checkpoint
+    # above makes n_groups a free driver-side statistic, and the two
+    # regimes want opposite joins. LOW-CLONE corpora (survivors ≈
+    # corpus — the sf10 rung: 493k survivors for 7k dups) must NOT
+    # shuffle the text column just to drop a few duplicates; a
+    # BROADCAST semi-join (ids only, 8 B/row, ≤~16 MB at the cap)
+    # keeps the gram tokenizer reading straight off the scan — the
+    # shuffle form measured 72 s vs exact's 39 s at sf10, broadcast
+    # cuts the composition overhead to the digest pass. CLONE-HEAVY
+    # corpora past the cap (the actual collapse regime at 100 TB)
+    # take the shuffle semi-join, amortized by the Σ df² pair volume
+    # it removes (2.25× net win on the 150-deep exactclone fixture).
+    n_groups = counts.count()
+    broadcastable = n_groups <= 2_000_000
+    surv_ids = counts.select(F.col("keep_id").alias(id_col))
     survivors = df.join(
-        counts.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+        F.broadcast(surv_ids) if broadcastable else surv_ids,
+        id_col,
+        "left_semi",
     )
     pairs = ngram_containment_pairs(
         survivors, text_col, id_col, n, threshold, block_cols, max_gram_df
     )
-    # dup-count annotation: pairs is the small side by construction
-    # (threshold-filtered survivor pairs), counts is doc-count-sized —
-    # shuffle-hash equi-joins on the pair ids, never a broadcast of
-    # the corpus-sized counts.
+    # dup-count annotation: same statistic picks the join strategy —
+    # broadcast counts (two fixed-width cols) under the cap, else
+    # shuffle-hash on the pair ids (pairs is the small side by
+    # construction: threshold-filtered survivor pairs).
     ca = counts.select(
         F.col("keep_id").alias("contained_id"),
         F.col("dup_count").alias("contained_dups"),
@@ -825,9 +842,13 @@ def ngram_containment_collapsed_pairs(
         F.col("keep_id").alias("container_id"),
         F.col("dup_count").alias("container_dups"),
     )
+    if broadcastable:
+        ca, cb = F.broadcast(ca), F.broadcast(cb)
+    else:
+        ca, cb = ca.hint("shuffle_hash"), cb.hint("shuffle_hash")
     return (
-        pairs.join(ca.hint("shuffle_hash"), "contained_id")
-        .join(cb.hint("shuffle_hash"), "container_id")
+        pairs.join(ca, "contained_id")
+        .join(cb, "container_id")
         .select(
             "contained_id",
             "container_id",
