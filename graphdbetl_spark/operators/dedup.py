@@ -765,6 +765,7 @@ def ngram_containment_collapsed_pairs(
     threshold: float = 0.8,
     block_cols: list[str] | None = None,
     max_gram_df: int | None = 10_000,
+    broadcast_cap: int = 2_000_000,
 ) -> DataFrame:
     """Containment pairs with UPSTREAM CLONE COLLAPSE — the measured
     form of the 100 TB mitigation documented beside
@@ -820,7 +821,7 @@ def ngram_containment_collapsed_pairs(
     # take the shuffle semi-join, amortized by the Σ df² pair volume
     # it removes (2.25× net win on the 150-deep exactclone fixture).
     n_groups = counts.count()
-    broadcastable = n_groups <= 2_000_000
+    broadcastable = n_groups <= broadcast_cap
     surv_ids = counts.select(F.col("keep_id").alias(id_col))
     survivors = df.join(
         F.broadcast(surv_ids) if broadcastable else surv_ids,

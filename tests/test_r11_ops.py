@@ -96,3 +96,40 @@ def test_collapse_shrinks_pair_join_volume(spark):
     assert bare == 18
     # collapsed: just the one survivor-level containment pair
     assert collapsed == 1
+
+
+def test_collapsed_adaptive_restriction_paths_agree(spark):
+    """The survivor restriction is adaptive on the (free) group count:
+    broadcast ids/dup-counts under the cap, shuffle semi-join past it
+    (BASELINE.md "r11: containment upstream collapse" — the
+    unconditional shuffle form cost 1.85x at 500k docs). Both paths
+    must return identical pairs, and the plan must actually switch:
+    broadcast joins under the cap, none of the corpus-sized
+    broadcasts past it."""
+    from graphdbetl_spark.operators.dedup import (
+        ngram_containment_collapsed_pairs,
+    )
+
+    df = _clone_corpus(spark)
+    kw = dict(n=3, threshold=0.5, block_cols=["lang"])
+    bc = ngram_containment_collapsed_pairs(
+        df, "text", "doc_id", broadcast_cap=2_000_000, **kw
+    )
+    sh = ngram_containment_collapsed_pairs(
+        df, "text", "doc_id", broadcast_cap=0, **kw
+    )
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+
+    import re
+
+    def id_broadcasts(df):
+        # broadcast joins keyed on the doc/pair id — the adaptive
+        # joins; the containment core's stop-gram anti-join broadcasts
+        # on gh in BOTH forms and is not what switches
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return re.findall(
+            r"BroadcastHashJoin \[(?:doc_id|contained_id|container_id)", plan
+        )
+
+    assert len(id_broadcasts(bc)) >= 3  # semi-join + two dup-count joins
+    assert len(id_broadcasts(sh)) == 0
