@@ -117,6 +117,14 @@ HEADLINE = [
     # r10 addition: HLL two-hop reach with in-plan error-bound
     # attestation — benched cold like every new family.
     "graph_two_hop_approx",
+    # r11 additions: the containment upstream-collapse composition,
+    # the GK approx-cutpoint ccnet buckets, and IVF n_cells="auto"
+    # with in-plan attestation booleans — benched cold like every new
+    # family. (ivf_auto computes BOTH the exact and IVF forms in one
+    # plan — its wall is the attestation's price, not the operator's.)
+    "dedup_containment_collapsed",
+    "curation_ccnet_buckets_approx",
+    "decontaminate_semantic_ivf_auto",
 ]
 
 # Host-drift control (r7 verdict #6): a query whose code has been
