@@ -245,11 +245,22 @@ def emit_lines(
     the repo root. test_bench_line.py asserts the line stays < 1800
     chars even at 3-digit walls.
     """
+    def _wall(t: float) -> float | int:
+        # Magnitude-scaled precision keeps the line inside the driver's
+        # capture budget even with 3-digit walls (62 entries at 999.999
+        # overflowed the 2-decimal format); relative error stays <1% and
+        # bench_full.json keeps the full 3-decimal walls.
+        if t >= 100:
+            return int(round(t))
+        if t >= 10:
+            return round(t, 1)
+        return round(t, 2)
+
     compact = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 2),
         "unit": "sec",
-        "queries": {n: round(t, 2) for n, t in times.items()},
+        "queries": {n: _wall(t) for n, t in times.items()},
         "sf": sf_val,
         # host-drift control (see CONTROL above): median of three
         # spaced min-of-N probes (head/middle/tail). Compare normalized

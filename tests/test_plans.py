@@ -250,14 +250,14 @@ def test_driver_priority_slate():
     # every queries() entry must be oracle-backed (zero no_oracle rows)
     assert set(all_queries()) == set(all_oracles())
     root = Path(__file__).resolve().parent.parent
-    files = sorted(root.glob("CORRECTNESS_r0*.json"))
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
     try:  # pin to COMMITTED attestation files so the same commit can't
         # pass or fail depending on uncommitted working-tree state
         import subprocess
 
         tracked = set(
             subprocess.run(
-                ["git", "ls-files", "CORRECTNESS_r0*.json"],
+                ["git", "ls-files", "CORRECTNESS_r*.json"],
                 cwd=root,
                 capture_output=True,
                 text=True,
