@@ -56,7 +56,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from graphdbetl_spark.operators.similarity import _np_seq_sum
-from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+from graphdbetl_spark.operators.skew import adaptive_parallelism
 
 
 def _norms(m):
@@ -113,7 +113,7 @@ def kcenter_select(
     p = max(1, int(batch_p)) if batch_p else 1
     spark = emb.sparkSession
     src = (
-        ensure_scan_parallelism(emb, id_col)
+        adaptive_parallelism(emb, id_col)
         .select(id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("__v"))
         .persist()
     )
@@ -259,7 +259,7 @@ def mmr_select(
 
     p = max(1, int(batch_p)) if batch_p else 1
     spark = emb.sparkSession
-    base = ensure_scan_parallelism(emb, id_col).select(
+    base = adaptive_parallelism(emb, id_col).select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("__v")
     )
     qrow = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]

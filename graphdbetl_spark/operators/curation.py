@@ -1037,8 +1037,22 @@ def _logreg_fit(
             F.when(n > 200, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
         )
         .filter(n > 0)
-        .cache()
     )
+    # The featurize pass above runs at full scan parallelism (CPU-heavy
+    # per row); the CACHED frame the 10 gradient rounds re-aggregate is
+    # 5 doubles/row, so give it a SIZE-derived partition count instead
+    # of the core count — every round pays a fixed per-task cost, and a
+    # core-count-partitioned tiny cache costs ~2.5× per round (r11
+    # bench: 169 ms vs 68 ms per aggregation job). The shuffle this
+    # adds moves 5 doubles/row once. Gradient sums stay on the round-6
+    # grid under any partitioning (documented ~1e-14 order noise).
+    from graphdbetl_spark.operators.skew import iterate_partitions
+
+    try:
+        feats = feats.repartition(iterate_partitions(df, 16 << 20))
+    except Exception:  # non-classic sessions: cache as-is
+        pass
+    feats = feats.cache()
     # AQE adds a per-stage re-plan break to every round's job; for
     # this loop each job is a FIXED 2-stage global scalar aggregation
     # over the cached frame (5 doubles cross the shuffle), so adaptive
