@@ -1245,9 +1245,9 @@ def dedup_normalized_exact_groups(
 
     Returns (norm_digest, keep_id, dup_count) with keep_id = min id
     per group (deterministic survivor)."""
-    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+    from graphdbetl_spark.operators.skew import adaptive_parallelism
 
-    src = ensure_scan_parallelism(df, id_col).select(
+    src = adaptive_parallelism(df, id_col).select(
         F.col(id_col), F.col(text_col)
     )
     id_type = dict(src.dtypes)[id_col]

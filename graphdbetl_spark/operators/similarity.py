@@ -78,7 +78,7 @@ def cosine_topk_bruteforce(
     import numpy as np
     import pandas as pd
 
-    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+    from graphdbetl_spark.operators.skew import adaptive_parallelism
 
     qrows = queries.select(id_col, vec_col).collect()
     qids = [r[0] for r in qrows]
@@ -110,7 +110,7 @@ def cosine_topk_bruteforce(
                 {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
             )
 
-    src = ensure_scan_parallelism(corpus, id_col).select(id_col, vec_col)
+    src = adaptive_parallelism(corpus, id_col).select(id_col, vec_col)
     id_type = dict(src.dtypes)[id_col]
     scored = src.mapInPandas(
         kern,
@@ -1621,7 +1621,7 @@ def cosine_range_search(
     import numpy as np
     import pandas as pd
 
-    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+    from graphdbetl_spark.operators.skew import adaptive_parallelism
 
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows])
@@ -1654,7 +1654,7 @@ def cosine_range_search(
                 {"query_id": [], "neighbor_id": [], "__cos": []}
             )
 
-    src = ensure_scan_parallelism(corpus, id_col).select(id_col, vec_col)
+    src = adaptive_parallelism(corpus, id_col).select(id_col, vec_col)
     id_type = dict(src.dtypes)[id_col]
     return src.mapInPandas(
         kern, schema=f"query_id {id_type}, neighbor_id {id_type}, __cos double"

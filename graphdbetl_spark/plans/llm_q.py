@@ -657,7 +657,7 @@ def _embedding_blocked_pairs(
     import pandas as pd
 
     from graphdbetl_spark.operators.similarity import _np_seq_sum  # noqa: F401
-    from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+    from graphdbetl_spark.operators.skew import adaptive_parallelism
 
     e = T(spark, sf, "embeddings")
     n = e.count()
@@ -692,7 +692,7 @@ def _embedding_blocked_pairs(
                 }
             )
 
-    u = ensure_scan_parallelism(e, "vec_id").select("vec_id", "label", v.alias("v"))
+    u = adaptive_parallelism(e, "vec_id").select("vec_id", "label", v.alias("v"))
     bkt = u.mapInPandas(
         kern, schema="vec_id bigint, label int, v array<double>, bucket int"
     )
