@@ -468,10 +468,18 @@ def _capped_gram_slim(
     # one wide tokenize pass, every downstream reads fixed-width rows.
     g = ensure_scan_parallelism(df, id_col).select(*base_cols)
     gh = F.conv(F.substring(F.md5(F.col("__gram")), 1, 15), 16, 10).cast("long")
-    ex = (
+    # SIZE-CONDITIONAL materialization (r11): the eager checkpoint is
+    # what makes the 30×/100× rungs linear (one wide tokenize pass),
+    # but at tiny scale the materialization job costs ~5× the plain
+    # recompute (~0.9 s vs ~0.17 s at sf0.1) — below the threshold the
+    # deterministic explode is recomputed per consumer and the
+    # self-join's identical sides share one exchange via ReuseExchange.
+    from graphdbetl_spark.operators.skew import checkpoint_if_scaled
+
+    ex = checkpoint_if_scaled(
         g.select(id_col, *(block_cols or []), F.explode("grams").alias("__gram"))
-        .select(id_col, *(block_cols or []), gh.alias("gh"))
-        .localCheckpoint(eager=True)
+        .select(id_col, *(block_cols or []), gh.alias("gh")),
+        size_of=df,
     )
     if max_gram_df is not None:
         # grams are distinct per doc, so count(*) per fingerprint ==
@@ -695,8 +703,14 @@ def containment_screened_pairs(
             ).alias("__sample"),
             F.size("__kg").alias("gram_count"),
         )
-        .localCheckpoint(eager=True)
     )
+    # size-conditional: same rationale as _capped_gram_slim — the
+    # doc-sized materialization is the scale device; at tiny scale the
+    # three consumers recompute the deterministic grouped form cheaper
+    # than the checkpoint job costs.
+    from graphdbetl_spark.operators.skew import checkpoint_if_scaled
+
+    garr = checkpoint_if_scaled(garr, size_of=df)
     s = garr.select(
         F.col(id_col).alias("__sid"),
         *(F.col(c).alias(f"__s_{c}") for c in (block_cols or [])),

@@ -51,6 +51,33 @@ def iterate_partitions(df: DataFrame, bytes_per_task: int = 4 << 20) -> int:
     ))
 
 
+def checkpoint_if_scaled(
+    df: DataFrame, size_of: DataFrame, threshold_bytes: int = 4 << 20
+) -> DataFrame:
+    """``df.localCheckpoint(eager=True)`` when ``size_of``'s
+    optimized-plan bytes exceed the threshold, else ``df`` unchanged.
+
+    The eager checkpoint is a SCALE device (compute a multiply-consumed
+    subtree once, cut lineage, pin it before a self-join races to
+    build it twice — see _capped_gram_index). At tiny scale it
+    inverts: the r11 bench measured the materialization job at
+    ~0.8-1.0 s for a 270k-row gram explode whose plain recompute costs
+    ~0.17 s — so below the threshold every consumer just recomputes
+    the (deterministic) lineage, and identical self-join sides still
+    collapse into one exchange via ReuseExchange. Callers must only
+    use this for DETERMINISTIC frames: an unpinned nondeterministic
+    subtree could show different rows to different consumers."""
+    try:
+        stats_bytes = int(
+            size_of._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # non-classic sessions: keep the scale behavior
+        stats_bytes = threshold_bytes + 1
+    if stats_bytes > threshold_bytes:
+        return df.localCheckpoint(eager=True)
+    return df
+
+
 def adaptive_parallelism(
     df: DataFrame, key_col: str, bytes_per_task: int = 4 << 20
 ) -> DataFrame:
