@@ -59,6 +59,36 @@ from graphdbetl_spark.operators.similarity import _np_seq_sum
 from graphdbetl_spark.operators.skew import adaptive_parallelism
 
 
+def _arrow_ids_vecs(rb, id_col: str):
+    """(ids, vectors) from a mapInArrow record batch whose columns are
+    (id_col, __v list<double>, ...): ids as int64 ndarray, vectors as a
+    zero-copy (n, dim) float64 view over the list column's values
+    buffer (guide §4.2 — no per-row tolist, no pandas object Series).
+    Embeddings are fixed-dim by construction; reshape enforces it."""
+    import numpy as np
+
+    ids = rb.column(rb.schema.get_field_index(id_col)).to_numpy(
+        zero_copy_only=False
+    )
+    lv = rb.column(rb.schema.get_field_index("__v"))
+    v = np.asarray(lv.flatten(), dtype=np.float64).reshape(rb.num_rows, -1)
+    return ids, v
+
+
+def _arrow_out(id_col: str, ids, vecs, extra: dict):
+    """Output record batch (id_col, __v, *extra) for the trajectory
+    kernels' per-batch top-p rows."""
+    import pyarrow as pa
+
+    cols = [pa.array(ids, type=pa.int64()),
+            pa.array(list(vecs), type=pa.list_(pa.float64()))]
+    names = [id_col, "__v"]
+    for name, arr in extra.items():
+        cols.append(pa.array(arr, type=pa.float64()))
+        names.append(name)
+    return pa.RecordBatch.from_arrays(cols, names=names)
+
+
 def _norms(m):
     """Row norms via the left-fold sum, failing fast on zero norm —
     cosine distance is undefined there and the NaN it would produce
@@ -108,7 +138,6 @@ def kcenter_select(
     picks per pass (see module docstring) — the same trajectory in
     ~k/p jobs. Embeddings must have nonzero norm (fail-fast)."""
     import numpy as np
-    import pandas as pd
 
     p = max(1, int(batch_p)) if batch_p else 1
     spark = emb.sparkSession
@@ -128,15 +157,24 @@ def kcenter_select(
             cn = _norms(cm)
             picked = frozenset(cid for cid, _ in centers)
 
-            def kern(batches, cm=cm, cn=cn, picked=picked, p=p):
-                for pdf in batches:
-                    if len(pdf) == 0:
+            picked_arr = np.fromiter(picked, dtype=np.int64, count=len(picked))
+
+            def kern(batches, cm=cm, cn=cn, picked_arr=picked_arr, p=p):
+                # mapInArrow, not mapInPandas: the list<double> column
+                # arrives as one contiguous values buffer viewed as an
+                # (n, dim) matrix — no per-row tolist / object Series
+                # (guide §4.2) — and the measured per-job boundary cost
+                # drops to the JVM-job floor. The arithmetic
+                # (_max_cos dim-major fold) is unchanged, so the
+                # trajectory stays bit-identical.
+                for rb in batches:
+                    if rb.num_rows == 0:
                         continue
-                    keep = ~pdf[id_col].isin(picked)
-                    pdf = pdf[keep]
-                    if len(pdf) == 0:
+                    ids, v = _arrow_ids_vecs(rb, id_col)
+                    keep = ~np.isin(ids, picked_arr)
+                    if not keep.any():
                         continue
-                    v = np.array(pdf["__v"].tolist(), dtype=np.float64)
+                    ids, v = ids[keep], v[keep]
                     vn = _norms(v)
                     mc = _max_cos(v, vn, cm, cn)
                     # partial cut: only each batch's top-p candidates
@@ -145,18 +183,11 @@ def kcenter_select(
                     # bound below: a suppressed row sits at or above
                     # its batch's p-th emitted row, which sits at or
                     # above the global p-th collected row.
-                    ids = pdf[id_col].values
                     top = np.lexsort((ids, mc))[:p]
-                    yield pd.DataFrame(
-                        {
-                            id_col: ids[top],
-                            "__v": [list(x) for x in v[top]],
-                            "__mc": mc[top],
-                        }
-                    )
+                    yield _arrow_out(id_col, ids[top], v[top], {"__mc": mc[top]})
 
             rows = (
-                src.mapInPandas(
+                src.mapInArrow(
                     kern, schema=f"{id_col} bigint, __v array<double>, __mc double"
                 )
                 .orderBy(F.col("__mc").asc(), F.col(id_col).asc())
@@ -255,7 +286,6 @@ def mmr_select(
     nonzero norm (fail-fast, same rationale as kcenter_select).
     """
     import numpy as np
-    import pandas as pd
 
     p = max(1, int(batch_p)) if batch_p else 1
     spark = emb.sparkSession
@@ -268,22 +298,20 @@ def mmr_select(
     qn = float(_norms(qv[None, :])[0])
 
     def rel_kern(batches, qv=qv, qn=qn, qid=qid):
-        for pdf in batches:
-            pdf = pdf[pdf[id_col] != qid]
-            if len(pdf) == 0:
+        # mapInArrow (guide §4.2): see kcenter_select's kern comment.
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            v = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            ids, v = _arrow_ids_vecs(rb, id_col)
+            keep = ids != qid
+            if not keep.any():
+                continue
+            ids, v = ids[keep], v[keep]
             vn = _norms(v)
             rel = _max_cos(v, vn, qv[None, :], np.array([qn]))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "__v": [list(x) for x in v],
-                    "__rel": rel,
-                }
-            )
+            yield _arrow_out(id_col, ids, v, {"__rel": rel})
 
-    src = base.mapInPandas(
+    src = base.mapInArrow(
         rel_kern, schema=f"{id_col} bigint, __v array<double>, __rel double"
     ).persist()
     try:
@@ -297,36 +325,37 @@ def mmr_select(
                 cm = cn = None
             picked = frozenset(cid for cid, _ in selected)
 
-            def kern(batches, cm=cm, cn=cn, picked=picked, p=p):
-                for pdf in batches:
-                    if len(pdf) == 0:
+            picked_arr = np.fromiter(picked, dtype=np.int64, count=len(picked))
+
+            def kern(batches, cm=cm, cn=cn, picked_arr=picked_arr, p=p):
+                # mapInArrow (guide §4.2): see kcenter_select's kern.
+                for rb in batches:
+                    if rb.num_rows == 0:
                         continue
-                    pdf = pdf[~pdf[id_col].isin(picked)]
-                    if len(pdf) == 0:
+                    ids, v = _arrow_ids_vecs(rb, id_col)
+                    rel = rb.column(
+                        rb.schema.get_field_index("__rel")
+                    ).to_numpy(zero_copy_only=False).astype(np.float64)
+                    keep = ~np.isin(ids, picked_arr)
+                    if not keep.any():
                         continue
-                    v = np.array(pdf["__v"].tolist(), dtype=np.float64)
-                    rel = pdf["__rel"].values.astype(np.float64)
+                    ids, v, rel = ids[keep], v[keep], rel[keep]
                     if cm is not None:
                         mc = _max_cos(v, _norms(v), cm, cn)
                         score = 0.5 * rel - 0.5 * mc
                     else:
                         score = 0.5 * rel
-                    ids = pdf[id_col].values
                     # partial cut: each batch's top-p by the global
                     # (score DESC, id ASC) order — a suppressed row
                     # sits at or below its batch's p-th emitted row.
                     top = np.lexsort((ids, -score))[:p]
-                    yield pd.DataFrame(
-                        {
-                            id_col: ids[top],
-                            "__v": [list(x) for x in v[top]],
-                            "__rel": rel[top],
-                            "__score": score[top],
-                        }
+                    yield _arrow_out(
+                        id_col, ids[top], v[top],
+                        {"__rel": rel[top], "__score": score[top]},
                     )
 
             rows = (
-                src.mapInPandas(
+                src.mapInArrow(
                     kern,
                     schema=(
                         f"{id_col} bigint, __v array<double>,"
