@@ -839,7 +839,11 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def ccnet_perplexity_buckets(
-    df: DataFrame, text_col: str, id_col: str, lang_col: str
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    scored_langs: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
     language's documents by LM score and split into head / middle /
@@ -863,14 +867,16 @@ def ccnet_perplexity_buckets(
     (approx-percentile cutpoints, no per-language sort task) — kept
     out of the oracle entry because approx cutpoints don't replay;
     the exact tercile here is the attested semantics."""
-    scored = bigram_logprob(df, text_col, id_col)
-    langs = df.select(F.col(id_col), F.col(lang_col))
+    if scored_langs is None:
+        scored_langs = bigram_logprob(df, text_col, id_col).join(
+            df.select(F.col(id_col), F.col(lang_col)), id_col
+        )
     w = Window.partitionBy(lang_col).orderBy(
         F.col("mean_logprob").desc(), F.col(id_col)
     )
     b = F.ntile(3).over(w)
     return (
-        scored.join(langs, id_col)
+        scored_langs
         .select(
             F.col(id_col),
             F.col(lang_col),
@@ -888,6 +894,7 @@ def ccnet_perplexity_buckets_approx(
     id_col: str,
     lang_col: str,
     accuracy: int = 10_000,
+    scored_langs: DataFrame | None = None,
 ) -> DataFrame:
     """Production form of :func:`ccnet_perplexity_buckets` (r9 verdict
     #4): per-language tercile CUTPOINTS from
@@ -914,15 +921,21 @@ def ccnet_perplexity_buckets_approx(
     stays the tercile oracle (pytest: tests/test_r10_ops.py pins ≥95%
     agreement and off-by-one-bucket-only disagreements on the
     continuous fixture)."""
-    scored = bigram_logprob(df, text_col, id_col)
-    langs = df.select(F.col(id_col), F.col(lang_col))
-    # (id, lang, score) is doc-count-sized (~24 B/doc); materialize it
-    # once — BOTH the cutpoint aggregation and the bucket assignment
-    # read it, and without this the whole LM-scoring subtree (the
-    # dominant cost) is derived twice (measured 9.9 s vs the exact
-    # form's 7.5 s at the 100× replica; materialized it shares the
-    # scoring cost the exact form pays once).
-    j = scored.join(langs, id_col).localCheckpoint(eager=True)
+    if scored_langs is None:
+        scored = bigram_logprob(df, text_col, id_col)
+        langs = df.select(F.col(id_col), F.col(lang_col))
+        # (id, lang, score) is doc-count-sized (~24 B/doc); materialize
+        # it once — BOTH the cutpoint aggregation and the bucket
+        # assignment read it, and without this the whole LM-scoring
+        # subtree (the dominant cost) is derived twice (measured 9.9 s
+        # vs the exact form's 7.5 s at the 100× replica; materialized
+        # it shares the scoring cost the exact form pays once).
+        j = scored.join(langs, id_col).localCheckpoint(eager=True)
+    else:
+        # caller owns the (id, score, lang) materialization — the
+        # attestation entry shares ONE scored frame between this and
+        # the exact form (r11: two full LM subtrees halved to one).
+        j = scored_langs
     cuts = j.groupBy(lang_col).agg(
         F.percentile_approx(
             "mean_logprob", [1.0 / 3.0, 2.0 / 3.0], accuracy

@@ -879,14 +879,27 @@ def curation_ccnet_buckets_approx(spark: SparkSession, sf: str) -> DataFrame:
     production pipeline runs only the approx form. Exact form stays
     the value-level tercile oracle (`curation_ccnet_buckets`)."""
     from graphdbetl_spark.operators.curation import (
+        bigram_logprob,
         ccnet_perplexity_buckets,
         ccnet_perplexity_buckets_approx,
     )
 
     d = T(spark, sf, "documents")
-    exact = ccnet_perplexity_buckets(d, "text", "doc_id", "lang")
+    # ONE LM-scoring subtree for both forms (r11): score once, join
+    # lang, materialize the doc-sized (id, score, lang) table, and
+    # feed it to the exact ntile AND the GK-cutpoint form — the two
+    # independent calls each built their own full bigram-LM subtree
+    # (two c2 checkpoints, two scoring joins) for identical values.
+    scored_langs = (
+        bigram_logprob(d, "text", "doc_id")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    exact = ccnet_perplexity_buckets(
+        d, "text", "doc_id", "lang", scored_langs=scored_langs
+    )
     approx = ccnet_perplexity_buckets_approx(
-        d, "text", "doc_id", "lang"
+        d, "text", "doc_id", "lang", scored_langs=scored_langs
     ).withColumnRenamed("bucket", "bucket_approx")
 
     def _idx(col: str):  # bucket -> ordinal, for the adjacency check
