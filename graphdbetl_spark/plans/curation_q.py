@@ -710,6 +710,10 @@ def decontaminate_semantic_ivf_auto(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = clean.unionByName(twins)
+    # NOTE (r11): exact is consumed twice (comparison join +
+    # exact_stats), but materializing it LOST the paired A/B at sf0.1
+    # (2.9 -> 3.2 s, 3.2 -> 4.2 s) — the second derivation is cheaper
+    # than the eager checkpoint job. Left unmaterialized.
     exact = semantic_decontaminate(
         corpus, ev, "vec_id", "embedding", threshold=0.9
     )
