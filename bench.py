@@ -190,6 +190,22 @@ def main() -> None:
         best = float("inf")
         done = 0
         while done < iters or (best < min5_under and done < max(iters, 5)):
+            # Cache hygiene (r11 verdict #2, guide §5): operators that
+            # return a lazily-consumed frame built over .cache()d
+            # intermediates (dedup_minhash's hashed-shingle table,
+            # dedup_first_wins' survivor set, the incremental-minhash
+            # index) cannot unpersist before the caller's action, so
+            # iteration 1's blocks stay in the CacheManager — and Spark
+            # matches cached plans by CANONICALIZED logical plan, so
+            # iterations 2..N of the identical query silently read
+            # iteration 1's cached blocks: min-of-N reported warm-cache
+            # walls and pinned dead blocks in storage memory. Clearing
+            # between iterations (OUTSIDE the timed region — the timed
+            # region itself is unchanged: fn() + noop write) makes every
+            # sample compute from the parquet inputs. Expected effect is
+            # honest (higher) walls for the never-unpersisted entries;
+            # r11 numbers for them were warm-cache flattered.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -17,6 +17,7 @@ installed here); at deployment only the codec branch of
 
 from __future__ import annotations
 
+import os
 import struct
 from collections.abc import Iterator
 
@@ -24,7 +25,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from graphdbetl_spark.operators.skew import ensure_scan_parallelism
+from graphdbetl_spark.operators.skew import adaptive_parallelism
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -74,6 +75,86 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length must be width*height*3")
     return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+# Decode-weight partitioning knob: bytes of (already column-pruned)
+# plan stats per task. 128 KB of id-column stats ≈ 5-7k rows ≈ ~100 ms
+# of vectorized attach+decode+hash per task — heavy enough to amortize
+# the fixed per-task Python/Arrow cost, light enough that a replica
+# rung reaches full parallelism (sf0.1 → 1 task, winning A/B arm; 30×
+# → ~26 tasks, where full fan-out won the rung A/B). Config-exposed so
+# a deployment with a real codec (heavier per row) can lower it.
+_DECODE_BPT = int(os.environ.get("SPARK_GRAFT_DECODE_BPT", str(128 << 10)))
+
+
+def _fan(df: DataFrame, *cols: str) -> DataFrame:
+    """Fan-out posture for the decode kernels (r12): project to ONLY
+    the columns the kernel reads FIRST (§4.1 — an opaque mapInPandas
+    otherwise ships every column AND sizes the stats on them), then
+    size-derived partitioning at decode weight. The r11 posture
+    (``ensure_scan_parallelism``: fan every small scan to the core
+    count) was built for the per-pixel-Python kernels; with the
+    vectorized kernels the driver's own 8-vs-32-core data (r11 scaling
+    ratios 0.47/0.48) showed the 32-way fan-out tax dominating at
+    sf0.1, and the paired A/B confirmed (1-task arm won 9/10 rounds at
+    sf0.1; full fan-out won the 30× rung — this sizing reproduces both
+    winners)."""
+    return adaptive_parallelism(df.select(*cols), cols[0], _DECODE_BPT)
+
+
+def _rows(pdf: pd.DataFrame, *cols: str):
+    """Row iteration over plain Python lists. ``pdf.iterrows()`` boxes
+    a pandas Series PER ROW — for the 48-pixel fixtures that costs more
+    than the decode it wraps (guide §4.2: batch-level work, not row
+    boxing); zipping the columns' object lists is C-speed."""
+    return zip(*(pdf[c].tolist() for c in cols))
+
+
+def _synthetic_rgb_batch(ids, width: int, height: int):
+    """Vectorized :func:`synthetic_rgb` over an id batch: (n, w·h·3)
+    uint8 matrix, row i byte-identical to ``synthetic_rgb(ids[i])`` —
+    int64 modular arithmetic is exact, so this is the same function
+    evaluated batch-wise (guide §4.2: hand whole batches to NumPy
+    instead of per-pixel Python loops). Parity pinned by pytest."""
+    import numpy as np
+
+    ida = np.asarray(ids, dtype=np.int64)[:, None, None]
+    x = np.arange(width, dtype=np.int64)[None, None, :]
+    y = np.arange(height, dtype=np.int64)[None, :, None]
+    r = (ida * 31 + x * 7 + y * 13) % 256
+    g = (ida * 17 + x * 5 + y * 11) % 256
+    b = (ida * 29 + x * 3 + y * 19) % 256
+    out = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return out.reshape(out.shape[0], -1)
+
+
+def _synthetic_rgb_cluster_batch(ids, width: int, height: int):
+    """Vectorized :func:`synthetic_rgb_cluster` (same treatment as
+    :func:`_synthetic_rgb_batch`; parity pinned by pytest)."""
+    import numpy as np
+
+    ida = np.asarray(ids, dtype=np.int64)
+    k = ida[:, None] // 10
+    c = ida[:, None] % 10
+    p = np.arange(width * height, dtype=np.int64)[None, :]
+    t = (k * 40503 + p * 9973 + 12345) % 65536
+    r = (t * t) // 256 % 256
+    r = np.where(p == c, (r + 120) % 256, r)
+    t = (k * 31727 + p * 8191 + 54321) % 65536
+    g = (t * t) // 256 % 256
+    t = (k * 28657 + p * 7919 + 11111) % 65536
+    b = (t * t) // 256 % 256
+    return (
+        np.stack([r, g, b], axis=-1).astype(np.uint8).reshape(len(ida), -1)
+    )
+
+
+def _encode_ppm_batch(mat, width: int, height: int) -> list[bytes]:
+    """P6 payloads from a (n, w·h·3) uint8 matrix — the constant header
+    is built once; each payload is header + the row's contiguous bytes
+    (byte-identical to :func:`encode_ppm` per row)."""
+    hdr = b"P6\n%d %d\n255\n" % (width, height)
+    return [hdr + row.tobytes() for row in mat]
 
 
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
@@ -184,17 +265,19 @@ def attach_synthetic_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids = pdf[id_col].tolist()
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "payload": [
-                        encode(width, height, synthetic_rgb(int(i), width, height))
-                        for i in ids
-                    ],
-                }
-            )
+            if fmt == "ppm":
+                # vectorized generate + slice-free encode (guide §4.2)
+                payloads = _encode_ppm_batch(
+                    _synthetic_rgb_batch(ids, width, height), width, height
+                )
+            else:  # BMP keeps the reference per-row path (BGR + padding)
+                payloads = [
+                    encode(width, height, synthetic_rgb(int(i), width, height))
+                    for i in ids
+                ]
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return ensure_scan_parallelism(df, id_col).select(id_col).mapInPandas(
+    return _fan(df, id_col).mapInPandas(
         batches, schema
     )
 
@@ -218,18 +301,38 @@ def decode_features(df: DataFrame, payload_col: str = "payload", id_col: str = "
     sums. Sums are exact integers, so the comparison against an oracle
     carries zero float-formatting risk."""
 
+    import numpy as np
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows: dict[str, list] = {k.name: [] for k in DECODE_SCHEMA.fields}
-            for _, row in pdf.iterrows():
-                fmt, w, h, rgb = decode_image(bytes(row[payload_col]))
-                rows["doc_id"].append(row[id_col])
+            bufs: list = []
+            for rid, pl in _rows(pdf, id_col, payload_col):
+                fmt, w, h, rgb = decode_image(bytes(pl))
+                rows["doc_id"].append(rid)
                 rows["format"].append(fmt)
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["sum_r"].append(sum(rgb[0::3]))
-                rows["sum_g"].append(sum(rgb[1::3]))
-                rows["sum_b"].append(sum(rgb[2::3]))
+                bufs.append(rgb)
+            # exact integer channel sums: uniform geometry (the common
+            # corpus shape) sums the whole batch as ONE stacked int64
+            # matrix (guide §4.2 — per-row numpy loses to per-row
+            # Python sums at 48-pixel images; batch numpy beats both);
+            # mixed geometries keep the per-row reference sums.
+            sizes = {len(b) for b in bufs}
+            if bufs and len(sizes) == 1 and next(iter(sizes)):
+                mat = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(
+                    len(bufs), -1, 3
+                )
+                s = mat.astype(np.int64).sum(axis=1)
+                rows["sum_r"] = s[:, 0].tolist()
+                rows["sum_g"] = s[:, 1].tolist()
+                rows["sum_b"] = s[:, 2].tolist()
+            else:
+                for rgb in bufs:
+                    rows["sum_r"].append(sum(rgb[0::3]))
+                    rows["sum_g"].append(sum(rgb[1::3]))
+                    rows["sum_b"].append(sum(rgb[2::3]))
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(batches, DECODE_SCHEMA)
@@ -261,10 +364,10 @@ def frame_sample(
     def batches(it):
         for pdf in it:
             ids, idxs, frames = [], [], []
-            for _, row in pdf.iterrows():
-                data = row[payload_col] or b""
+            for rid, data in _rows(pdf, id_col, payload_col):
+                data = data or b""
                 for i, off in enumerate(range(0, len(data), stride)):
-                    ids.append(row[id_col])
+                    ids.append(rid)
                     idxs.append(i)
                     frames.append(bytes(data[off : off + frame_size]))
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames})
@@ -281,15 +384,22 @@ def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = 
     are exactly what a real decoder uses.
     """
 
+    import numpy as np
+
+    def _mean(b: bytes) -> str:
+        if not len(b):
+            return "0"
+        # exact integer byte sum via one vectorized pass (== sum(b))
+        s = int(np.frombuffer(b, dtype=np.uint8).astype(np.int64).sum())
+        return f"{(s / len(b)):.4f}"
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": pdf[payload_col].map(len).astype("int64"),
-                    "byte_mean": pdf[payload_col].map(
-                        lambda b: f"{(sum(b) / len(b)):.4f}" if len(b) else "0"
-                    ),
+                    "byte_mean": pdf[payload_col].map(_mean),
                 }
             )
             yield out
@@ -325,30 +435,40 @@ def resize_media(
     """
     target = width * height
 
+    import numpy as np
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_ids, out_payloads, out_meta = [], [], []
-            for _, row in pdf.iterrows():
-                data = bytes(row[payload_col] or b"")
+            for rid, pl in _rows(pdf, id_col, payload_col):
+                data = bytes(pl or b"")
                 try:
                     fmt, sw, sh, rgb = decode_image(data)
-                    resampled = bytearray()
-                    for y in range(height):
-                        sy = min(int(y * sh / height), sh - 1)
-                        for x in range(width):
-                            sx = min(int(x * sw / width), sw - 1)
-                            base = 3 * (sy * sw + sx)
-                            resampled += rgb[base : base + 3]
+                    # nearest-neighbor resample as one fancy-indexed
+                    # gather (guide §4.2). Same truncating float map as
+                    # the per-pixel reference: int(y*sh/height) ==
+                    # float64-divide then trunc on both paths.
+                    sy = np.minimum(
+                        (np.arange(height) * sh / height).astype(np.int64), sh - 1
+                    )
+                    sx = np.minimum(
+                        (np.arange(width) * sw / width).astype(np.int64), sw - 1
+                    )
+                    a = np.frombuffer(rgb, dtype=np.uint8).reshape(sh, sw, 3)
+                    resampled = a[sy][:, sx].tobytes()
                     encode = encode_ppm if fmt == "ppm" else encode_bmp
-                    resized = encode(width, height, bytes(resampled))
+                    resized = encode(width, height, resampled)
                 except (NotImplementedError, ValueError, IndexError, struct.error):
                     fmt = "fake"
                     if len(data) >= target:
                         step = len(data) / target
-                        resized = bytes(data[int(i * step)] for i in range(target))
+                        idx = (np.arange(target) * step).astype(np.int64)
+                        resized = (
+                            np.frombuffer(data, dtype=np.uint8)[idx].tobytes()
+                        )
                     else:
                         resized = data + b"\x00" * (target - len(data))
-                out_ids.append(row[id_col])
+                out_ids.append(rid)
                 out_payloads.append(resized)
                 out_meta.append(
                     {
@@ -416,6 +536,17 @@ def synthetic_pcm16(doc_id: int, n_samples: int) -> bytes:
     )
 
 
+def _synthetic_pcm16_batch(ids, n_samples: int):
+    """Vectorized :func:`synthetic_pcm16`: (n, n_samples) little-endian
+    int16 matrix, row i byte-identical to ``synthetic_pcm16(ids[i])``
+    (int64 arithmetic exact; '<i2' matches struct.pack '<h')."""
+    import numpy as np
+
+    ida = np.asarray(ids, dtype=np.int64)[:, None]
+    i = np.arange(n_samples, dtype=np.int64)[None, :]
+    return (((ida * 31 + i * 7) % 65536) - 32768).astype("<i2")
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -440,17 +571,17 @@ def attach_synthetic_audio(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids = pdf[id_col].tolist()
+            pcm = _synthetic_pcm16_batch(ids, n_samples)
             yield pd.DataFrame(
                 {
                     id_col: ids,
                     "payload": [
-                        encode_wav(sample_rate, 1, synthetic_pcm16(int(i), n_samples))
-                        for i in ids
+                        encode_wav(sample_rate, 1, row.tobytes()) for row in pcm
                     ],
                 }
             )
 
-    return ensure_scan_parallelism(df, id_col).select(id_col).mapInPandas(
+    return _fan(df, id_col).mapInPandas(
         batches, schema
     )
 
@@ -460,18 +591,20 @@ def audio_features(df: DataFrame, payload_col: str = "payload", id_col: str = "d
     emit format fields plus exact integer sample sums (sum and sum-of-
     absolute — the integer core of DC offset and mean amplitude), so
     oracle comparison carries zero float risk."""
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows: dict[str, list] = {f.name: [] for f in AUDIO_SCHEMA.fields}
-            for _, row in pdf.iterrows():
-                rate, ch, samples = decode_wav(bytes(row[payload_col]))
-                rows["doc_id"].append(row[id_col])
+            for rid, pl in _rows(pdf, id_col, payload_col):
+                rate, ch, samples = decode_wav(bytes(pl))
+                a = np.asarray(samples, dtype=np.int64)
+                rows["doc_id"].append(rid)
                 rows["sample_rate"].append(rate)
                 rows["channels"].append(ch)
                 rows["n_samples"].append(len(samples))
-                rows["sum_samples"].append(sum(samples))
-                rows["sum_abs"].append(sum(abs(s) for s in samples))
+                rows["sum_samples"].append(int(a.sum()))
+                rows["sum_abs"].append(int(np.abs(a).sum()))
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_SCHEMA)
@@ -531,27 +664,29 @@ def attach_synthetic_video(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        hdr = b"P6\n%d %d\n255\n" % (width, height)
         for pdf in it:
             ids = pdf[id_col].tolist()
+            # all (id, frame) seeds generated in one vectorized pass
+            seeds = (
+                np.asarray(ids, dtype=np.int64)[:, None] * 1000
+                + np.arange(n_frames, dtype=np.int64)[None, :]
+            )
+            mat = _synthetic_rgb_batch(seeds.ravel(), width, height).reshape(
+                len(ids), n_frames, -1
+            )
             yield pd.DataFrame(
                 {
                     id_col: ids,
                     "payload": [
-                        encode_ppm_stream(
-                            [
-                                encode_ppm(
-                                    width, height,
-                                    synthetic_rgb(int(i) * 1000 + f, width, height),
-                                )
-                                for f in range(n_frames)
-                            ]
-                        )
-                        for i in ids
+                        b"".join(hdr + fr.tobytes() for fr in doc) for doc in mat
                     ],
                 }
             )
 
-    return ensure_scan_parallelism(df, id_col).select(id_col).mapInPandas(
+    return _fan(df, id_col).mapInPandas(
         batches, schema
     )
 
@@ -582,18 +717,37 @@ def video_frame_features(
     ceil(n_frames/every) rows inside mapInPandas — no explode, no
     shuffle; output partitioning follows the input."""
 
+    import numpy as np
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows: dict[str, list] = {f.name: [] for f in VIDEO_FRAME_SCHEMA.fields}
-            for _, row in pdf.iterrows():
-                for idx, frame in enumerate(split_ppm_stream(bytes(row[payload_col]))):
+            bufs: list = []
+            for rid, pl in _rows(pdf, id_col, payload_col):
+                for idx, frame in enumerate(split_ppm_stream(bytes(pl))):
                     if idx % every:
                         continue
                     _fmt, w, h, rgb = decode_image(frame)
-                    rows["doc_id"].append(row[id_col])
+                    rows["doc_id"].append(rid)
                     rows["frame_idx"].append(idx)
                     rows["width"].append(w)
                     rows["height"].append(h)
+                    bufs.append(rgb)
+            # batch-stacked exact channel sums for uniform frames, the
+            # decode_features treatment (per-row reference otherwise)
+            sizes = {len(b) for b in bufs}
+            if bufs and len(sizes) == 1 and next(iter(sizes)):
+                s = (
+                    np.frombuffer(b"".join(bufs), dtype=np.uint8)
+                    .reshape(len(bufs), -1, 3)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                rows["sum_r"] = s[:, 0].tolist()
+                rows["sum_g"] = s[:, 1].tolist()
+                rows["sum_b"] = s[:, 2].tolist()
+            else:
+                for rgb in bufs:
                     rows["sum_r"].append(sum(rgb[0::3]))
                     rows["sum_g"].append(sum(rgb[1::3]))
                     rows["sum_b"].append(sum(rgb[2::3]))
@@ -629,18 +783,27 @@ def audio_chunk_features(
     samples exactly: per-chunk sums must re-add to the whole-file sums
     (asserted in tests and by the shared oracle formula)."""
 
+    import numpy as np
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows: dict[str, list] = {f.name: [] for f in AUDIO_CHUNK_SCHEMA.fields}
-            for _, row in pdf.iterrows():
-                _rate, _ch, samples = decode_wav(bytes(row[payload_col]))
-                for ci in range(0, len(samples), chunk_samples):
-                    w = samples[ci : ci + chunk_samples]
-                    rows["doc_id"].append(row[id_col])
-                    rows["chunk_idx"].append(ci // chunk_samples)
-                    rows["n_samples"].append(len(w))
-                    rows["sum_samples"].append(sum(w))
-                    rows["sum_abs"].append(sum(abs(s) for s in w))
+            for rid, pl in _rows(pdf, id_col, payload_col):
+                _rate, _ch, samples = decode_wav(bytes(pl))
+                a = np.asarray(samples, dtype=np.int64)
+                # per-window exact integer sums in one reduceat pass
+                # (windows partition the samples exactly, final short
+                # window included — same invariant as the loop form)
+                starts = np.arange(0, len(a), chunk_samples)
+                sums = np.add.reduceat(a, starts)
+                absums = np.add.reduceat(np.abs(a), starts)
+                ns = np.diff(np.append(starts, len(a)))
+                for j in range(len(starts)):
+                    rows["doc_id"].append(rid)
+                    rows["chunk_idx"].append(j)
+                    rows["n_samples"].append(int(ns[j]))
+                    rows["sum_samples"].append(int(sums[j]))
+                    rows["sum_abs"].append(int(absums[j]))
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, AUDIO_CHUNK_SCHEMA)
@@ -665,17 +828,19 @@ def attach_synthetic_images_keyed(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].tolist(),
-                    "payload": [
-                        encode(width, height, synthetic_rgb(int(k), width, height))
-                        for k in pdf[key_col].tolist()
-                    ],
-                }
-            )
+            keys = pdf[key_col].tolist()
+            if fmt == "ppm":
+                payloads = _encode_ppm_batch(
+                    _synthetic_rgb_batch(keys, width, height), width, height
+                )
+            else:  # BMP keeps the reference per-row path
+                payloads = [
+                    encode(width, height, synthetic_rgb(int(k), width, height))
+                    for k in keys
+                ]
+            yield pd.DataFrame({id_col: pdf[id_col].tolist(), "payload": payloads})
 
-    return ensure_scan_parallelism(df, id_col).select(id_col, key_col).mapInPandas(
+    return _fan(df, id_col, key_col).mapInPandas(
         batches, schema
     )
 
@@ -702,13 +867,26 @@ def ahash_features(
     ``dedup_exact``'s cost model with images instead of text.
     """
 
+    import numpy as np
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, hashes = [], []
-            for _, row in pdf.iterrows():
-                _, w, h, rgb = decode_image(bytes(row[payload_col]))
-                ids.append(row[id_col])
-                hashes.append(_ahash_rgb(rgb, w * h))
+            ids = pdf[id_col].tolist()
+            bufs, npixs = [], []
+            for pl in pdf[payload_col].tolist():
+                _, w, h, rgb = decode_image(bytes(pl))
+                bufs.append(np.frombuffer(rgb, dtype=np.uint8))
+                npixs.append(w * h)
+            if bufs and len(set(npixs)) == 1 and 0 < npixs[0] <= 63:
+                # uniform geometry (the common corpus shape): hash the
+                # whole batch as one stacked matrix (guide §4.2). ≤63
+                # pixel-bits keeps the packed hash inside int64 — the
+                # LongType output column's existing bound.
+                hashes = _ahash_batch(np.stack(bufs), npixs[0]).tolist()
+            else:  # mixed geometries / oversized: per-row reference
+                hashes = [
+                    _ahash_rgb(b.tobytes(), n) for b, n in zip(bufs, npixs)
+                ]
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     return df.select(id_col, payload_col).mapInPandas(batches, AHASH_SCHEMA)
@@ -726,6 +904,21 @@ def _ahash_rgb(rgb: bytes, npix: int) -> int:
     return hv
 
 
+def _ahash_batch(mat, npix: int):
+    """Vectorized :func:`_ahash_rgb` over a (n, npix·3) uint8 matrix —
+    int64 arithmetic is exact and, for npix ≤ 63, the packed weight sum
+    stays ≤ 2⁶³−1, so results equal the per-row reference bit for bit
+    (pinned by pytest parity). Returns an int64 array."""
+    import numpy as np
+
+    a = mat.astype(np.int64).reshape(mat.shape[0], npix, 3)
+    grays = a.sum(axis=2) // 3
+    total = grays.sum(axis=1)
+    mask = grays * npix > total[:, None]
+    weights = np.int64(1) << np.arange(npix, dtype=np.int64)
+    return (mask * weights).sum(axis=1)
+
+
 def synthetic_pcm16_mixed(key: int, n_samples: int) -> bytes:
     """Key-structured PCM pattern for the duplicate-audio fixture: a
     Knuth-multiplier mix gives each key its own oscillation so
@@ -737,6 +930,22 @@ def synthetic_pcm16_mixed(key: int, n_samples: int) -> bytes:
         f"<{n_samples}h",
         *((((key * 31 + 1) * (i + 1) * 2654435761) % 65536) - 32768 for i in range(n_samples)),
     )
+
+
+def _synthetic_pcm16_mixed_batch(keys, n_samples: int):
+    """Vectorized :func:`synthetic_pcm16_mixed`. The product can exceed
+    2⁶³ for large keys; int64 multiplication wraps mod 2⁶⁴, and because
+    65536 divides 2⁶⁴ the wrap preserves the value mod 65536 — so the
+    ``% 65536`` result (numpy % is sign-of-divisor, i.e. non-negative)
+    equals Python's arbitrary-precision result for every integer key
+    (pinned by pytest parity, large keys included)."""
+    import numpy as np
+
+    ka = np.asarray(keys, dtype=np.int64)[:, None]
+    i = np.arange(1, n_samples + 1, dtype=np.int64)[None, :]
+    with np.errstate(over="ignore"):
+        mixed = (ka * 31 + 1) * i * 2654435761
+    return ((mixed % 65536) - 32768).astype("<i2")
 
 
 def attach_synthetic_audio_keyed(
@@ -755,17 +964,17 @@ def attach_synthetic_audio_keyed(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pcm = _synthetic_pcm16_mixed_batch(pdf[key_col].tolist(), n_samples)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].tolist(),
                     "payload": [
-                        encode_wav(sample_rate, 1, synthetic_pcm16_mixed(int(k), n_samples))
-                        for k in pdf[key_col].tolist()
+                        encode_wav(sample_rate, 1, row.tobytes()) for row in pcm
                     ],
                 }
             )
 
-    return ensure_scan_parallelism(df, id_col).select(id_col, key_col).mapInPandas(
+    return _fan(df, id_col, key_col).mapInPandas(
         batches, schema
     )
 
@@ -786,20 +995,20 @@ def audio_fingerprint_features(
     enough to run at ingest; dedup is then one groupBy on the packed
     fingerprint, dedup_exact's cost model on audio."""
 
+    import numpy as np
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, fps = [], []
-            for _, row in pdf.iterrows():
-                _rate, _ch, samples = decode_wav(bytes(row[payload_col]))
-                energies = [
-                    sum(abs(s) for s in samples[i : i + chunk])
-                    for i in range(0, len(samples), chunk)
-                ]
+            for rid, pl in _rows(pdf, id_col, payload_col):
+                _rate, _ch, samples = decode_wav(bytes(pl))
+                a = np.abs(np.asarray(samples, dtype=np.int64))
+                energies = np.add.reduceat(a, np.arange(0, len(a), chunk))
                 fp = 0
-                for c in range(1, len(energies)):
-                    if energies[c] > energies[c - 1]:
-                        fp |= 1 << (c - 1)
-                ids.append(row[id_col])
+                # bit c-1 set iff e_c > e_{c-1}: pack only the set bits
+                for c in np.nonzero(energies[1:] > energies[:-1])[0]:
+                    fp |= 1 << int(c)
+                ids.append(rid)
                 fps.append(fp)
             yield pd.DataFrame({"doc_id": ids, "afp": fps})
 
@@ -822,26 +1031,28 @@ def attach_synthetic_video_keyed(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        hdr = b"P6\n%d %d\n255\n" % (width, height)
         for pdf in it:
+            keys = pdf[key_col].tolist()
+            seeds = (
+                np.asarray(keys, dtype=np.int64)[:, None] * 1000
+                + np.arange(n_frames, dtype=np.int64)[None, :]
+            )
+            mat = _synthetic_rgb_batch(seeds.ravel(), width, height).reshape(
+                len(keys), n_frames, -1
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].tolist(),
                     "payload": [
-                        encode_ppm_stream(
-                            [
-                                encode_ppm(
-                                    width, height,
-                                    synthetic_rgb(int(k) * 1000 + f, width, height),
-                                )
-                                for f in range(n_frames)
-                            ]
-                        )
-                        for k in pdf[key_col].tolist()
+                        b"".join(hdr + fr.tobytes() for fr in doc) for doc in mat
                     ],
                 }
             )
 
-    return ensure_scan_parallelism(df, id_col).select(id_col, key_col).mapInPandas(
+    return _fan(df, id_col, key_col).mapInPandas(
         batches, schema
     )
 
@@ -861,16 +1072,25 @@ def video_signature_features(
     commutative frame-hash fold)."""
     import hashlib
 
+    import numpy as np
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, sigs = [], []
-            for _, row in pdf.iterrows():
-                hashes = []
-                for frame in split_ppm_stream(bytes(row[payload_col])):
+            for rid, pl in _rows(pdf, id_col, payload_col):
+                bufs, npixs = [], []
+                for frame in split_ppm_stream(bytes(pl)):
                     _fmt, w, h, rgb = decode_image(frame)
-                    hashes.append(_ahash_rgb(rgb, w * h))
+                    bufs.append(np.frombuffer(rgb, dtype=np.uint8))
+                    npixs.append(w * h)
+                if bufs and len(set(npixs)) == 1 and 0 < npixs[0] <= 63:
+                    hashes = _ahash_batch(np.stack(bufs), npixs[0]).tolist()
+                else:
+                    hashes = [
+                        _ahash_rgb(b.tobytes(), n) for b, n in zip(bufs, npixs)
+                    ]
                 joined = ",".join(str(h) for h in hashes)
-                ids.append(row[id_col])
+                ids.append(rid)
                 sigs.append(hashlib.md5(joined.encode()).hexdigest())
             yield pd.DataFrame({"doc_id": ids, "vsig": sigs})
 
@@ -923,13 +1143,14 @@ def attach_synthetic_image_clusters(
             yield pd.DataFrame(
                 {
                     id_col: ids,
-                    "payload": [
-                        encode_ppm(width, height, synthetic_rgb_cluster(int(i), width, height))
-                        for i in ids
-                    ],
+                    "payload": _encode_ppm_batch(
+                        _synthetic_rgb_cluster_batch(ids, width, height),
+                        width,
+                        height,
+                    ),
                 }
             )
 
-    return ensure_scan_parallelism(df, id_col).select(id_col).mapInPandas(
+    return _fan(df, id_col).mapInPandas(
         batches, schema
     )
