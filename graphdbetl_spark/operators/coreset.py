@@ -64,14 +64,39 @@ def _arrow_ids_vecs(rb, id_col: str):
     (id_col, __v list<double>, ...): ids as int64 ndarray, vectors as a
     zero-copy (n, dim) float64 view over the list column's values
     buffer (guide §4.2 — no per-row tolist, no pandas object Series).
-    Embeddings are fixed-dim by construction; reshape enforces it."""
+
+    Uniform row width is ASSERTED from the list offsets before the
+    reshape (r11 ADVICE): ``reshape(n, -1)`` alone only checks total
+    divisibility, so a ragged or null-list batch whose flattened
+    length happens to divide n would silently misalign every
+    subsequent vector — wrong-but-plausible cosine scores where the
+    old tolist() path raised. Null rows/elements are rejected for the
+    same reason (a NaN-filled row would desync the trajectory)."""
     import numpy as np
 
     ids = rb.column(rb.schema.get_field_index(id_col)).to_numpy(
         zero_copy_only=False
     )
     lv = rb.column(rb.schema.get_field_index("__v"))
-    v = np.asarray(lv.flatten(), dtype=np.float64).reshape(rb.num_rows, -1)
+    if lv.null_count:
+        raise ValueError(
+            f"null embedding rows in '{id_col}' batch — filter them "
+            "out before selection"
+        )
+    widths = np.diff(np.asarray(lv.offsets))
+    if widths.size and (widths != widths[0]).any():
+        raise ValueError(
+            "ragged embedding column: row widths "
+            f"{np.unique(widths).tolist()} — embeddings must share one "
+            "dimension"
+        )
+    flat = lv.flatten()
+    if flat.null_count:
+        raise ValueError(
+            "null elements inside embedding vectors — filter or impute "
+            "before selection"
+        )
+    v = np.asarray(flat, dtype=np.float64).reshape(rb.num_rows, -1)
     return ids, v
 
 

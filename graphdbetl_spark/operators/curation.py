@@ -1060,12 +1060,20 @@ def _logreg_fit(
     # of the core count — every round pays a fixed per-task cost, and a
     # core-count-partitioned tiny cache costs ~2.5× per round (r11
     # bench: 169 ms vs 68 ms per aggregation job). The shuffle this
-    # adds moves 5 doubles/row once. Gradient sums stay on the round-6
-    # grid under any partitioning (documented ~1e-14 order noise).
+    # adds moves 5 doubles/row once. Sized from the FEATS plan, not the
+    # raw documents frame (r11 ADVICE): Catalyst estimates the
+    # projection at a fixed ~68 B/row (measured identical at sf0.1 and
+    # a 30× replica), i.e. proportional to ROW COUNT, where the
+    # text-bytes proxy overshoots by the mean document length and
+    # silently degenerated the count to defaultParallelism at scale.
+    # 4 MB/task ≈ 60k cached rows per round task; sf0.1 → 1 partition
+    # (same behavior as the r11-measured win), 1000× → the clamp.
+    # Gradient sums stay on the round-6 grid under any partitioning
+    # (documented ~1e-14 order noise).
     from graphdbetl_spark.operators.skew import iterate_partitions
 
     try:
-        feats = feats.repartition(iterate_partitions(df, 16 << 20))
+        feats = feats.repartition(iterate_partitions(feats, 4 << 20))
     except Exception:  # non-classic sessions: cache as-is
         pass
     feats = feats.cache()

@@ -492,6 +492,32 @@ def _pq_fold(arr) -> F.Column:
     return F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)
 
 
+def _arrow_vecs(rb, col: str, dtype=None):
+    """Zero-copy (n, width) matrix view over a mapInArrow record
+    batch's fixed-width list column (guide §4.2 — no per-row tolist /
+    object Series). Uniform row width is asserted from the list
+    offsets and null rows/elements rejected (the coreset ragged-batch
+    guard): ``reshape(n, -1)`` alone only checks total divisibility
+    and would silently misalign a ragged batch."""
+    import numpy as np
+
+    lv = rb.column(rb.schema.get_field_index(col))
+    if lv.null_count:
+        raise ValueError(f"null rows in list column '{col}'")
+    widths = np.diff(np.asarray(lv.offsets))
+    if widths.size and (widths != widths[0]).any():
+        raise ValueError(
+            f"ragged list column '{col}': widths {np.unique(widths).tolist()}"
+        )
+    flat = lv.flatten()
+    if flat.null_count:
+        raise ValueError(f"null elements in list column '{col}'")
+    a = np.asarray(flat)
+    if dtype is not None:
+        a = a.astype(dtype, copy=False)
+    return a.reshape(rb.num_rows, -1)
+
+
 def _np_seq_sum(a, axis: int):
     """Sequential (left-fold) summation along ``axis`` — REQUIRED for
     bit-exactness against the engine folds: np.add.reduce/np.sum use
@@ -1219,13 +1245,19 @@ def pq_assign_codes(
     # batch. The codebook is collected bounded (m × k_codes rows — an
     # index artifact, not data) and shipped in the UDF closure.
     #
+    # r12: mapInArrow, not mapInPandas (guide §4.2) — the list<double>
+    # column arrives as ONE contiguous values buffer viewed zero-copy
+    # as an (n, dim) float64 matrix instead of a pandas object Series
+    # rebuilt per row via tolist(), and the (n, m) code matrix leaves
+    # as one ListArray over its ravel (no per-row boxing either way).
+    # The arithmetic between those boundaries is unchanged.
+    #
     # Bit-exactness vs the DuckDB oracle: every reduction goes through
     # _np_seq_sum (true left-fold order — np.add.reduce is pairwise
     # and drifts by ULPs), and np.argmax takes the FIRST maximum
     # (matches array_position-of-max). Pinned by
     # tests/test_similarity.py kernel-vs-fold equality tests.
     import numpy as np
-    import pandas as pd
 
     cb_rows = codebooks.collect()  # bounded: m × k_codes index rows
     k_codes = max(r["code"] for r in cb_rows) + 1
@@ -1235,20 +1267,24 @@ def pq_assign_codes(
     half_norms = _np_seq_sum(cb * cb, axis=2) / 2.0
 
     def assign(batches):
-        for pdf in batches:
-            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            v = _arrow_vecs(rb, vec_col, dtype=np.float64)
             norm = np.sqrt(_np_seq_sum(v * v, axis=1))
-            x = (v / norm[:, None]).reshape(len(pdf), m, sub)
+            x = (v / norm[:, None]).reshape(n, m, sub)
             scores = _np_seq_sum(x[:, :, None, :] * cb[None, :, :, :], axis=3) - half_norms
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "codes": list(scores.argmax(axis=2).astype("int32")),
-                }
-            )
+            codes = scores.argmax(axis=2).astype(np.int32)
+            offsets = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+            codes_arr = pa.ListArray.from_arrays(offsets, pa.array(codes.ravel()))
+            yield pa.RecordBatch.from_arrays([ids, codes_arr], names=[id_col, "codes"])
 
     id_type = dict(corpus.dtypes)[id_col]
-    return u.mapInPandas(assign, schema=f"{id_col} {id_type}, codes array<int>")
+    return u.mapInArrow(assign, schema=f"{id_col} {id_type}, codes array<int>")
 
 
 def pq_adc_topk(
@@ -1296,7 +1332,6 @@ def pq_adc_topk(
     lut_rows = ql.collect()  # bounded: one row per query in the batch
     if len(lut_rows) <= 256:
         import numpy as np
-        import pandas as pd
 
         qids = [r["query_id"] for r in lut_rows]
         L = np.array([r["__lut"] for r in lut_rows])  # (Q, m, k_codes)
@@ -1304,24 +1339,31 @@ def pq_adc_topk(
         id_type = dict(codes.dtypes)[id_col]
 
         def score_batches(batches):
-            for pdf in batches:
-                cmat = np.array(pdf["codes"].tolist())  # (n, m)
+            # mapInArrow (r12, guide §4.2): the (n, m) code matrix is a
+            # zero-copy view over the ListArray values buffer, and the
+            # (Q·n)-row output is three flat arrays — the old pandas
+            # path rebuilt the codes via tolist() and concatenated Q
+            # DataFrames per batch. Gather + left-fold unchanged.
+            import pyarrow as pa
+
+            for rb in batches:
+                n = rb.num_rows
+                if n == 0:
+                    continue
+                ids = rb.column(rb.schema.get_field_index(id_col))
+                cmat = _arrow_vecs(rb, "codes")  # (n, m) ints
                 picked = L[:, jj, cmat]  # (Q, n, m) gather
                 s = _np_seq_sum(picked, axis=2)  # left-fold over j
-                nid = pdf[id_col].to_numpy()
-                frames = [
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "neighbor_id": nid,
-                            "adc_cosine": s[qi],
-                        }
-                    )
-                    for qi, qid in enumerate(qids)
-                ]
-                yield pd.concat(frames, ignore_index=True)
+                qarr = pa.concat_arrays(
+                    [pa.array([qid] * n, type=ids.type) for qid in qids]
+                )
+                nid = pa.concat_arrays([ids] * len(qids))
+                yield pa.RecordBatch.from_arrays(
+                    [qarr, nid, pa.array(s.ravel())],
+                    names=["query_id", "neighbor_id", "adc_cosine"],
+                )
 
-        scored = codes.select(F.col(id_col), "codes").mapInPandas(
+        scored = codes.select(F.col(id_col), "codes").mapInArrow(
             score_batches,
             schema=f"query_id {id_type}, neighbor_id {id_type}, adc_cosine double",
         ).filter(F.col("query_id") != F.col("neighbor_id"))

@@ -95,6 +95,15 @@ def adaptive_parallelism(
     Use :func:`ensure_scan_parallelism` instead when the kernel is
     compute-bound per ROW (n-gram explode + md5, image decode) —
     there, spreading even a small corpus over all cores is the win.
+
+    DIRECTION: this helper only guards the few-splits→many-cores
+    direction (repartition UP); a tiny frame that already arrives in
+    many splits keeps them (r11 ADVICE). Coalescing down is left to
+    AQE's partition coalescing where a shuffle follows; a blind
+    ``coalesce`` here would also collapse the parallelism of whatever
+    upstream compute feeds the frame (coalesce fuses into the parent
+    stage), which is exactly the regression this helper exists to
+    avoid — so the down direction is deliberately not taken.
     """
     try:
         target = iterate_partitions(df, bytes_per_task)
