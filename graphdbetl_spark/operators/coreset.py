@@ -58,6 +58,14 @@ from pyspark.sql import DataFrame
 from graphdbetl_spark.operators.similarity import _np_seq_sum
 from graphdbetl_spark.operators.skew import adaptive_parallelism
 
+# Plan-evidence hook (r11 verdict #6): the committed plan dumps for
+# iterative operators showed only the final 8-row trajectory frame
+# (Scan ExistingRDD) — nothing about the per-round job the §2/§4
+# optimizations target. tools/dump_plans_r12.py sets this to a callable
+# receiving (label, DataFrame) for ONE round's pre-collect frame; None
+# in production (a single identity check per round).
+PLAN_PROBE = None
+
 
 def _arrow_ids_vecs(rb, id_col: str):
     """(ids, vectors) from a mapInArrow record batch whose columns are
@@ -211,14 +219,16 @@ def kcenter_select(
                     top = np.lexsort((ids, mc))[:p]
                     yield _arrow_out(id_col, ids[top], v[top], {"__mc": mc[top]})
 
-            rows = (
+            round_q = (
                 src.mapInArrow(
                     kern, schema=f"{id_col} bigint, __v array<double>, __mc double"
                 )
                 .orderBy(F.col("__mc").asc(), F.col(id_col).asc())
                 .limit(p)
-                .collect()
             )
+            if PLAN_PROBE is not None:
+                PLAN_PROBE("kcenter_round", round_q)
+            rows = round_q.collect()
             if not rows:  # k exceeds the corpus — trajectory ends early
                 break
             # The p-th collected score lower-bounds every point NOT in
@@ -379,7 +389,7 @@ def mmr_select(
                         {"__rel": rel[top], "__score": score[top]},
                     )
 
-            rows = (
+            round_q = (
                 src.mapInArrow(
                     kern,
                     schema=(
@@ -389,8 +399,10 @@ def mmr_select(
                 )
                 .orderBy(F.col("__score").desc(), F.col(id_col).asc())
                 .limit(p)
-                .collect()
             )
+            if PLAN_PROBE is not None:
+                PLAN_PROBE("mmr_round", round_q)
+            rows = round_q.collect()
             if not rows:  # k exceeds the corpus — trajectory ends early
                 break
             # The p-th collected score UPPER-bounds every out-of-list

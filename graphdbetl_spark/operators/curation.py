@@ -1102,18 +1102,20 @@ def _logreg_fit(
                 # N rides along in the gradient aggregation (one job per
                 # round, total iters jobs — no separate count() job; the
                 # first round's agg also materializes the feature cache)
-                row = (
-                    feats.select(e, "x1", "x2", "x3", "x4")
-                    .agg(
-                        F.sum("e").alias("g0"),
-                        F.sum(F.col("e") * F.col("x1")).alias("g1"),
-                        F.sum(F.col("e") * F.col("x2")).alias("g2"),
-                        F.sum(F.col("e") * F.col("x3")).alias("g3"),
-                        F.sum(F.col("e") * F.col("x4")).alias("g4"),
-                        F.count(F.lit(1)).alias("n"),
-                    )
-                    .first()
+                round_q = feats.select(e, "x1", "x2", "x3", "x4").agg(
+                    F.sum("e").alias("g0"),
+                    F.sum(F.col("e") * F.col("x1")).alias("g1"),
+                    F.sum(F.col("e") * F.col("x2")).alias("g2"),
+                    F.sum(F.col("e") * F.col("x3")).alias("g3"),
+                    F.sum(F.col("e") * F.col("x4")).alias("g4"),
+                    F.count(F.lit(1)).alias("n"),
                 )
+                # per-round plan-evidence hook — see coreset.PLAN_PROBE
+                from graphdbetl_spark.operators import coreset as _c
+
+                if _c.PLAN_PROBE is not None:
+                    _c.PLAN_PROBE("logreg_round", round_q)
+                row = round_q.first()
                 w = [w[k] - lr * row[k] / row["n"] for k in range(5)]
     finally:
         feats.unpersist()
