@@ -9,8 +9,17 @@ spread a hot key over N sub-keys, partially aggregate, then combine.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+
+# Config exposure for the size-derived devices (r11 verdict #7): the
+# 4 MB defaults are single-host-measured constants (r11 paired A/Bs at
+# sf0.1 plus 30× rungs); a deployment tunes them without a code change.
+# Defaults keep the local bench behavior bit-identical.
+BYTES_PER_TASK = int(os.environ.get("SPARK_GRAFT_BYTES_PER_TASK", str(4 << 20)))
+CHECKPOINT_BYTES = int(os.environ.get("SPARK_GRAFT_CHECKPOINT_BYTES", str(4 << 20)))
 
 
 def ensure_scan_parallelism(df: DataFrame, key_col: str) -> DataFrame:
@@ -34,7 +43,7 @@ def ensure_scan_parallelism(df: DataFrame, key_col: str) -> DataFrame:
     return df
 
 
-def iterate_partitions(df: DataFrame, bytes_per_task: int = 4 << 20) -> int:
+def iterate_partitions(df: DataFrame, bytes_per_task: int | None = None) -> int:
     """Size-derived task count: clamp(optimized-plan bytes /
     ``bytes_per_task``, 1, defaultParallelism). The sizing input for
     :func:`adaptive_parallelism` and for iterated cached frames (a
@@ -42,6 +51,8 @@ def iterate_partitions(df: DataFrame, bytes_per_task: int = 4 << 20) -> int:
     round, so a tiny frame should not hold core-count partitions).
     Raises whatever the underlying session raises on non-classic
     backends — callers fall back to leaving the plan untouched."""
+    if bytes_per_task is None:
+        bytes_per_task = BYTES_PER_TASK
     stats_bytes = int(
         df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
@@ -52,7 +63,7 @@ def iterate_partitions(df: DataFrame, bytes_per_task: int = 4 << 20) -> int:
 
 
 def checkpoint_if_scaled(
-    df: DataFrame, size_of: DataFrame, threshold_bytes: int = 4 << 20
+    df: DataFrame, size_of: DataFrame, threshold_bytes: int | None = None
 ) -> DataFrame:
     """``df.localCheckpoint(eager=True)`` when ``size_of``'s
     optimized-plan bytes exceed the threshold, else ``df`` unchanged.
@@ -67,6 +78,8 @@ def checkpoint_if_scaled(
     collapse into one exchange via ReuseExchange. Callers must only
     use this for DETERMINISTIC frames: an unpinned nondeterministic
     subtree could show different rows to different consumers."""
+    if threshold_bytes is None:
+        threshold_bytes = CHECKPOINT_BYTES
     try:
         stats_bytes = int(
             size_of._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -79,7 +92,7 @@ def checkpoint_if_scaled(
 
 
 def adaptive_parallelism(
-    df: DataFrame, key_col: str, bytes_per_task: int = 4 << 20
+    df: DataFrame, key_col: str, bytes_per_task: int | None = None
 ) -> DataFrame:
     """Size-derived partitioning for LIGHT per-row kernels (vector
     scoring, iterated map-only frames): target tasks = clamp(plan
