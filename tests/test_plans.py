@@ -350,7 +350,10 @@ def test_pq_query_path_single_shuffle(spark):
     multi-split cluster inputs)."""
     plan = plan_of(spark, "sim_pq_topk_md5")
     assert node_count(plan, "Exchange") in (1, 2)
-    assert plan.count("MapInPandas") >= 2  # assign + ADC numpy kernels
+    # r12: assign + ADC numpy kernels run as mapInArrow (zero-copy list
+    # views, guide §4.2) — MapInArrow nodes, no pandas boxing anywhere
+    assert plan.count("MapInArrow") >= 2
+    assert plan.count("MapInPandas") == 0
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
